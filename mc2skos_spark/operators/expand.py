@@ -1,0 +1,47 @@
+"""G2 — SKOS inference expansion (the ``--expand`` post-pass).
+
+The reference delegates to skosify (/root/reference/mc2skos/mc2skos.py:
+192-196: ``skos_related`` symmetrizes related, ``skos_topConcept`` adds
+hasTopConcept inverses, ``skos_hierarchical(narrower=True)`` adds
+narrower inverses; asserted by test/test_skosify.py:19-23).
+
+Spark-first this is a pure inverse-edge projection — ``select(obj,
+inverse_pred, subj)`` + union + set-dedup.  No join, no Python; one
+map-side projection and the shared dedup hash-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..core import constants as C
+
+_INVERSES = {
+    C.SKOS + "related": C.SKOS + "related",
+    C.SKOS + "broader": C.SKOS + "narrower",
+    C.SKOS + "topConceptOf": C.SKOS + "hasTopConcept",
+}
+
+
+def expand_inferred(triples: DataFrame) -> DataFrame:
+    """Return triples ∪ inferred inverse edges, deduplicated."""
+    mapping = F.create_map(
+        *[F.lit(x) for pair in _INVERSES.items() for x in pair])
+    inverses = (
+        triples
+        .filter(F.col("pred").isin(list(_INVERSES)) &
+                ~F.col("obj_is_literal"))
+        .select(
+            F.col("obj").alias("subj"),
+            mapping[F.col("pred")].alias("pred"),
+            F.col("subj").alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("int").alias("component_pos"),
+            F.col("record_id"),
+        )
+    )
+    return (triples.unionByName(inverses)
+            .dropDuplicates(["subj", "pred", "obj", "obj_lang",
+                             "obj_datatype", "component_pos"]))

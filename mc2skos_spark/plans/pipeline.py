@@ -1,0 +1,86 @@
+"""The staged KG-construction pipeline with checkpoint + idempotent resume.
+
+Stage DAG (SURVEY.md §3 lifecycle):
+
+  transcripts ──(0 reassemble)──► records ──(1 extract)──► extracted
+      extracted ──split──► triples_raw + quarantine
+      triples_raw ──(2 canonicalize)──► triples
+      triples ──(3 optional expand)──► triples_expanded
+
+Every stage commits its output to the Icebergish catalog; on re-run a
+stage whose snapshot is already committed is *skipped* and its table
+read back (resume = manifest presence, the anti-join-manifest pattern
+degenerating to a whole-stage check because stages commit atomically).
+A kill between data write and manifest commit leaves the stage
+uncommitted → it reruns and overwrites the orphan snapshot dir, giving
+byte-identical results (BASELINE.md resume-idempotence row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.canonicalize import canonical_mapping, rewrite_canonical
+from ..operators.expand import expand_inferred
+from ..operators.extract import (extract_triples, quarantine_from_extracted,
+                                 triples_from_extracted)
+from ..sinks.icebergish import IcebergishCatalog
+from ..sources.transcripts import reassemble_records
+
+
+class KgPipeline:
+
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 options: dict | None = None,
+                 default_scheme: str | None = None,
+                 expand: bool = False,
+                 canonicalize: bool = True):
+        self.spark = spark
+        self.catalog = IcebergishCatalog(warehouse, spark)
+        self.options = dict(options or {})
+        self.default_scheme = default_scheme
+        self.expand = expand
+        self.canonicalize = canonicalize
+        self.stage_log: list[tuple[str, str]] = []  # (stage, ran|resumed)
+
+    def _stage(self, name: str, build, partition_by=None,
+               lineage_key=None) -> DataFrame:
+        if self.catalog.exists(name):
+            self.stage_log.append((name, "resumed"))
+            return self.catalog.read(name)
+        df = build()
+        self.catalog.write(name, df, partition_by=partition_by,
+                           lineage_key=lineage_key)
+        self.stage_log.append((name, "ran"))
+        return self.catalog.read(name)
+
+    def run(self, transcripts: DataFrame) -> DataFrame:
+        records = self._stage(
+            "records", lambda: reassemble_records(transcripts),
+            lineage_key="record_id")
+
+        extracted = self._stage(
+            "extracted",
+            lambda: extract_triples(records, self.options,
+                                    self.default_scheme),
+            partition_by=["row_kind"], lineage_key="record_id")
+
+        triples = self._stage(
+            "triples_raw", lambda: triples_from_extracted(extracted),
+            lineage_key="subj")
+        self._stage("quarantine",
+                    lambda: quarantine_from_extracted(extracted),
+                    lineage_key="record_id")
+
+        if self.canonicalize:
+            triples = self._stage(
+                "triples_canonical",
+                lambda: rewrite_canonical(triples,
+                                          canonical_mapping(triples)),
+                lineage_key="subj")
+
+        if self.expand:
+            triples = self._stage(
+                "triples_expanded", lambda: expand_inferred(triples),
+                lineage_key="subj")
+        return triples

@@ -1,0 +1,143 @@
+"""Iceberg-emulated table catalog: parquet snapshots + atomic manifests.
+
+No Iceberg runtime jar ships in this sandbox (SURVEY.md sandbox facts),
+so the pipeline's "Iceberg tables" are emulated with the same commit
+semantics a real catalog would give us, behind a call surface small
+enough that ``spark.writeTo(...)`` on a real Iceberg catalog can be
+dropped in on a cluster:
+
+* every write lands in a fresh ``snap-<n>/`` directory (parquet,
+  optionally partitioned);
+* the commit is a single atomic rename of a manifest JSON
+  (``os.replace``) recording the snapshot dir, row count and
+  per-partition lineage stats (north_rule: partition id, input span,
+  row counts, skew stats);
+* readers resolve the *current* manifest; uncommitted snapshot dirs are
+  invisible garbage — a mid-write kill leaves the previous snapshot
+  intact (snapshot isolation), which is what makes stage resume
+  idempotent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class IcebergishCatalog:
+
+    def __init__(self, root: str, spark: SparkSession):
+        self.root = root
+        self.spark = spark
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str, snapshot_id: int) -> str:
+        return os.path.join(self._table_dir(table),
+                            "manifest-%06d.json" % snapshot_id)
+
+    def _list_manifests(self, table: str) -> list[str]:
+        tdir = self._table_dir(table)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(f for f in os.listdir(tdir)
+                      if f.startswith("manifest-") and f.endswith(".json"))
+
+    def current_manifest(self, table: str) -> dict | None:
+        manifests = self._list_manifests(table)
+        if not manifests:
+            return None
+        with open(os.path.join(self._table_dir(table), manifests[-1])) as fp:
+            return json.load(fp)
+
+    def exists(self, table: str) -> bool:
+        return self.current_manifest(table) is not None
+
+    # ------------------------------------------------------------ write
+
+    def write(self, table: str, df: DataFrame,
+              partition_by: list[str] | None = None,
+              lineage_key: str | None = None) -> dict:
+        """Write a new snapshot of ``table`` and commit it atomically.
+
+        ``lineage_key``: column whose per-file min/max is recorded as the
+        input span in the lineage rows (defaults to the first column).
+        """
+        tdir = self._table_dir(table)
+        os.makedirs(tdir, exist_ok=True)
+        current = self.current_manifest(table)
+        snapshot_id = (current["snapshot_id"] + 1) if current else 0
+        snap_dir = os.path.join(tdir, "snap-%06d" % snapshot_id)
+
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(snap_dir)
+
+        # Per-file (≈ per-partition) lineage from the persisted data —
+        # a single columnar aggregate over what was just written.
+        key = lineage_key or df.columns[0]
+        # Explicit schema: an empty snapshot has no footer to infer from.
+        written = self.spark.read.schema(df.schema).parquet(snap_dir)
+        lineage = [
+            {"part_id": i,
+             "file": os.path.basename(r["file"]),
+             "input_min": r["mn"], "input_max": r["mx"],
+             "row_count": r["cnt"]}
+            for i, r in enumerate(
+                written.groupBy(F.input_file_name().alias("file"))
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.min(F.col(key).cast("string")).alias("mn"),
+                     F.max(F.col(key).cast("string")).alias("mx"))
+                .collect())
+        ]
+        row_count = sum(p["row_count"] for p in lineage)
+        counts = [p["row_count"] for p in lineage] or [0]
+        manifest = {
+            "table": table,
+            "schema": df.schema.jsonValue(),
+            "snapshot_id": snapshot_id,
+            "dir": os.path.basename(snap_dir),
+            "row_count": row_count,
+            "partition_by": partition_by or [],
+            "skew": {"partitions": len(counts),
+                     "max_rows": max(counts), "min_rows": min(counts),
+                     "mean_rows": row_count / max(len(counts), 1)},
+            "lineage": lineage,
+        }
+        tmp = self._manifest_path(table, snapshot_id) + ".tmp"
+        with open(tmp, "w") as fp:
+            json.dump(manifest, fp, indent=1)
+        os.replace(tmp, self._manifest_path(table, snapshot_id))  # commit
+        return manifest
+
+    # ------------------------------------------------------------- read
+
+    def read(self, table: str) -> DataFrame:
+        manifest = self.current_manifest(table)
+        if manifest is None:
+            raise FileNotFoundError("no committed snapshot for table %r"
+                                    % table)
+        from pyspark.sql import types as T
+        return self.spark.read.schema(
+            T.StructType.fromJson(manifest["schema"])).parquet(
+            os.path.join(self._table_dir(table), manifest["dir"]))
+
+    # ---------------------------------------------------------- cleanup
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self._table_dir(table), ignore_errors=True)
+
+    def invalidate(self, table: str) -> None:
+        """Remove the commit record but keep data dirs — simulates a
+        kill between data write and manifest commit (for resume tests)."""
+        tdir = self._table_dir(table)
+        for name in self._list_manifests(table):
+            os.remove(os.path.join(tdir, name))
