@@ -1,38 +1,520 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: the full KG-construction pipeline (transcripts →
+              reassembly → Arrow extraction → dedup → canonicalization)
+              over deterministic transcripts, with sf0.001 documents
+              woven in as non-payload turns.
+``queries`` — one entry per implemented operator family from
+              SURVEY.md §2 (and the training-data extras), each expressed
+              over the driver's parquet tables.
+``oracle_sql`` — DuckDB-runnable ANSI equivalents; omitted only for
+              operators whose semantics depend on Spark-side hash
+              functions (xxhash64) or iterative jobs the driver's
+              rows-only check covers.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, name + ".parquet"))
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: KG construction end-to-end; returns the triples."""
+    from mc2skos_spark.operators.canonicalize import (canonical_mapping,
+                                                      rewrite_canonical)
+    from mc2skos_spark.operators.extract import (extract_triples,
+                                                 triples_from_extracted)
+    from mc2skos_spark.plans import schemas
+    from mc2skos_spark.sources.synth import (make_transcript_rows,
+                                             synth_marc_records)
+    from mc2skos_spark.sources.transcripts import reassemble_records
 
+    rows = make_transcript_rows(synth_marc_records(200, seed=42), seed=43)
+    transcripts = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+
+    # weave the sf0.001 documents in as non-payload turns: the scan +
+    # payload filter drops them, proving stage 0 tolerates mixed traffic.
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    filler = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"))
+    transcripts = transcripts.unionByName(filler)
+
+    records = reassemble_records(transcripts)
+    triples = triples_from_extracted(extract_triples(records)).cache()
+    return rewrite_canonical(triples, canonical_mapping(triples))
+
+
+# -------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mc2skos_spark.functions.dedup import (exact_duplicates,
+                                               minhash_lsh_candidates,
+                                               minhash_signatures,
+                                               minhash_similarity,
+                                               ngram_jaccard_pairs, simhash,
+                                               simhash_near_pairs)
+    from mc2skos_spark.functions.similarity import cosine_topk
+    from mc2skos_spark.functions.textstats import (fingerprint, langid_guess,
+                                                   quality_score, token_count)
+    from mc2skos_spark.operators.canonicalize import connected_components
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- S1 / stage 0: ordered reassembly (events stand in for turns)
+    def s1_reassembly(spark, sf_dir):
+        events = _t(spark, sf_dir, "events")
+        return (events.groupBy("user_id")
+                .agg(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("ts", "event_id", "event_type"))),
+                        lambda s: s["event_type"]), ">").alias("journey")))
 
+    # --- P1/P2: leader-style dispatch + skip filters
+    def p1_leader_dispatch(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        kind = (F.when(F.col("lang") == "en", "classification")
+                .when(F.col("lang") == "es", "authority")
+                .otherwise("invalid"))
+        return (docs.select(kind.alias("kind"))
+                .groupBy("kind").agg(F.count(F.lit(1)).alias("cnt")))
+
+    # --- P3: publish filter (flag + predicate + substring gate)
+    def p3_publish_filter(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return (docs.filter((F.col("n_chars") > 100) &
+                            ~F.col("text").contains("dup"))
+                .select("doc_id", "n_chars"))
+
+    # --- T1: precedence coalesce
+    def t1_precedence_coalesce(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        resolved = F.coalesce(F.nullif("o_orderpriority", F.lit("5-LOW")),
+                              F.col("o_orderstatus"))
+        return (orders.select(resolved.alias("resolved"))
+                .groupBy("resolved").agg(F.count(F.lit(1)).alias("cnt")))
+
+    # --- T2/T3: date decode + group
+    def t2_date_decode(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        return (orders
+                .groupBy(F.year("o_orderdate").alias("yr"))
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.date_format(F.min("o_orderdate"),
+                                   "yyyy-MM-dd").alias("first_day"),
+                     F.round(F.sum("o_totalprice"), 2).alias("turnover")))
+
+    # --- T5: fixed-position flag decode tower
+    def t5_flag_decode(spark, sf_dir):
+        part = _t(spark, sf_dir, "part")
+        flag = F.substring("p_brand", 7, 1)
+        decoded = (F.when(flag == "1", "schedule")
+                   .when(flag == "2", "table")
+                   .when(flag == "3", "external_summary")
+                   .when(flag == "4", "internal_summary")
+                   .otherwise("unknown"))
+        return (part.select(flag.alias("flag"), decoded.alias("decoded"))
+                .groupBy("flag", "decoded")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+
+    # --- T7: URI minting (template expansion + whitespace policy)
+    def t7_uri_mint(spark, sf_dir):
+        customer = _t(spark, sf_dir, "customer")
+        uri = F.concat(
+            F.lit("http://example.org/customer/"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0"),
+            F.lit("-"),
+            F.regexp_replace(F.lower("c_name"), " ", "-"))
+        return customer.select("c_custkey", uri.alias("uri"))
+
+    # --- T8: broadcast dim join (scheme resolution analog)
+    def t8_broadcast_scheme_join(spark, sf_dir):
+        customer = _t(spark, sf_dir, "customer")
+        nation = _t(spark, sf_dir, "nation")
+        region = _t(spark, sf_dir, "region")
+        return (customer
+                .join(F.broadcast(nation),
+                      customer.c_nationkey == nation.n_nationkey)
+                .join(F.broadcast(region),
+                      nation.n_regionkey == region.r_regionkey)
+                .groupBy(F.col("r_name").alias("region"))
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.round(F.sum("c_acctbal"), 2).alias("balance")))
+
+    # --- P7: quarantine split (anti join)
+    def p7_quarantine_antijoin(spark, sf_dir):
+        customer = _t(spark, sf_dir, "customer")
+        orders = _t(spark, sf_dir, "orders")
+        return (customer.join(orders,
+                              customer.c_custkey == orders.o_custkey,
+                              "left_anti")
+                .select("c_custkey"))
+
+    # --- T9: ordered conditional-separator fold (stringify analog)
+    def t9_stringify_fold(spark, sf_dir):
+        lineitem = _t(spark, sf_dir, "lineitem")
+        folded = F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct("l_linenumber", "l_returnflag"))),
+                lambda s: F.when(s["l_returnflag"] == "R",
+                                 F.concat(F.lit("-"), s["l_returnflag"]))
+                           .otherwise(F.concat(F.lit(" "),
+                                               s["l_returnflag"]))), "")
+        return (lineitem.groupBy("l_orderkey")
+                .agg(folded.alias("flags")))
+
+    # --- U1: triple fan-out (unpivot)
+    def u1_triple_fanout(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        subj = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+        branches = [
+            docs.select(subj.alias("subj"), F.lit("lang").alias("pred"),
+                        F.col("lang").alias("obj")),
+            docs.select(subj.alias("subj"), F.lit("source").alias("pred"),
+                        F.col("source").alias("obj")),
+            docs.select(subj.alias("subj"), F.lit("n_chars").alias("pred"),
+                        F.col("n_chars").cast("string").alias("obj")),
+        ]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
+
+    # --- G1: set dedup
+    def g1_dedup_set(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select("lang", "source").distinct()
+
+    # --- G2: inverse-edge expansion
+    def g2_inverse_expand(spark, sf_dir):
+        nation = _t(spark, sf_dir, "nation")
+        region = _t(spark, sf_dir, "region")
+        edges = (nation.join(F.broadcast(region),
+                             nation.n_regionkey == region.r_regionkey)
+                 .select(F.col("n_name").alias("subj"),
+                         F.lit("in_region").alias("pred"),
+                         F.col("r_name").alias("obj")))
+        inverses = edges.select(F.col("obj").alias("subj"),
+                                F.lit("has_nation").alias("pred"),
+                                F.col("subj").alias("obj"))
+        return edges.unionByName(inverses).distinct()
+
+    # --- G4/S4: ordered sink with regex-derived sort key
+    def g4_ordered_sink_key(spark, sf_dir):
+        from pyspark.sql import Window
+        part = _t(spark, sf_dir, "part")
+        key = (F.when(F.col("p_type").startswith("STANDARD"),
+                      F.concat(F.lit("C"), F.col("p_name")))
+               .when(F.col("p_type").startswith("SMALL"),
+                     F.concat(F.lit("B"), F.col("p_name")))
+               .otherwise(F.concat(F.lit("A"), F.col("p_name"))))
+        w = Window.orderBy("sort_key", "p_partkey")
+        return (part.select("p_partkey", key.alias("sort_key"))
+                .withColumn("rk", F.row_number().over(w)))
+
+    # --- window: per-key ordered ranking (stage-0 ordering primitive)
+    def w1_window_rank(spark, sf_dir):
+        from pyspark.sql import Window
+        events = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (events
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 3)
+                .select("user_id", "rn", "event_id", "event_type"))
+
+    # --- CC: union-find connected components (SQL oracle via clique
+    #     structure: nations sharing a region form one component)
+    def cc_region_cliques(spark, sf_dir):
+        nation = _t(spark, sf_dir, "nation")
+        a, b = nation.alias("a"), nation.alias("b")
+        edges = (a.join(b, F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+                 .filter(F.col("a.n_name") <= F.col("b.n_name"))
+                 .select(F.col("a.n_name").alias("src"),
+                         F.col("b.n_name").alias("dst")))
+        return (connected_components(edges)
+                .select(F.col("vertex"), F.col("comp")))
+
+    # --- dedup family
+    def dedup_exact(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return exact_duplicates(docs, "doc_id", "text")
+
+    def dedup_ngram_jaccard(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        return ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
+                                   threshold=0.8, max_shingle_freq=None)
+
+    def dedup_minhash_lsh(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        sigs = minhash_signatures(docs, "doc_id", "text", n=2, num_hashes=16)
+        cands = minhash_lsh_candidates(sigs, bands=4)
+        return (minhash_similarity(sigs, cands)
+                .filter(F.col("est_jaccard") >= 0.9))
+
+    def dedup_simhash(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        return simhash_near_pairs(simhash(docs, "doc_id", "text"),
+                                  max_hamming=8)
+
+    # --- similarity search
+    def sim_cosine_topk(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        query = [float(x) for x in
+                 emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return cosine_topk(emb, query, k=10)
+
+    # --- text analysis
+    def text_tokens(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+    def text_quality(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select("doc_id",
+                           quality_score(F.col("text")).alias("quality"))
+
+    def text_langid(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select("doc_id",
+                           langid_guess(F.col("text")).alias("lang_guess"))
+
+    def text_fingerprint(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select("doc_id",
+                           fingerprint(F.col("text")).alias("fp"))
+
+    return {
+        "s1_reassembly": s1_reassembly,
+        "p1_leader_dispatch": p1_leader_dispatch,
+        "p3_publish_filter": p3_publish_filter,
+        "t1_precedence_coalesce": t1_precedence_coalesce,
+        "t2_date_decode": t2_date_decode,
+        "t5_flag_decode": t5_flag_decode,
+        "t7_uri_mint": t7_uri_mint,
+        "t8_broadcast_scheme_join": t8_broadcast_scheme_join,
+        "p7_quarantine_antijoin": p7_quarantine_antijoin,
+        "t9_stringify_fold": t9_stringify_fold,
+        "u1_triple_fanout": u1_triple_fanout,
+        "g1_dedup_set": g1_dedup_set,
+        "g2_inverse_expand": g2_inverse_expand,
+        "g4_ordered_sink_key": g4_ordered_sink_key,
+        "w1_window_rank": w1_window_rank,
+        "cc_region_cliques": cc_region_cliques,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "sim_cosine_topk": sim_cosine_topk,
+        "text_tokens": text_tokens,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "text_fingerprint": text_fingerprint,
+    }
+
+
+# ------------------------------------------------------------- oracles
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    langid = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x != '') AS tk
+            FROM documents),
+        hits AS (
+            SELECT doc_id,
+                   len(list_filter(tk, t -> t IN ('the','and','of','to','in'))) AS h_en,
+                   len(list_filter(tk, t -> t IN ('el','la','de','que','los'))) AS h_es,
+                   len(list_filter(tk, t -> t IN ('der','die','und','das','ist'))) AS h_de,
+                   len(list_filter(tk, t -> t IN ('le','la','et','les','des'))) AS h_fr
+            FROM toks)
+        SELECT doc_id,
+               CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und'
+                    WHEN h_fr > greatest(h_en, h_es, h_de) THEN 'fr'
+                    WHEN h_de > greatest(h_en, h_es) THEN 'de'
+                    WHEN h_es > h_en THEN 'es'
+                    ELSE 'en' END AS lang_guess
+        FROM hits
     """
-    return {}
+    quality = """
+        WITH feats AS (
+            SELECT doc_id,
+                   length(text) AS l,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x != '')) AS nt,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+            FROM documents)
+        -- all literals cast to DOUBLE: DuckDB would otherwise evaluate
+        -- 0.5*… in DECIMAL arithmetic and round .5 boundaries the other
+        -- way than Spark's IEEE doubles
+        SELECT doc_id,
+               floor(greatest(0.0::DOUBLE, least(1.0::DOUBLE,
+                   0.5::DOUBLE * least(nt / 100.0::DOUBLE, 1.0::DOUBLE)
+                 + 0.3::DOUBLE * least((l / greatest(nt, 1)) / 8.0::DOUBLE,
+                                       1.0::DOUBLE)
+                 + 0.2::DOUBLE * (1.0::DOUBLE -
+                       least(punct / greatest(l, 1) * 10.0::DOUBLE,
+                             1.0::DOUBLE)))) * 10000) / 10000 AS quality
+        FROM feats
+    """
+    jaccard = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x != '') AS tk
+            FROM documents WHERE doc_id < 300),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   tk[i + 1] || ' ' || tk[i + 2] AS sh
+            FROM toks, unnest(range(greatest(len(tk) - 1, 1))) AS u(i)
+            WHERE len(tk) >= 2),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM sh a JOIN sh b USING (sh)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
+    """
+    return {
+        "s1_reassembly": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+            FROM events GROUP BY user_id""",
+        "p1_leader_dispatch": """
+            SELECT CASE WHEN lang = 'en' THEN 'classification'
+                        WHEN lang = 'es' THEN 'authority'
+                        ELSE 'invalid' END AS kind,
+                   count(*) AS cnt
+            FROM documents GROUP BY 1""",
+        "p3_publish_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE n_chars > 100 AND NOT contains(text, 'dup')""",
+        "t1_precedence_coalesce": """
+            SELECT coalesce(nullif(o_orderpriority, '5-LOW'),
+                            o_orderstatus) AS resolved,
+                   count(*) AS cnt
+            FROM orders GROUP BY 1""",
+        "t2_date_decode": """
+            SELECT cast(year(o_orderdate) AS int) AS yr,
+                   count(*) AS cnt,
+                   strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+                   round(sum(o_totalprice), 2) AS turnover
+            FROM orders GROUP BY 1""",
+        "t5_flag_decode": """
+            SELECT substr(p_brand, 7, 1) AS flag,
+                   CASE substr(p_brand, 7, 1)
+                        WHEN '1' THEN 'schedule'
+                        WHEN '2' THEN 'table'
+                        WHEN '3' THEN 'external_summary'
+                        WHEN '4' THEN 'internal_summary'
+                        ELSE 'unknown' END AS decoded,
+                   count(*) AS cnt
+            FROM part GROUP BY 1, 2""",
+        "t7_uri_mint": """
+            SELECT c_custkey,
+                   'http://example.org/customer/' ||
+                   lpad(cast(c_custkey AS varchar), 8, '0') || '-' ||
+                   replace(lower(c_name), ' ', '-') AS uri
+            FROM customer""",
+        "t8_broadcast_scheme_join": """
+            SELECT r_name AS region, count(*) AS cnt,
+                   round(sum(c_acctbal), 2) AS balance
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1""",
+        "p7_quarantine_antijoin": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey)""",
+        "t9_stringify_fold": """
+            SELECT l_orderkey,
+                   string_agg(CASE WHEN l_returnflag = 'R'
+                                   THEN '-' || l_returnflag
+                                   ELSE ' ' || l_returnflag END,
+                              '' ORDER BY l_linenumber, l_returnflag) AS flags
+            FROM lineitem GROUP BY 1""",
+        "u1_triple_fanout": """
+            SELECT 'doc:' || cast(doc_id AS varchar) AS subj,
+                   'lang' AS pred, lang AS obj FROM documents
+            UNION ALL
+            SELECT 'doc:' || cast(doc_id AS varchar), 'source', source
+            FROM documents
+            UNION ALL
+            SELECT 'doc:' || cast(doc_id AS varchar), 'n_chars',
+                   cast(n_chars AS varchar)
+            FROM documents""",
+        "g1_dedup_set": "SELECT DISTINCT lang, source FROM documents",
+        "g2_inverse_expand": """
+            SELECT n_name AS subj, 'in_region' AS pred, r_name AS obj
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            UNION
+            SELECT r_name, 'has_nation', n_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey""",
+        "g4_ordered_sink_key": """
+            WITH keyed AS (
+                SELECT p_partkey,
+                       CASE WHEN p_type LIKE 'STANDARD%' THEN 'C' || p_name
+                            WHEN p_type LIKE 'SMALL%' THEN 'B' || p_name
+                            ELSE 'A' || p_name END AS sort_key
+                FROM part)
+            SELECT p_partkey, sort_key,
+                   cast(row_number() OVER (ORDER BY sort_key, p_partkey)
+                        AS int) AS rk
+            FROM keyed""",
+        "w1_window_rank": """
+            WITH ranked AS (
+                SELECT user_id, event_id, event_type,
+                       cast(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                            AS int) AS rn
+                FROM events)
+            SELECT user_id, rn, event_id, event_type
+            FROM ranked WHERE rn <= 3""",
+        "cc_region_cliques": """
+            SELECT n_name AS vertex,
+                   min(n_name) OVER (PARTITION BY n_regionkey) AS comp
+            FROM nation""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+            FROM documents GROUP BY text HAVING count(*) > 1""",
+        "dedup_ngram_jaccard": jaccard,
+        # dedup_minhash_lsh / dedup_simhash / text_fingerprint depend on
+        # Spark's xxhash64 → rows-only check (no SQL equivalent).
+        "sim_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       cast(embedding AS double[]),
+                       (SELECT cast(embedding AS double[]) FROM embeddings
+                        WHERE vec_id = 0)), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10""",
+        "text_tokens": """
+            SELECT doc_id,
+                   cast(len(list_filter(
+                       regexp_split_to_array(text, '\\s+'),
+                       x -> x != '')) AS int) AS n_tokens
+            FROM documents""",
+        "text_quality": quality,
+        "text_langid": langid,
+    }

@@ -36,12 +36,15 @@ def quality_score(text_col) -> Column:
     n_tokens = token_count(text_col)
     punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?]", ""))
     mean_tok = length / F.greatest(n_tokens, F.lit(1))
-    return F.round(
-        F.greatest(F.lit(0.0), F.least(F.lit(1.0),
-            0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-            + 0.3 * F.least(mean_tok / F.lit(8.0), F.lit(1.0))
-            + 0.2 * (1.0 - F.least(punct / F.greatest(length, F.lit(1))
-                                   * 10.0, F.lit(1.0))))), 4)
+    raw = F.greatest(F.lit(0.0), F.least(F.lit(1.0),
+        0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * F.least(mean_tok / F.lit(8.0), F.lit(1.0))
+        + 0.2 * (1.0 - F.least(punct / F.greatest(length, F.lit(1))
+                               * 10.0, F.lit(1.0)))))
+    # floor-truncate, not round: floor is exact on IEEE doubles so any
+    # engine computing the same expression gets the same 4-decimal value
+    # (Spark and DuckDB round() disagree on .5-ulp boundaries)
+    return F.floor(raw * 10000).cast("double") / 10000
 
 
 def stopword_hits(text_col, lang: str) -> Column:

@@ -60,19 +60,46 @@ def candidate_sameas_edges(triples: DataFrame,
     return edges
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_rounds: int = 20,
+                         cc_partitions: int | None = None) -> DataFrame:
     """(src, dst) edges → (vertex, component) labels, component = min id.
 
-    Alternating large-star/small-star over an undirected edge list.
-    Each round materializes via ``localCheckpoint`` (lineage cut) and
-    the driver tests convergence with a count — the per-round action the
-    survey's lifecycle (§3) calls out.
+    Min-label propagation with pointer compression over an undirected
+    edge list.  Each round materializes via ``localCheckpoint`` (lineage
+    cut) and the driver tests convergence with a count — the per-round
+    action the survey's lifecycle (§3) calls out.
+
+    The candidate-edge set is orders of magnitude smaller than the
+    triple table (only URIs sharing an identifier), so the loop runs at
+    its own low parallelism (``cc_partitions``, default: #edge-partitions
+    capped at 8) instead of the session's shuffle width — per-round task
+    overhead, not data volume, dominates iterative jobs.
     """
-    # Initial star edges: both directions + self loops via min-neighbor.
+    # Materialize the symmetrized edge list ONCE — it is reused every
+    # round and its upstream (the identifier self-join over the full
+    # triple table) must not be recomputed per iteration.
+    if cc_partitions is None:
+        # fixed small width: candidate components are tiny; probing the
+        # edge DF's partitioning (.rdd) would force materializing it
+        cc_partitions = 8
+    spark = edges.sparkSession
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    saved_shuffle = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, str(cc_partitions))
+    try:
+        return _cc_loop(edges, max_rounds, cc_partitions)
+    finally:
+        spark.conf.set(shuffle_conf, saved_shuffle)
+
+
+def _cc_loop(edges: DataFrame, max_rounds: int,
+             cc_partitions: int) -> DataFrame:
     both = (edges.select("src", "dst")
             .unionByName(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
-            .distinct())
+            .repartition(cc_partitions, "src")
+            .distinct()
+            .localCheckpoint())
     # label(v) = min(v, min neighbor) to start.
     labels = (both.groupBy("src")
               .agg(F.least(F.first("src"), F.min("dst")).alias("comp"))
@@ -87,12 +114,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
         new_labels = (labels.join(cand, "vertex", "left")
                       .select("vertex",
                               F.least("comp", F.coalesce("ncomp", "comp"))
-                               .alias("comp"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "vertex")
-                   .filter(F.col("n.comp") != F.col("o.comp"))
-                   .limit(1).count())
+                               .alias("comp")))
         # label-pointer compression: relabel through the label table
         compressed = (new_labels.alias("a")
                       .join(new_labels.select(
@@ -102,6 +124,10 @@ def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
                       .select("vertex",
                               F.coalesce("parent", "comp").alias("comp"))
                       .localCheckpoint())
+        changed = (compressed.alias("n")
+                   .join(labels.alias("o"), "vertex")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .limit(1).count())
         labels = compressed
         if changed == 0:
             break

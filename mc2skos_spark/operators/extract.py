@@ -64,8 +64,16 @@ def _extract_batches(options: dict, default_scheme: str | None):
                     continue
                 if bag is None or not bag["is_public"]:
                     continue
+                # per-record set-dedup (rdflib Graph semantics are a set;
+                # nearly all duplicate triples are intra-record, so this
+                # keeps the global dedup's shuffle input minimal)
+                seen = set()
                 for (subj, pred, obj, is_lit, lang, dtype,
                      pos) in concept_to_triples(bag, options):
+                    row = (subj, pred, obj, is_lit, lang, dtype, pos)
+                    if row in seen:
+                        continue
+                    seen.add(row)
                     rows.append(("triple", subj, pred, obj, is_lit, lang,
                                  dtype, pos, record_id, None))
             yield pd.DataFrame(rows, columns=_EXTRACTED_COLS)
@@ -75,30 +83,44 @@ def _extract_batches(options: dict, default_scheme: str | None):
 
 def extract_triples(records: DataFrame, options: dict | None = None,
                     default_scheme: str | None = None,
-                    partitions: int | None = None) -> DataFrame:
-    """MARC_RECORDS → EXTRACTED (tagged union of triples + quarantine)."""
+                    partitions: int | None = None,
+                    balance: bool = True) -> DataFrame:
+    """MARC_RECORDS → EXTRACTED (tagged union of triples + quarantine).
+
+    ``balance=True`` hash-repartitions by record_id so Arrow batches get
+    size-balanced partitions regardless of upstream skew (north_rule).
+    Pass ``balance=False`` when the input is already well-spread (e.g.
+    straight off the reassembly shuffle) to save one full-data shuffle.
+    """
     options = dict(options or {})
-    if partitions is None:
-        partitions = records.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions")
-    # Size-balance the Arrow batches: hash-repartition decouples UDF
-    # parallelism from upstream (possibly skewed) partitioning.
-    balanced = records.repartition(int(partitions), F.xxhash64("record_id"))
-    return balanced.mapInPandas(_extract_batches(options, default_scheme),
-                                schema=schemas.EXTRACTED)
+    source = records
+    if balance:
+        if partitions is None:
+            partitions = records.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions")
+        source = records.repartition(int(partitions),
+                                     F.xxhash64("record_id"))
+    return source.mapInPandas(_extract_batches(options, default_scheme),
+                              schema=schemas.EXTRACTED)
 
 
-def triples_from_extracted(extracted: DataFrame) -> DataFrame:
+def triples_from_extracted(extracted: DataFrame,
+                           deduplicate: bool = True) -> DataFrame:
     """EXTRACTED → TRIPLES with Graph-set dedup (G1).
 
     lineage column record_id is retained; the dedup key is the triple
     value itself (subj,pred,obj,lang,datatype,pos) matching rdflib set
-    semantics (SURVEY.md §1c).
+    semantics (SURVEY.md §1c).  The UDF already set-dedups per record,
+    so pass ``deduplicate=False`` when a later stage (e.g. the
+    canonicalization rewrite) performs the global dedup anyway — saves
+    one full-data shuffle.
     """
-    return (extracted.filter(F.col("row_kind") == "triple")
-            .drop("row_kind", "reason")
-            .dropDuplicates(["subj", "pred", "obj", "obj_lang",
-                             "obj_datatype", "component_pos"]))
+    triples = (extracted.filter(F.col("row_kind") == "triple")
+               .drop("row_kind", "reason"))
+    if deduplicate:
+        triples = triples.dropDuplicates(["subj", "pred", "obj", "obj_lang",
+                                          "obj_datatype", "component_pos"])
+    return triples
 
 
 def quarantine_from_extracted(extracted: DataFrame) -> DataFrame:

@@ -1,0 +1,84 @@
+"""Driver-contract check: run every queries() entry at sf0.01 and compare
+against its oracle_sql() via DuckDB exactly like the driver does
+(row-count + order-insensitive value comparison, columns sorted by name).
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+pytestmark = pytest.mark.spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_T2", "/root/testdata/sf0.01")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _norm(value):
+    if isinstance(value, float):
+        if math.isnan(value):
+            return "nan"
+        return round(value, 6)
+    return value
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(row[i]) for i in order) for row in rows]
+    return sorted(cols), sorted(out, key=lambda r: tuple(map(str, r)))
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql("CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'"
+                % (t, SF_DIR, t))
+    return con
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES), ids=sorted(ORACLES))
+def test_query_matches_oracle(spark, ddb, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(row) for row in sdf.collect()]
+
+    result = ddb.sql(ORACLES[name])
+    ocols = [d[0] for d in result.description]
+    orows = result.fetchall()
+
+    s_cols, s_rows = _normalize(scols, srows)
+    o_cols, o_rows = _normalize(ocols, orows)
+    assert s_cols == o_cols, "column mismatch"
+    assert len(s_rows) == len(o_rows), \
+        "row count: spark=%d oracle=%d" % (len(s_rows), len(o_rows))
+    mismatches = [(a, b) for a, b in zip(s_rows, o_rows) if a != b]
+    assert not mismatches, "first mismatches: %s" % mismatches[:3]
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)),
+                         ids=sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 500
+    assert df.columns == ["subj", "pred", "obj", "obj_is_literal",
+                          "obj_lang", "obj_datatype", "component_pos",
+                          "record_id"]
