@@ -247,6 +247,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (connected_components(edges)
                 .select(F.col("vertex"), F.col("comp")))
 
+    # --- P4: xpath-style projection over array columns (higher-order
+    #     filter/transform/exists — the datafields-array analog)
+    def p4_array_projection(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        toks = F.filter(F.split(F.lower("text"), r"\s+"),
+                        lambda t: t != "")
+        return docs.select(
+            "doc_id",
+            F.size(F.filter(toks, lambda t: t.startswith("s")))
+             .alias("s_tokens"),
+            F.exists(toks, lambda t: t == "spark").alias("mentions_spark"),
+            F.array_max(F.transform(toks, F.length)).alias("longest_token"))
+
+    # --- B: multi-level aggregation (rollup/grouping sets)
+    def b1_rollup(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return (docs.rollup("lang", "source")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.sum("n_chars").alias("chars"))
+                .select(F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                        F.coalesce("source", F.lit("ALL")).alias("source"),
+                        "cnt", "chars"))
+
     # --- dedup family
     def dedup_exact(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
@@ -313,6 +336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_ordered_sink_key": g4_ordered_sink_key,
         "w1_window_rank": w1_window_rank,
         "cc_region_cliques": cc_region_cliques,
+        "p4_array_projection": p4_array_projection,
+        "b1_rollup": b1_rollup,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -494,6 +519,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name AS vertex,
                    min(n_name) OVER (PARTITION BY n_regionkey) AS comp
             FROM nation""",
+        "p4_array_projection": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents)
+            SELECT doc_id,
+                   cast(len(list_filter(tk, t -> t LIKE 's%')) AS int)
+                       AS s_tokens,
+                   len(list_filter(tk, t -> t = 'spark')) > 0
+                       AS mentions_spark,
+                   cast(list_max(list_transform(tk, t -> length(t))) AS int)
+                       AS longest_token
+            FROM toks""",
+        "b1_rollup": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*) AS cnt, cast(sum(n_chars) AS bigint) AS chars
+            FROM documents GROUP BY ROLLUP (lang, source)""",
         "dedup_exact": """
             SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
             FROM documents GROUP BY text HAVING count(*) > 1""",
