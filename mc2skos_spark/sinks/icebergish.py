@@ -130,6 +130,27 @@ class IcebergishCatalog:
             T.StructType.fromJson(manifest["schema"])).parquet(
             os.path.join(self._table_dir(table), manifest["dir"]))
 
+    def lineage(self, table: str | None = None) -> DataFrame:
+        """All committed lineage rows as a queryable DataFrame
+        (stage, part_id, file, input span, row_count) — the ops
+        introspection surface the north_rule's per-partition lineage
+        exists for."""
+        rows = []
+        tables = [table] if table else sorted(
+            t for t in os.listdir(self.root)
+            if os.path.isdir(self._table_dir(t)))
+        for t in tables:
+            manifest = self.current_manifest(t)
+            if manifest is None:
+                continue
+            for part in manifest["lineage"]:
+                rows.append((t, manifest["snapshot_id"], part["part_id"],
+                             part["file"], part["input_min"],
+                             part["input_max"], part["row_count"]))
+        return self.spark.createDataFrame(
+            rows, "stage string, snapshot_id int, part_id int, file string,"
+                  " input_min string, input_max string, row_count long")
+
     # ---------------------------------------------------------- cleanup
 
     def drop(self, table: str) -> None:

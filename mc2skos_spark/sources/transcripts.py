@@ -34,26 +34,45 @@ RECORD_SPAN_PATTERN = r"(?s)<(?:\w+:)?record[\s>].*?</(?:\w+:)?record>"
 
 
 def reassemble_records(transcripts: DataFrame,
-                       payload_tool: str = "marc_export") -> DataFrame:
+                       payload_tool: str = "marc_export",
+                       block_size: int | None = None) -> DataFrame:
     """Transcripts → MARC_RECORDS (record_id, conv_id, record_xml).
 
     record_id is derived from the 001 controlfield when present, else a
     deterministic ``<conv_id>#<k>`` position id.
+
+    ``block_size``: the explicit skew/scale path (SURVEY.md §4 item 1).
+    A pathologically hot conv_id (one conversation with millions of
+    turns) would force all its rows through one reduce task and one
+    in-memory array.  With ``block_size=B`` the fold runs in two phases:
+    first ``groupBy(conv_id, turn_idx div B)`` concatenates each
+    *contiguous* B-turn block (the salt — cardinality rises by x(turns/B),
+    keys become uniform), then the per-conversation fold concatenates
+    the far-smaller blocks in block order.  Exact same output.
     """
-    assembled = (
-        transcripts
-        .filter(F.col("tool") == payload_tool)
-        .select("conv_id", "turn_idx", "text")
-        .groupBy("conv_id")
-        .agg(
-            F.array_join(
-                # struct sort orders by the leading field → turn order.
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
-                    lambda s: s["text"]),
-                "",
-            ).alias("payload"))
-    )
+    payload_turns = (transcripts
+                     .filter(F.col("tool") == payload_tool)
+                     .select("conv_id", "turn_idx", "text"))
+
+    def ordered_concat(order_col, text_col):
+        # struct sort orders by the leading field → turn/block order
+        return (F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(order_col, text_col))),
+                lambda s: s[text_col]), ""))
+
+    if block_size:
+        blocks = (payload_turns
+                  .withColumn("block",
+                              F.floor(F.col("turn_idx") / block_size))
+                  .groupBy("conv_id", "block")
+                  .agg(ordered_concat("turn_idx", "text").alias("text")))
+        assembled = (blocks.groupBy("conv_id")
+                     .agg(ordered_concat("block", "text").alias("payload")))
+    else:
+        assembled = (payload_turns.groupBy("conv_id")
+                     .agg(ordered_concat("turn_idx", "text")
+                          .alias("payload")))
     records = (
         assembled
         .select(
