@@ -62,7 +62,14 @@ def _extract_batches(options: dict, default_scheme: str | None):
                                  None, None, None, record_id,
                                  "%s: %s" % (type(exc).__name__, exc)))
                     continue
-                if bag is None or not bag["is_public"]:
+                if bag is None:
+                    continue
+                # P7/P8 warning side-channel: non-fatal anomalies (unknown
+                # mapping schemes, invalid 005 dates, guessed types)
+                for warning in bag["warnings"]:
+                    rows.append(("warning", None, None, None, None,
+                                 None, None, None, record_id, warning))
+                if not bag["is_public"]:
                     continue
                 # per-record set-dedup (rdflib Graph semantics are a set;
                 # nearly all duplicate triples are intra-record, so this
@@ -128,3 +135,18 @@ def quarantine_from_extracted(extracted: DataFrame) -> DataFrame:
     return (extracted.filter(F.col("row_kind") == "quarantine")
             .select("record_id", "reason")
             .dropDuplicates(["record_id", "reason"]))
+
+
+def warnings_from_extracted(extracted: DataFrame,
+                            distinct_messages: bool = True) -> DataFrame:
+    """Non-fatal warnings per record; ``distinct_messages=True``
+    reproduces the reference's DuplicateFilter log suppression
+    (/root/reference/mc2skos/record.py:17-27) — one row per distinct
+    message instead of one per occurrence."""
+    warnings = (extracted.filter(F.col("row_kind") == "warning")
+                .select("record_id", "reason"))
+    if distinct_messages:
+        return (warnings.groupBy("reason")
+                .agg(F.min("record_id").alias("record_id"),
+                     F.count(F.lit(1)).alias("occurrences")))
+    return warnings

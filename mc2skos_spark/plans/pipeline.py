@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.canonicalize import canonical_mapping, rewrite_canonical
 from ..operators.expand import expand_inferred
 from ..operators.extract import (extract_triples, quarantine_from_extracted,
-                                 triples_from_extracted)
+                                 triples_from_extracted,
+                                 warnings_from_extracted)
 from ..sinks.icebergish import IcebergishCatalog
 from ..sources.transcripts import reassemble_records
 
@@ -34,13 +35,15 @@ class KgPipeline:
                  options: dict | None = None,
                  default_scheme: str | None = None,
                  expand: bool = False,
-                 canonicalize: bool = True):
+                 canonicalize: bool = True,
+                 block_size: int | None = None):
         self.spark = spark
         self.catalog = IcebergishCatalog(warehouse, spark)
         self.options = dict(options or {})
         self.default_scheme = default_scheme
         self.expand = expand
         self.canonicalize = canonicalize
+        self.block_size = block_size
         self.stage_log: list[tuple[str, str]] = []  # (stage, ran|resumed)
 
     def _stage(self, name: str, build, partition_by=None,
@@ -56,7 +59,9 @@ class KgPipeline:
 
     def run(self, transcripts: DataFrame) -> DataFrame:
         records = self._stage(
-            "records", lambda: reassemble_records(transcripts),
+            "records",
+            lambda: reassemble_records(transcripts,
+                                       block_size=self.block_size),
             lineage_key="record_id")
 
         extracted = self._stage(
@@ -70,6 +75,9 @@ class KgPipeline:
             lineage_key="subj")
         self._stage("quarantine",
                     lambda: quarantine_from_extracted(extracted),
+                    lineage_key="record_id")
+        self._stage("warnings",
+                    lambda: warnings_from_extracted(extracted),
                     lineage_key="record_id")
 
         if self.canonicalize:

@@ -26,7 +26,7 @@ def test_pipeline_end_to_end_with_lineage(spark, transcripts, tmp_path):
     triples = pipe.run(transcripts)
     assert triples.count() > 200
     assert [s for s, how in pipe.stage_log if how == "ran"] == [
-        "records", "extracted", "triples_raw", "quarantine",
+        "records", "extracted", "triples_raw", "quarantine", "warnings",
         "triples_canonical", "triples_expanded"]
     manifest = pipe.catalog.current_manifest("triples_raw")
     assert manifest["row_count"] > 0
