@@ -39,10 +39,13 @@ def stage_transcripts(spark, n_records: int, seed: int = 42) -> tuple[str, int]:
     """
     import tempfile
 
-    from mc2skos_spark.sources.synth import transcripts_dataframe
+    from mc2skos_spark.sources.synth import GEN_VERSION, transcripts_dataframe
 
+    # GEN_VERSION in the cache key: a staged table from an older
+    # generator must never be reused after the generator changes
     path = os.path.join(tempfile.gettempdir(),
-                        "mc2skos_bench_transcripts_%d_%d" % (n_records, seed))
+                        "mc2skos_bench_transcripts_v%d_%d_%d"
+                        % (GEN_VERSION, n_records, seed))
     marker = path + ".count"
     if not os.path.exists(marker):
         df = transcripts_dataframe(spark, n_records, seed=seed,

@@ -71,9 +71,13 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
 
 def lsh_bucketed_topk(embeddings: DataFrame, query_vec: list[float],
                       k: int = 10, num_planes: int = 8,
+                      multiprobe: int = 1,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k: exact re-rank within the query's LSH bucket."""
+    """ANN top-k: exact re-rank within the query's LSH bucket plus all
+    buckets within Hamming distance ``multiprobe`` (multi-probe LSH —
+    recall rises steeply per probe while candidates stay a tiny fraction
+    of the corpus)."""
     dim = len(query_vec)
     planes = _planes(dim, num_planes)
     bucketed = embeddings.withColumn("bucket",
@@ -82,7 +86,12 @@ def lsh_bucketed_topk(embeddings: DataFrame, query_vec: list[float],
     for i, plane in enumerate(planes):
         if sum(px * qx for px, qx in zip(plane, query_vec)) >= 0:
             qbits |= (1 << i)
-    candidates = bucketed.filter(F.col("bucket") == qbits)
+    probes = {qbits}
+    frontier = {qbits}
+    for _ in range(multiprobe):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(num_planes)}
+        probes |= frontier
+    candidates = bucketed.filter(F.col("bucket").isin([*probes]))
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 

@@ -25,6 +25,9 @@ EXAMPLES_DIR = "/root/reference/examples"
 
 _MARC_NS = "http://www.loc.gov/MARC21/slim"
 
+# bump when generator output changes: keys the bench staging cache
+GEN_VERSION = 2
+
 
 def fixture_records(examples_dir: str = EXAMPLES_DIR) -> list[tuple[str, str]]:
     """(source_stem, standalone_record_xml) for every reference example.
