@@ -26,6 +26,7 @@ from ..operators.extract import (extract_triples, quarantine_from_extracted,
                                  triples_from_extracted,
                                  warnings_from_extracted)
 from ..sinks.icebergish import IcebergishCatalog
+from ..sinks.serializers import with_pred_key
 from ..sources.transcripts import reassemble_records
 
 
@@ -91,4 +92,11 @@ class KgPipeline:
             triples = self._stage(
                 "triples_expanded", lambda: expand_inferred(triples),
                 lineage_key="subj")
-        return triples
+
+        # S6: the published triple store, partitioned by predicate key so
+        # predicate-restricted reads prune at the directory level
+        # (PartitionFilters in the scan — test_scale_paths).
+        published = self._stage(
+            "triples", lambda: with_pred_key(triples),
+            partition_by=["pred_key"], lineage_key="subj")
+        return published.drop("pred_key")

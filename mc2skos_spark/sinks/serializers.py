@@ -34,6 +34,24 @@ _TABLE_RE = r"/([0-9A-Z\-]+)--([0-9.\-;:]+)/e"
 _SCHEDULE_RE = r"/([0-9.\-;:]+)/e"
 
 
+def with_pred_key(triples: DataFrame) -> DataFrame:
+    """Append a filesystem-safe short predicate key (e.g.
+    ``skos_broader``) used as the physical partition column of the
+    published triples table (S6): predicate-restricted readers get
+    directory-level partition pruning."""
+    local = F.regexp_extract("pred", r"([^/#]+)$", 1)
+    namespace = (F.when(F.col("pred").startswith(C.SKOS), "skos")
+                 .when(F.col("pred").startswith(C.DCTERMS), "dcterms")
+                 .when(F.col("pred").startswith(C.OWL), "owl")
+                 .when(F.col("pred").startswith(C.RDF), "rdf")
+                 .when(F.col("pred").startswith(C.WD), "wd")
+                 .when(F.col("pred").startswith(C.MADS), "mads")
+                 .otherwise("ext"))
+    return triples.withColumn(
+        "pred_key", F.concat_ws("_", namespace,
+                                F.regexp_replace(local, r"[^\w]", "_")))
+
+
 def turtle_sort_key(subj_col) -> F.Column:
     table_part = F.regexp_extract(subj_col, _TABLE_RE, 1)
     table_num = F.regexp_extract(subj_col, _TABLE_RE, 2)

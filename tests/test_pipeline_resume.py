@@ -27,7 +27,7 @@ def test_pipeline_end_to_end_with_lineage(spark, transcripts, tmp_path):
     assert triples.count() > 200
     assert [s for s, how in pipe.stage_log if how == "ran"] == [
         "records", "extracted", "triples_raw", "quarantine", "warnings",
-        "triples_canonical", "triples_expanded"]
+        "triples_canonical", "triples_expanded", "triples"]
     manifest = pipe.catalog.current_manifest("triples_raw")
     assert manifest["row_count"] > 0
     assert manifest["skew"]["max_rows"] >= manifest["skew"]["min_rows"]
@@ -55,7 +55,8 @@ def test_kill_between_write_and_commit_is_idempotent(spark, transcripts,
     # Simulate dying after stage-2 data write but before manifest commit:
     # downstream stages also lose their commits (they were never reached
     # in the simulated run).
-    for stage in ("triples_raw", "quarantine", "triples_canonical"):
+    for stage in ("triples_raw", "quarantine", "warnings",
+                  "triples_canonical", "triples"):
         first.catalog.invalidate(stage)
 
     second = KgPipeline(spark, wh)

@@ -53,6 +53,19 @@ def test_bucketed_subject_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
+def test_published_triples_partition_pruning(spark, tmp_path):
+    rows = make_transcript_rows(synth_marc_records(40, seed=81), seed=82)
+    df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+    pipe = KgPipeline(spark, str(tmp_path / "wh"), canonicalize=False)
+    pipe.run(df)
+    published = pipe.catalog.read("triples")
+    broader = published.filter(
+        F.col("pred_key") == "skos_broader").select("subj", "obj")
+    assert broader.count() > 0  # finalize AQE
+    plan = broader._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(pred_key" in plan, plan
+
+
 def test_lineage_dataframe(spark, tmp_path):
     rows = make_transcript_rows(synth_marc_records(30, seed=71), seed=72)
     df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)

@@ -70,6 +70,30 @@ def test_ndjson_lines_parse(ddc_triples):
     assert any(p.endswith("notation") for p in obj["preds"])
 
 
+def test_jskos_concept_shape(spark, ddc_triples):
+    from mc2skos_spark.sinks.jskos import triples_to_jskos
+    lines = [json.loads(r["line"])
+             for r in triples_to_jskos(ddc_triples).collect()]
+    by_uri = {obj["uri"]: obj for obj in lines}
+    concept = by_uri["http://dewey.info/class/001/e23/"]
+    # ddc23no + ddc23de mint the same class URI → two language labels
+    assert concept["prefLabel"]["nb"] == "Kunnskap"
+    assert concept["prefLabel"]["de"] == "Wissen"
+    assert concept["notation"] == ["001"]
+    assert "ocd00116591" in concept["identifier"]  # + the de edition's id
+    created = concept["created"]
+    assert created == "2009-12-03" or "2009-12-03" in created
+    assert {"uri": "http://dewey.info/class/00/e23/"} in concept["broader"]
+    assert {"uri": "http://www.w3.org/2004/02/skos/core#Concept"} \
+        in concept["type"]
+    assert concept["@context"].startswith("https://gbv.github.io/jskos")
+    # language-container note family
+    assert isinstance(concept["scopeNote"]["nb"], list)
+    # wd: extras keep full-URI keys (unmapped in the context)
+    assert any(k.startswith("http://data.ub.uio.no/webdewey-terms#")
+               for k in concept)
+
+
 def test_streaming_incremental_matches_batch(spark, tmp_path):
     records = synth_marc_records(30, seed=31)
     rows = make_transcript_rows(records, seed=32)
