@@ -292,6 +292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_near_pairs(simhash(docs, "doc_id", "text"),
                                   max_hamming=8)
 
+    def dedup_embedding_cosine(spark, sf_dir):
+        from mc2skos_spark.functions.dedup import embedding_near_dup_pairs
+        emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+        return embedding_near_dup_pairs(emb, threshold=0.2)
+
     # --- similarity search
     def sim_cosine_topk(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
@@ -303,6 +308,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_tokens(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+    def text_bpe_tokens(spark, sf_dir):
+        from mc2skos_spark.functions.textstats import bpe_ish_token_count
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select("doc_id",
+                           bpe_ish_token_count(F.col("text")).alias("n_bpe"))
 
     def text_quality(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
@@ -342,8 +353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         "sim_cosine_topk": sim_cosine_topk,
         "text_tokens": text_tokens,
+        "text_bpe_tokens": text_bpe_tokens,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
@@ -553,6 +566,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id
             LIMIT 10""",
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   floor(list_cosine_similarity(
+                       cast(a.embedding AS double[]),
+                       cast(b.embedding AS double[])) * 10000) / 10000
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 400 AND b.vec_id < 400
+              AND floor(list_cosine_similarity(
+                      cast(a.embedding AS double[]),
+                      cast(b.embedding AS double[])) * 10000) >= 2000""",
+        "text_bpe_tokens": """
+            SELECT doc_id,
+                   cast(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+                        AS int) AS n_bpe
+            FROM documents""",
         "text_tokens": """
             SELECT doc_id,
                    cast(len(list_filter(

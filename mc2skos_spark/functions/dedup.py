@@ -117,6 +117,39 @@ def minhash_similarity(signatures: DataFrame,
                         4).alias("est_jaccard")))
 
 
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             num_planes: int = 0) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine ≥ t).
+
+    ``num_planes=0`` — exact all-pairs (the small-N / verification
+    path); ``num_planes>0`` — candidates restricted to co-bucketed rows
+    under random-hyperplane LSH first (the 100 TB path: the pair join is
+    on the bucket key, linear candidate generation).
+    """
+    from .similarity import _planes, cosine, lsh_bucket
+
+    base = embeddings.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).cast("array<double>")
+                             .alias("vec"))
+    if num_planes:
+        dim = len(base.first()["vec"])
+        planes = _planes(dim, num_planes)
+        base = base.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+        pairs = (base.alias("a").join(base.alias("b"), "bucket")
+                 .filter(F.col("a.id") < F.col("b.id")))
+    else:
+        pairs = (base.alias("a").join(
+            base.alias("b"), F.col("a.id") < F.col("b.id")))
+    return (pairs.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        F.floor(cosine(F.col("a.vec"), F.col("b.vec")) * 10000)
+         .cast("double").alias("cosine_e4"))
+        .filter(F.col("cosine_e4") >= threshold * 10000)
+        .select("id_a", "id_b", (F.col("cosine_e4") / 10000).alias("cosine")))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document: sign-sum of token-hash bits."""
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),

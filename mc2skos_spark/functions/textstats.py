@@ -29,6 +29,18 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenization: word pieces, number runs, punctuation runs
+# (the usual GPT-style splitter shape, ASCII-simplified so the same
+# pattern runs identically in Spark and the DuckDB oracle)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(col) -> Column:
+    """Token count under the BPE-ish splitter — the quick proxy for
+    'how many LLM tokens is this document' used in data pipelines."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def quality_score(text_col) -> Column:
     """Length / punctuation-ratio / mean-token-length quality features
     folded to one score in [0,1] (the usual pre-training heuristics)."""

@@ -104,6 +104,27 @@ def test_cosine_topk_and_ann_variants(embeddings):
     assert ivf and ivf[0]["vec_id"] == 0  # nprobe=all → exact
 
 
+def test_embedding_near_dup_lsh_candidates_subset_of_exact(embeddings):
+    from mc2skos_spark.functions.dedup import embedding_near_dup_pairs
+    small = embeddings.filter(F.col("vec_id") < 300)
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dup_pairs(small, 0.2).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in embedding_near_dup_pairs(small, 0.2,
+                                             num_planes=4).collect()}
+    assert exact, "no high-cosine pairs at this threshold"
+    assert lsh <= exact          # LSH never invents pairs
+    assert len(lsh) >= len(exact) // 4  # and recalls a useful fraction
+
+
+def test_bpe_ish_token_count(spark):
+    from mc2skos_spark.functions.textstats import bpe_ish_token_count
+    df = spark.createDataFrame([(1, "Hello, world! v2.0 (beta)")], ["id", "t"])
+    # Hello , world ! v 2 . 0 ( beta ) → 11
+    assert df.select(bpe_ish_token_count(F.col("t")).alias("n")) \
+             .first()["n"] == 11
+
+
 def test_multimodal_plumbing(spark):
     media = synth_media(spark, n=30)
     feats = extract_media_features(media)
