@@ -12,7 +12,7 @@ into a quarantine row (never throw on the executor hot path).
 
 from __future__ import annotations
 
-from datetime import datetime
+from .dates import parse_005, parse_yymmdd
 
 from . import constants as C
 from .errors import InvalidRecordError, UnknownSchemeError
@@ -72,7 +72,7 @@ def _base_parse(rec: dict, bag: dict) -> None:
     value = controlfield(rec, "005")
     if value is not None:
         try:
-            bag["modified"] = datetime.strptime(value, "%Y%m%d%H%M%S.%f")
+            bag["modified"] = parse_005(value)
         except ValueError:
             bag["warnings"].append("invalid date in 005 field: %s" % value)
 
@@ -292,7 +292,7 @@ def extract_authority(rec: dict, vocabularies: Vocabularies,
     # T3: created from 008[0:6] (record.py:630-632).
     if field_008:
         bag["created"] = _wrap_crash(
-            lambda v: datetime.strptime(v[:6], "%y%m%d"), field_008,
+            lambda v: parse_yymmdd(v[:6]), field_008,
             control_number=cn, what="008 date")
 
     # E3: 065/080/083 class-number exactMatch edges (record.py:634-667).

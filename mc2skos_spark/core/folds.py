@@ -16,9 +16,8 @@ by unit vectors ported verbatim from the reference test-suite:
 from __future__ import annotations
 
 import re
-from datetime import datetime
-
 from . import constants as C
+from .dates import parse_yymmdd
 from .marcxml import ess_codes, subfield_text
 from .util import is_uri
 
@@ -63,7 +62,7 @@ def parse_008_classification(value: str | None):
     if value is None:
         return None, None, None, True, False, False
 
-    created = datetime.strptime(value[:6], "%y%m%d")
+    created = parse_yymmdd(value[:6])
 
     record_type = {
         "a": C.SCHEDULE_RECORD,
