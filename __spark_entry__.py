@@ -16,13 +16,28 @@
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# the engine package lives next to this file; make imports robust to
+# whatever cwd the driver harness runs from
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship(spark)
     return spark.read.parquet(os.path.join(sf_dir, name + ".parquet"))
+
+
+def _ship(spark: SparkSession) -> None:
+    """Executors must be able to import the package even when the
+    harness launched Spark from an arbitrary cwd without --py-files."""
+    from mc2skos_spark.plans.shiplib import ensure_shipped
+    ensure_shipped(spark)
 
 
 # ---------------------------------------------------------------- entry
@@ -38,6 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
                                              synth_marc_records)
     from mc2skos_spark.sources.transcripts import reassemble_records
 
+    _ship(spark)
     rows = make_transcript_rows(synth_marc_records(200, seed=42), seed=43)
     transcripts = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
 

@@ -63,4 +63,8 @@ def build_session(app_name: str = "mc2skos_spark",
         builder = builder.config("spark.local.dir", local_dir)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # executors must import this package even without --py-files
+    from .shiplib import ensure_shipped
+    ensure_shipped(spark)
+    return spark
