@@ -230,9 +230,10 @@ def extract_classification(rec: dict, vocabularies: Vocabularies,
     # F3/E4: heading-linking mapping edges.
     _apply_mappings(rec, vocabularies, bag)
 
-    # F2: 765 synthesized-number components.
+    # F2: 765 synthesized-number components (non-fatal anomalies land in
+    # the bag's warning side-channel, mirroring record.py:427's log line).
     bag["components"] = _wrap_crash(
-        parse_765_components, datafields(rec, "765"),
+        parse_765_components, datafields(rec, "765"), bag["warnings"],
         control_number=cn, what="765")
 
     # U3 prep: component URIs are minted with the record's scheme at

@@ -161,7 +161,8 @@ def parse_153(subfields: list[dict]):
     return table, notation, is_top_concept, parent_notation, caption
 
 
-def parse_765_components(fields_765: list[dict]) -> list[str]:
+def parse_765_components(fields_765: list[dict],
+                         warnings: list[str] | None = None) -> list[str]:
     """Synthesized-number components fold over all 765 fields.
 
     Fields are iterated in *reverse* document order
@@ -169,10 +170,13 @@ def parse_765_components(fields_765: list[dict]) -> list[str]:
     base number only while the component list is still empty; ``$r``
     carries the root, ``$z`` a pending ``{z}--`` table prefix, and each
     ``$s`` emits ``table + (root + s)`` with a ``.`` inserted after the
-    third digit when longer than three.
+    third digit when longer than three.  Non-fatal anomalies (the blank
+    ``$s`` the reference logs at record.py:427) are appended to the
+    caller-supplied ``warnings`` side-channel.
     """
     components: list[str] = []
-    warnings: list[str] = []
+    if warnings is None:
+        warnings = []
     for field in reversed(fields_765):
         table = ""
         rootno = ""

@@ -16,10 +16,17 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..core import constants as C
 
+# Bidirectional, mirroring skosify.infer: skos_related symmetrizes,
+# skos_hierarchical(narrower=True) ensures BOTH broader→narrower and
+# narrower→broader (authority 5XX $w='h' records emit skos:narrower
+# directly, so the inverse broader edge must be inferred too), and
+# skos_topConcept keeps topConceptOf/hasTopConcept in sync both ways.
 _INVERSES = {
     C.SKOS + "related": C.SKOS + "related",
     C.SKOS + "broader": C.SKOS + "narrower",
+    C.SKOS + "narrower": C.SKOS + "broader",
     C.SKOS + "topConceptOf": C.SKOS + "hasTopConcept",
+    C.SKOS + "hasTopConcept": C.SKOS + "topConceptOf",
 }
 
 

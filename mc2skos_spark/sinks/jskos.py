@@ -81,7 +81,15 @@ def _concept_object(uri: str, rows: list) -> dict:
             else:
                 obj[key] = value
         elif pred in _LANGUAGE_SINGLE:
-            obj.setdefault(_LANGUAGE_SINGLE[pred], {})[lang or "und"] = value
+            # JSKOS allows ONE prefLabel per language; after
+            # canonicalization merges two URIs a language can carry two
+            # distinct values, and collect_list order is nondeterministic
+            # — resolve the collision by deterministic min, like the
+            # _SCALARS promotion rule above.
+            langs = obj.setdefault(_LANGUAGE_SINGLE[pred], {})
+            lkey = lang or "und"
+            langs[lkey] = (value if lkey not in langs
+                           else min(langs[lkey], value))
         elif pred in _LANGUAGE_MULTI:
             key = _LANGUAGE_MULTI[pred]
             obj.setdefault(key, {}).setdefault(lang or "und", []).append(value)

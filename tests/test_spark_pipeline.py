@@ -115,6 +115,38 @@ def test_expand_inferred_bk_narrower(spark):
     assert expand_inferred(expanded).count() == expanded.count()
 
 
+def test_expand_inferred_narrower_to_broader(spark):
+    """Hierarchical inference is bidirectional: an authority 5XX $w='h'
+    record emits skos:narrower directly (record.py:679-708), and
+    skosify.infer.skos_hierarchical then adds the broader inverse —
+    --expand output must contain it too."""
+    xml = (
+        '<record xmlns="http://www.loc.gov/MARC21/slim">'
+        '<leader>00000nz  a2200000n  4500</leader>'
+        '<controlfield tag="001">sh0000001</controlfield>'
+        '<controlfield tag="008">120224n|aana               a aaa     </controlfield>'
+        '<datafield tag="040" ind1=" " ind2=" ">'
+        '<subfield code="b">eng</subfield></datafield>'
+        '<datafield tag="150" ind1=" " ind2=" ">'
+        '<subfield code="a">Parent topic</subfield></datafield>'
+        '<datafield tag="550" ind1=" " ind2=" ">'
+        '<subfield code="w">h</subfield>'
+        '<subfield code="0">sh0000002</subfield>'
+        '<subfield code="a">child term</subfield></datafield>'
+        '</record>')
+    df = make_transcripts_df(spark, [("sh0000001", xml)], seed=3)
+    triples = triples_from_extracted(
+        extract_triples(reassemble_records(df)))
+    narrower = triples.filter(F.col("pred") == C.SKOS + "narrower").collect()
+    assert len(narrower) == 1, "5XX $w='h' must emit skos:narrower"
+    subj, obj = narrower[0]["subj"], narrower[0]["obj"]
+    expanded = expand_inferred(triples)
+    inverse = expanded.filter(
+        (F.col("subj") == obj) & (F.col("pred") == C.SKOS + "broader") &
+        (F.col("obj") == subj)).count()
+    assert inverse == 1, "expand must infer broader from narrower"
+
+
 def test_connected_components_chain_and_star(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"),      # chain
