@@ -228,18 +228,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 F.col("subj").alias("obj"))
         return edges.unionByName(inverses).distinct()
 
-    # --- G4/S4: ordered sink with regex-derived sort key
+    # --- G4/S4: ordered sink with regex-derived sort key.  The rank is
+    #     produced by the scalable range-partitioned pattern (per-
+    #     partition row_number + offsets), NOT a global single-task
+    #     window — same oracle output, no one-partition WindowExec.
     def g4_ordered_sink_key(spark, sf_dir):
-        from pyspark.sql import Window
+        from mc2skos_spark.operators.rank import global_rank
         part = _t(spark, sf_dir, "part")
         key = (F.when(F.col("p_type").startswith("STANDARD"),
                       F.concat(F.lit("C"), F.col("p_name")))
                .when(F.col("p_type").startswith("SMALL"),
                      F.concat(F.lit("B"), F.col("p_name")))
                .otherwise(F.concat(F.lit("A"), F.col("p_name"))))
-        w = Window.orderBy("sort_key", "p_partkey")
-        return (part.select("p_partkey", key.alias("sort_key"))
-                .withColumn("rk", F.row_number().over(w)))
+        keyed = part.select("p_partkey", key.alias("sort_key"))
+        return global_rank(keyed, ["sort_key", "p_partkey"], rank_col="rk")
 
     # --- window: per-key ordered ranking (stage-0 ordering primitive)
     def w1_window_rank(spark, sf_dir):
@@ -262,6 +264,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.col("b.n_name").alias("dst")))
         return (connected_components(edges)
                 .select(F.col("vertex"), F.col("comp")))
+
+    # --- TC: iterative transitive closure (skosify transitive=True
+    #     analog — /root/reference/examples/skosify.cfg:3).  Edges form
+    #     a binary tree over doc ids (i → i/2), depth ~log2(n), so the
+    #     doubling loop exercises real multi-round convergence.
+    def tc_transitive_closure(spark, sf_dir):
+        from mc2skos_spark.operators.closure import transitive_closure
+        docs = _t(spark, sf_dir, "documents")
+        edges = (docs.filter(F.col("doc_id") >= 1)
+                 .select(F.col("doc_id").cast("int").alias("src"),
+                         F.shiftright(F.col("doc_id").cast("int"), 1)
+                          .alias("dst")))
+        return transitive_closure(edges)
 
     # --- P4: xpath-style projection over array columns (higher-order
     #     filter/transform/exists — the datafields-array analog)
@@ -292,9 +307,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return exact_duplicates(docs, "doc_id", "text")
 
     def dedup_ngram_jaccard(spark, sf_dir):
+        # max_shingle_freq ON: the stop-shingle cap is what keeps the
+        # shingle self-join linear at scale — the verified path runs it
+        # (the oracle mirrors it with a HAVING pre-filter).
         docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
         return ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
-                                   threshold=0.8, max_shingle_freq=None)
+                                   threshold=0.8, max_shingle_freq=50)
 
     def dedup_minhash_lsh(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
@@ -309,9 +327,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   max_hamming=8)
 
     def dedup_embedding_cosine(spark, sf_dir):
+        # Near-dup dedup through the 100 TB path: hyperplane-LSH buckets
+        # + multi-probe candidate join + exact rerank.  The driver's
+        # random embeddings hold no near-dup pairs, so the query plants
+        # deterministic jittered copies (v + 0.15·reverse(v), cosine
+        # ≈0.99) of the first 100 vectors — the oracle mirrors the
+        # plant in SQL and stays exact all-pairs: the bucketed output
+        # must EQUAL it (multiprobe=3 is empirically exact-recall here,
+        # see tests/test_scale_paths.py).
         from mc2skos_spark.functions.dedup import embedding_near_dup_pairs
-        emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
-        return embedding_near_dup_pairs(emb, threshold=0.2)
+        emb = _t(spark, sf_dir, "embeddings")
+        base = emb.select("vec_id", F.col("embedding")
+                          .cast("array<double>").alias("embedding"))
+        planted = (base.filter(F.col("vec_id") < 100)
+                   .select((F.col("vec_id") + 100000).alias("vec_id"),
+                           F.zip_with("embedding", F.reverse("embedding"),
+                                      lambda x, y: x + F.lit(0.15) * y)
+                            .alias("embedding")))
+        aug = base.unionByName(planted)
+        return embedding_near_dup_pairs(aug, threshold=0.9, num_planes=8,
+                                        dim=64, multiprobe=3)
 
     # --- similarity search
     def sim_cosine_topk(spark, sf_dir):
@@ -363,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_ordered_sink_key": g4_ordered_sink_key,
         "w1_window_rank": w1_window_rank,
         "cc_region_cliques": cc_region_cliques,
+        "tc_transitive_closure": tc_transitive_closure,
         "p4_array_projection": p4_array_projection,
         "b1_rollup": b1_rollup,
         "dedup_exact": dedup_exact,
@@ -430,11 +466,15 @@ def oracle_sql() -> dict[str, str]:
                    list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                x -> x != '') AS tk
             FROM documents WHERE doc_id < 300),
-        sh AS (
+        sh_all AS (
             SELECT DISTINCT doc_id,
                    tk[i + 1] || ' ' || tk[i + 2] AS sh
             FROM toks, unnest(range(greatest(len(tk) - 1, 1))) AS u(i)
             WHERE len(tk) >= 2),
+        -- stop-shingle cap (mirrors max_shingle_freq=50): shingles in
+        -- more than 50 docs are dropped before the self-join
+        hot AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) > 50),
+        sh AS (SELECT * FROM sh_all ANTI JOIN hot USING (sh)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -448,7 +488,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
     """
-    return {
+    out = {
         "s1_reassembly": """
             SELECT user_id,
                    string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
@@ -571,8 +611,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
             FROM documents GROUP BY text HAVING count(*) > 1""",
         "dedup_ngram_jaccard": jaccard,
-        # dedup_minhash_lsh / dedup_simhash / text_fingerprint depend on
-        # Spark's xxhash64 → rows-only check (no SQL equivalent).
+        # dedup_minhash_lsh / dedup_simhash / text_fingerprint hash with
+        # Spark's xxhash64 (public spec, seeded, deterministic); DuckDB
+        # lacks the function, so their oracles are precomputed VALUES
+        # literals — merged in below from plans/oracle_values.py
+        # (regenerate with tools/gen_oracle_values.py).
         "sim_cosine_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(
@@ -582,17 +625,36 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id
             LIMIT 10""",
+        # exact all-pairs over the same planted-near-dup augmentation —
+        # the Spark side answers through the LSH-bucketed multi-probe
+        # path and must EQUAL this exhaustive reference
         "dedup_embedding_cosine": """
+            WITH base AS (
+                SELECT vec_id, cast(embedding AS double[]) AS v
+                FROM embeddings),
+            planted AS (
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(list_zip(v, list_reverse(v)),
+                                      x -> x[1] + 0.15::DOUBLE * x[2]) AS v
+                FROM base WHERE vec_id < 100),
+            aug AS (SELECT vec_id, v FROM base
+                    UNION ALL SELECT vec_id, v FROM planted)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   floor(list_cosine_similarity(
-                       cast(a.embedding AS double[]),
-                       cast(b.embedding AS double[])) * 10000) / 10000
+                   floor(list_cosine_similarity(a.v, b.v) * 10000) / 10000
                        AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < 400 AND b.vec_id < 400
-              AND floor(list_cosine_similarity(
-                      cast(a.embedding AS double[]),
-                      cast(b.embedding AS double[])) * 10000) >= 2000""",
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE floor(list_cosine_similarity(a.v, b.v) * 10000)
+                  >= 9000""",
+        "tc_transitive_closure": """
+            WITH RECURSIVE e AS (
+                SELECT cast(doc_id AS int) AS src,
+                       cast(doc_id // 2 AS int) AS dst
+                FROM documents WHERE doc_id >= 1),
+            tc AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src)
+            SELECT src, dst FROM tc""",
         "text_bpe_tokens": """
             SELECT doc_id,
                    cast(len(regexp_extract_all(
@@ -608,3 +670,6 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": quality,
         "text_langid": langid,
     }
+    from mc2skos_spark.plans.oracle_values import VALUES_SQL
+    out.update(VALUES_SQL)
+    return out

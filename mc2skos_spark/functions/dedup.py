@@ -13,8 +13,9 @@ Scale design notes (what survives 100 TB):
   only bucket-cohabitants are pair-joined: candidate generation is
   linear in data size, the join is on (band, bucket-hash);
 * **SimHash** — 64-bit weighted-bit signature via bit arithmetic on
-  token hashes; near-dups are signatures within Hamming distance k
-  (joined on rotated prefix blocks at scale; here: direct popcount).
+  token hashes; near-dups are signatures within Hamming distance k,
+  paired by pigeonhole banding (k+1 signature blocks, equi-join on any
+  identical block) — never an all-pairs scan.
 """
 
 from __future__ import annotations
@@ -23,11 +24,18 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def shingles(col, n: int = 3):
-    """Word n-gram shingles as distinct strings."""
+    """Word n-gram shingles as distinct strings.
+
+    Texts with fewer than ``n`` tokens produce an *empty* array (no
+    degenerate single-token / empty-string shingle): a pair of short
+    docs must not score jaccard=1.0 on garbage shingles.
+    """
     toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
+    full = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+    return F.when(F.size(toks) >= n, full) \
+            .otherwise(F.array().cast("array<string>"))
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -70,8 +78,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n: int = 3, num_hashes: int = 32) -> DataFrame:
     """(id, sig: array<long>) MinHash signatures, fully JVM-side."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   shingles(F.col(text_col), n).alias("shs"))
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingles(F.col(text_col), n).alias("shs"))
+          # a <n-token doc has no shingles and no meaningful signature;
+          # array_min over empty would yield NULL minhashes that all
+          # co-bucket — drop such docs instead
+          .filter(F.size("shs") > 0))
     sig = F.array(*[
         F.array_min(F.transform(
             F.col("shs"), lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
@@ -120,13 +132,19 @@ def minhash_similarity(signatures: DataFrame,
 def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             num_planes: int = 0) -> DataFrame:
+                             num_planes: int = 0,
+                             dim: int | None = None,
+                             multiprobe: int = 0) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine ≥ t).
 
     ``num_planes=0`` — exact all-pairs (the small-N / verification
-    path); ``num_planes>0`` — candidates restricted to co-bucketed rows
-    under random-hyperplane LSH first (the 100 TB path: the pair join is
-    on the bucket key, linear candidate generation).
+    path); ``num_planes>0`` — the 100 TB path: random-hyperplane LSH
+    buckets, candidate pairs restricted to rows whose bucket signatures
+    differ in at most ``multiprobe`` bits (side A exploded to its
+    Hamming-ball probe buckets, equi-joined to side B's exact bucket —
+    linear candidate generation, no cross product), then exact cosine
+    rerank.  ``dim`` (the vector width) must be given on the bucketed
+    path — deriving it would force a driver action on the input.
     """
     from .similarity import _planes, cosine, lsh_bucket
 
@@ -134,52 +152,111 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                              F.col(vec_col).cast("array<double>")
                              .alias("vec"))
     if num_planes:
-        dim = len(base.first()["vec"])
+        if dim is None:
+            raise ValueError("dim is required when num_planes > 0")
         planes = _planes(dim, num_planes)
         base = base.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
-        pairs = (base.alias("a").join(base.alias("b"), "bucket")
-                 .filter(F.col("a.id") < F.col("b.id")))
+        deltas = [d for d in range(1 << num_planes)
+                  if bin(d).count("1") <= multiprobe]
+        probed = base.select(
+            "id",
+            F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(d))
+                                for d in deltas])).alias("probe"))
+        cand = (probed.alias("a")
+                .join(base.select(F.col("id").alias("id_b"),
+                                  F.col("bucket").alias("probe")), "probe")
+                .filter(F.col("a.id") < F.col("id_b"))
+                .select(F.col("a.id").alias("id_a"), "id_b")
+                .distinct())
+        vecs = base.select("id", "vec")
+        pairs = (cand
+                 .join(vecs.select(F.col("id").alias("id_a"),
+                                   F.col("vec").alias("vec_a")), "id_a")
+                 .join(vecs.select(F.col("id").alias("id_b"),
+                                   F.col("vec").alias("vec_b")), "id_b"))
+        cos = cosine(F.col("vec_a"), F.col("vec_b"))
+        scored = pairs.select("id_a", "id_b",
+                              F.floor(cos * 10000).cast("double")
+                               .alias("cosine_e4"))
     else:
         pairs = (base.alias("a").join(
             base.alias("b"), F.col("a.id") < F.col("b.id")))
-    return (pairs.select(
-        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-        F.floor(cosine(F.col("a.vec"), F.col("b.vec")) * 10000)
-         .cast("double").alias("cosine_e4"))
-        .filter(F.col("cosine_e4") >= threshold * 10000)
-        .select("id_a", "id_b", (F.col("cosine_e4") / 10000).alias("cosine")))
+        scored = pairs.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.floor(cosine(F.col("a.vec"), F.col("b.vec")) * 10000)
+             .cast("double").alias("cosine_e4"))
+    return (scored
+            .filter(F.col("cosine_e4") >= threshold * 10000)
+            .select("id_a", "id_b",
+                    (F.col("cosine_e4") / 10000).alias("cosine")))
+
+
+# two's-complement bit masks: bit 63 is the (negative) sign bit
+_BIT_MASKS = [(1 << b) - (1 << 64 if b == 63 else 0) for b in range(64)]
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: sign-sum of token-hash bits."""
+    """64-bit SimHash per document: sign-sum of token-hash bits.
+
+    Single traversal of the token-hash array: the accumulator is the
+    64-vector of bit votes (``zip_with`` against a literal mask array),
+    then one more zip folds votes → signature.  (The earlier shape —
+    64 separate ``F.aggregate`` passes, one per bit — did ~64× the
+    expression work per row.)
+    """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                     lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # One vote expression per bit position (b is a plain int: shift
-    # amounts must be literals for whole-stage codegen).
-    def vote_fn(mask):
-        # exactly-2-arg lambda (PySpark infers HOF arity from the
-        # signature, so the mask must be closed over, not defaulted)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1))
-
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        # two's-complement literal: bit 63 is the (negative) sign bit
-        mask = (1 << b) - (1 << 64 if b == 63 else 0)
-        vote = F.aggregate(hashes, F.lit(0), vote_fn(mask))
-        sig = sig + F.when(vote > 0,
-                           F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    votes = F.aggregate(
+        hashes, F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != F.lit(0).cast("long"),
+                                    F.lit(1)).otherwise(F.lit(-1))))
+    # distinct single-bit masks → XOR fold == sum, but overflow-free
+    sig = F.aggregate(
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m)
+                                 .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x))
     return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
 
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs within Hamming distance k (popcount via bit_count)."""
-    return (sigs.alias("a").crossJoin(sigs.alias("b"))
+    """Pairs within Hamming distance ``max_hamming``.
+
+    Pigeonhole banding, not a cross join: split the 64-bit signature
+    into ``max_hamming + 1`` contiguous blocks — two signatures within
+    Hamming distance k must agree exactly on at least one of the k+1
+    blocks — equi-join on (block index, block value), dedup the
+    candidate pairs, popcount-filter.  Candidate generation is linear
+    in docs-per-identical-block, never all-pairs.
+    """
+    bands = max_hamming + 1
+    width = 64 // bands
+
+    def band_val(b: int):
+        start = b * width  # plain ints: shift amounts must be literals
+        nbits = width if b < bands - 1 else 64 - start
+        shifted = F.shiftrightunsigned(F.col("simhash"), start)
+        if nbits >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << nbits) - 1).cast("long"))
+
+    banded = sigs.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[band_val(b) for b in range(bands)]))
+         .alias("band", "bval"))
+    cand = (banded.alias("a").join(banded.alias("b"), ["band", "bval"])
             .filter(F.col("a.id") < F.col("b.id"))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
-                    F.bit_count(F.col("a.simhash")
-                                .bitwiseXOR(F.col("b.simhash")))
+                    F.col("a.simhash").alias("sig_a"),
+                    F.col("b.simhash").alias("sig_b"))
+            .distinct())
+    return (cand
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
                     .alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))

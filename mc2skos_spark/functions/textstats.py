@@ -67,16 +67,37 @@ def stopword_hits(text_col, lang: str) -> Column:
 
 
 def langid_guess(text_col) -> Column:
-    """Pick the language whose signature hits most (ties → first key)."""
-    scores = [(lang, stopword_hits(text_col, lang))
-              for lang in LANG_SIGNATURES]
-    best_lang, best_score = scores[0]
-    expr = F.lit(best_lang)
-    best = best_score
-    for lang, score in scores[1:]:
-        expr = F.when(score > best, F.lit(lang)).otherwise(expr)
-        best = F.greatest(best, score)
-    return F.when(best > 0, expr).otherwise(F.lit("und"))
+    """Pick the language whose signature hits most (ties → first key).
+
+    Single traversal: ONE tokenization and one ``aggregate`` whose
+    accumulator is the per-language hit-count vector (the earlier shape
+    re-tokenized the text once per language).  Every intermediate is
+    referenced exactly once — repeated subtrees would re-evaluate the
+    whole chain per reference.
+    """
+    langs = list(LANG_SIGNATURES)
+    toks = tokens(F.lower(text_col))
+    zero = F.array(*[F.lit(0) for _ in langs])
+    counts = F.aggregate(
+        toks, zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[t.isin(LANG_SIGNATURES[lang]).cast("int")
+                      for lang in langs]),
+            lambda a, h: a + h))
+    # pick argmax with first-key tie-break: max (count, -index)
+    neg_idx = F.array(*[F.lit(-i) for i in range(len(langs))])
+    packed = F.zip_with(counts, neg_idx,
+                        lambda c, ni: F.struct(c.alias("c"),
+                                               ni.alias("ni")))
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    # fold over the single-element [array_max(...)] so `best` is bound
+    # to a lambda variable (evaluated once), not a duplicated subtree
+    return F.aggregate(
+        F.array(F.array_max(packed)), F.lit("und"),
+        lambda acc, b: F.when(
+            b["c"] > 0,
+            F.element_at(lang_arr, F.lit(1) - b["ni"])).otherwise(acc))
 
 
 def fingerprint(text_col) -> Column:

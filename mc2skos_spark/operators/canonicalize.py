@@ -71,34 +71,37 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
 
     The candidate-edge set is orders of magnitude smaller than the
     triple table (only URIs sharing an identifier), so the loop runs at
-    its own low parallelism (``cc_partitions``, default: #edge-partitions
-    capped at 8) instead of the session's shuffle width — per-round task
-    overhead, not data volume, dominates iterative jobs.
+    its own parallelism (``cc_partitions``) instead of the session's
+    shuffle width — per-round task overhead, not data volume, dominates
+    iterative jobs.  The default scales with the materialized edge
+    count (~1M edges per partition, floor 8), so a 100× bigger edge
+    list gets proportionally more loop parallelism.
     """
     # Materialize the symmetrized edge list ONCE — it is reused every
     # round and its upstream (the identifier self-join over the full
     # triple table) must not be recomputed per iteration.
+    both = (edges.select("src", "dst")
+            .unionByName(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+            .distinct()
+            .localCheckpoint())
     if cc_partitions is None:
-        # fixed small width: candidate components are tiny; probing the
-        # edge DF's partitioning (.rdd) would force materializing it
-        cc_partitions = 8
+        # counting the checkpointed edge list is one cheap metadata-
+        # scale job; it is reused for every loop round anyway
+        cc_partitions = max(8, both.count() // 1_000_000)
     spark = edges.sparkSession
     shuffle_conf = "spark.sql.shuffle.partitions"
     saved_shuffle = spark.conf.get(shuffle_conf)
     spark.conf.set(shuffle_conf, str(cc_partitions))
     try:
-        return _cc_loop(edges, max_rounds, cc_partitions)
+        return _cc_loop(both, max_rounds, cc_partitions)
     finally:
         spark.conf.set(shuffle_conf, saved_shuffle)
 
 
-def _cc_loop(edges: DataFrame, max_rounds: int,
+def _cc_loop(both: DataFrame, max_rounds: int,
              cc_partitions: int) -> DataFrame:
-    both = (edges.select("src", "dst")
-            .unionByName(edges.select(F.col("dst").alias("src"),
-                                      F.col("src").alias("dst")))
-            .repartition(cc_partitions, "src")
-            .distinct()
+    both = (both.repartition(cc_partitions, "src")
             .localCheckpoint())
     # label(v) = min(v, min neighbor) to start.
     labels = (both.groupBy("src")

@@ -110,11 +110,75 @@ def test_embedding_near_dup_lsh_candidates_subset_of_exact(embeddings):
     exact = {(r["id_a"], r["id_b"])
              for r in embedding_near_dup_pairs(small, 0.2).collect()}
     lsh = {(r["id_a"], r["id_b"])
-           for r in embedding_near_dup_pairs(small, 0.2,
-                                             num_planes=4).collect()}
+           for r in embedding_near_dup_pairs(small, 0.2, num_planes=4,
+                                             dim=64).collect()}
     assert exact, "no high-cosine pairs at this threshold"
     assert lsh <= exact          # LSH never invents pairs
     assert len(lsh) >= len(exact) // 4  # and recalls a useful fraction
+
+
+def test_embedding_near_dup_multiprobe_exact_on_planted(embeddings):
+    """At a genuine near-dup threshold the bucketed multi-probe path
+    must equal exhaustive all-pairs: plant jittered copies
+    (v + 0.15·reverse(v), cosine ≈0.99) and compare the two paths."""
+    from mc2skos_spark.functions.dedup import embedding_near_dup_pairs
+    base = embeddings.select("vec_id", F.col("embedding")
+                             .cast("array<double>").alias("embedding"))
+    planted = (base.filter(F.col("vec_id") < 50)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.zip_with("embedding", F.reverse("embedding"),
+                                  lambda x, y: x + F.lit(0.15) * y)
+                        .alias("embedding")))
+    aug = base.unionByName(planted)
+    exact = {tuple(r) for r in
+             embedding_near_dup_pairs(aug, 0.9).collect()}
+    bucketed_df = embedding_near_dup_pairs(aug, 0.9, num_planes=8,
+                                           dim=64, multiprobe=3)
+    bucketed = {tuple(r) for r in bucketed_df.collect()}
+    assert len(exact) == 50          # exactly the planted pairs qualify
+    assert bucketed == exact
+    plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_embedding_near_dup_requires_dim_on_bucketed_path(embeddings):
+    from mc2skos_spark.functions.dedup import embedding_near_dup_pairs
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(embeddings, 0.9, num_planes=8)
+
+
+def test_simhash_banded_equals_brute_force(spark, documents):
+    """Pigeonhole banding must reproduce the all-pairs popcount scan
+    exactly, without a cartesian product in the executed plan."""
+    sigs = simhash(documents.limit(150), "doc_id", "text").cache()
+    brute = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+             (sigs.alias("a").crossJoin(sigs.alias("b"))
+              .filter(F.col("a.id") < F.col("b.id"))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"),
+                      F.bit_count(F.col("a.simhash")
+                                  .bitwiseXOR(F.col("b.simhash")))
+                       .alias("hamming"))
+              .filter(F.col("hamming") <= 12)).collect()}
+    banded_df = simhash_near_pairs(sigs, max_hamming=12)
+    banded = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in banded_df.collect()}
+    assert banded == brute
+    plan = banded_df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_shingles_short_docs_produce_no_pairs(spark):
+    """<n-token texts must yield NO shingles (a degenerate single-token
+    shingle would make any two short docs jaccard-1.0 duplicates)."""
+    df = spark.createDataFrame(
+        [(1, "word"), (2, "other"), (3, ""), (4, "a b c d e")],
+        ["id", "txt"])
+    pairs = ngram_jaccard_pairs(df, "id", "txt", n=2, threshold=0.1,
+                                max_shingle_freq=None).collect()
+    assert pairs == []
+    sigs = minhash_signatures(df, "id", "txt", n=2, num_hashes=8)
+    assert {r["id"] for r in sigs.collect()} == {4}
 
 
 def test_bpe_ish_token_count(spark):
