@@ -265,6 +265,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (connected_components(edges)
                 .select(F.col("vertex"), F.col("comp")))
 
+    # --- KG end-to-end: the REAL extraction semantics — 153 state
+    #     machine (F1), 765 components (F2), mapping scan (F3), triple
+    #     fan-out (U1-U4), edge derivation (E1-E6), flag decode /
+    #     URI minting / scheme resolution (T5/T7/T8) — run over the
+    #     reference example corpus re-sharded into transcript turns.
+    #     The oracle is a VALUES literal of the reference's own golden
+    #     Turtle output (35 exact files; the stale `rvk` golden is
+    #     excluded, see tests/test_examples_golden.py), so the driver
+    #     hash-verifies the pipeline's emitted triples against the
+    #     reference conversions — the same parity
+    #     /root/reference/test/test_process_examples.py:45-46 gates.
+    def kg_golden_triples(spark, sf_dir):
+        from mc2skos_spark.operators.extract import (
+            extract_triples, triples_from_extracted)
+        from mc2skos_spark.plans import schemas
+        from mc2skos_spark.sources.examples import golden_record_families
+        from mc2skos_spark.sources.synth import make_transcript_rows
+        from mc2skos_spark.sources.transcripts import reassemble_records
+        _ship(spark)
+        cols = ["subj", "pred", "obj", "obj_is_literal",
+                "obj_lang", "obj_datatype", "component_pos"]
+        out = None
+        for options, default_scheme, recs in \
+                golden_record_families({"rvk"}):
+            rows = make_transcript_rows(recs, seed=17)
+            df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+            t = triples_from_extracted(
+                extract_triples(reassemble_records(df), options,
+                                default_scheme)).select(*cols)
+            out = t if out is None else out.unionByName(t)
+        return out.distinct()
+
     # --- TC: iterative transitive closure (skosify transitive=True
     #     analog — /root/reference/examples/skosify.cfg:3).  Edges form
     #     a binary tree over doc ids (i → i/2), depth ~log2(n), so the
@@ -398,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_ordered_sink_key": g4_ordered_sink_key,
         "w1_window_rank": w1_window_rank,
         "cc_region_cliques": cc_region_cliques,
+        "kg_golden_triples": kg_golden_triples,
         "tc_transitive_closure": tc_transitive_closure,
         "p4_array_projection": p4_array_projection,
         "b1_rollup": b1_rollup,

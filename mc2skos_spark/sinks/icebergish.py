@@ -60,6 +60,15 @@ class IcebergishCatalog:
     def exists(self, table: str) -> bool:
         return self.current_manifest(table) is not None
 
+    def tables(self, prefix: str = "") -> list[str]:
+        """Sorted committed table names starting with ``prefix``."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(t for t in os.listdir(self.root)
+                      if t.startswith(prefix)
+                      and os.path.isdir(self._table_dir(t))
+                      and self._list_manifests(t))
+
     # ------------------------------------------------------------ write
 
     def write(self, table: str, df: DataFrame,

@@ -75,10 +75,12 @@ def main():
                   % (name, cols_s, cols_o))
             failures.append(name)
             continue
-        a = sorted(tuple(norm(v) for v in row)
-                   for row in sdf[cols_s].itertuples(index=False))
-        b = sorted(tuple(norm(v) for v in row)
-                   for row in odf[cols_o].itertuples(index=False))
+        a = sorted((tuple(norm(v) for v in row)
+                    for row in sdf[cols_s].itertuples(index=False)),
+                   key=repr)
+        b = sorted((tuple(norm(v) for v in row)
+                    for row in odf[cols_o].itertuples(index=False)),
+                   key=repr)
         ok = a == b
         print("%-28s rows=%d/%d %s"
               % (name, len(a), len(b), "OK" if ok else "VALUE MISMATCH"))
