@@ -96,8 +96,9 @@ def run_benchmark():
     headline = [
         "s1_reassembly", "t8_broadcast_scheme_join", "t9_stringify_fold",
         "u1_triple_fanout", "w1_window_rank", "dedup_exact",
-        "dedup_minhash_lsh", "sim_cosine_topk", "text_quality",
-        "text_langid", "cc_region_cliques",
+        "dedup_minhash_lsh", "dedup_simhash", "sim_cosine_topk",
+        "text_quality", "text_langid", "cc_region_cliques",
+        "tc_transitive_closure",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization

@@ -44,6 +44,9 @@ def main() -> None:
     parser.add_argument("--skip-authority", action="store_true")
     parser.add_argument("--expand", action="store_true",
                         help="SKOS inference post-pass")
+    parser.add_argument("--transitive", action="store_true",
+                        help="materialize skos:broaderTransitive "
+                             "(skosify transitive=True analog)")
     parser.add_argument("--no-canonicalize", action="store_true")
     parser.add_argument("--block-size", type=int, default=None,
                         help="two-phase reassembly block size for "
@@ -85,6 +88,7 @@ def main() -> None:
     }
     pipeline = KgPipeline(spark, args.warehouse, options=options,
                           default_scheme=args.scheme, expand=args.expand,
+                          transitive=args.transitive,
                           canonicalize=not args.no_canonicalize,
                           block_size=args.block_size)
     triples = pipeline.run(transcripts)

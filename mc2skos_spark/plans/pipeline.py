@@ -6,6 +6,7 @@ Stage DAG (SURVEY.md §3 lifecycle):
       extracted ──split──► triples_raw + quarantine
       triples_raw ──(2 canonicalize)──► triples
       triples ──(3 optional expand)──► triples_expanded
+      triples ──(4 optional transitive)──► + skos:broaderTransitive
 
 Every stage commits its output to the Icebergish catalog; on re-run a
 stage whose snapshot is already committed is *skipped* and its table
@@ -21,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.canonicalize import canonical_mapping, rewrite_canonical
+from ..operators.closure import broader_transitive
 from ..operators.expand import expand_inferred
 from ..operators.extract import (extract_triples, quarantine_from_extracted,
                                  triples_from_extracted,
@@ -36,6 +38,7 @@ class KgPipeline:
                  options: dict | None = None,
                  default_scheme: str | None = None,
                  expand: bool = False,
+                 transitive: bool = False,
                  canonicalize: bool = True,
                  block_size: int | None = None):
         self.spark = spark
@@ -43,6 +46,7 @@ class KgPipeline:
         self.options = dict(options or {})
         self.default_scheme = default_scheme
         self.expand = expand
+        self.transitive = transitive
         self.canonicalize = canonicalize
         self.block_size = block_size
         self.stage_log: list[tuple[str, str]] = []  # (stage, ran|resumed)
@@ -91,6 +95,14 @@ class KgPipeline:
         if self.expand:
             triples = self._stage(
                 "triples_expanded", lambda: expand_inferred(triples),
+                lineage_key="subj")
+
+        if self.transitive:
+            # skosify transitive=True analog (examples/skosify.cfg:3):
+            # materialize skos:broaderTransitive via the doubling loop
+            triples = self._stage(
+                "triples_transitive",
+                lambda: triples.unionByName(broader_transitive(triples)),
                 lineage_key="subj")
 
         # S6: the published triple store, partitioned by predicate key so

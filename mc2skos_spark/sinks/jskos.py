@@ -102,7 +102,17 @@ def _concept_object(uri: str, rows: list) -> dict:
         elif datatype == C.XSD + "boolean":
             obj[pred] = value == "true"
         else:
-            obj[pred] = value
+            # unmapped literal predicate: repeated values must ALL
+            # survive (collect_list order is nondeterministic, so a
+            # scalar overwrite would keep an arbitrary one) — promote
+            # to a sorted value array on the second distinct value,
+            # like a JSON-LD serializer's repeated-property output
+            if pred in obj and obj[pred] != value:
+                prior = obj[pred] if isinstance(obj[pred], list) \
+                    else [obj[pred]]
+                obj[pred] = sorted({*prior, value})
+            else:
+                obj[pred] = value
     if members:
         obj["memberList"] = [{"uri": value}
                              for _, value in sorted(members)]
