@@ -7,10 +7,13 @@
 ``queries`` — one entry per implemented operator family from
               SURVEY.md §2 (and the training-data extras), each expressed
               over the driver's parquet tables.
-``oracle_sql`` — DuckDB-runnable ANSI equivalents; omitted only for
-              operators whose semantics depend on Spark-side hash
-              functions (xxhash64) or iterative jobs the driver's
-              rows-only check covers.
+``oracle_sql`` — DuckDB-runnable equivalents for EVERY query: ANSI SQL
+              where expressible (iterative ops get WITH RECURSIVE
+              oracles), precomputed VALUES literals for the
+              xxhash64-dependent ops (deterministic seeded outputs;
+              regenerate with tools/gen_oracle_values.py), and the
+              reference's own golden Turtle as a VALUES literal for
+              the end-to-end KG query.
 """
 
 from __future__ import annotations
@@ -346,17 +349,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
                                    threshold=0.8, max_shingle_freq=50)
 
+    def dedup_near_clusters(spark, sf_dir):
+        # the dedup DECISION step: candidate pairs → union-find
+        # clusters → keeper per cluster (min id); singletons keep
+        # themselves.  Oracle: recursive reachability in SQL.
+        from mc2skos_spark.functions.dedup import near_dup_keepers
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
+                                    threshold=0.8, max_shingle_freq=50)
+        return near_dup_keepers(docs, pairs)
+
     def dedup_minhash_lsh(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-        sigs = minhash_signatures(docs, "doc_id", "text", n=2, num_hashes=16)
+        # the signature table feeds THREE joins (banded self-join +
+        # two similarity lookups): materialize it once (lazy lineage
+        # cut), exactly as a staged pipeline would snapshot it
+        sigs = minhash_signatures(docs, "doc_id", "text", n=2,
+                                  num_hashes=16).localCheckpoint(False)
         cands = minhash_lsh_candidates(sigs, bands=4)
         return (minhash_similarity(sigs, cands)
                 .filter(F.col("est_jaccard") >= 0.9))
 
     def dedup_simhash(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-        return simhash_near_pairs(simhash(docs, "doc_id", "text"),
-                                  max_hamming=8)
+        # banded pairing self-joins the signature table → compute once
+        sigs = simhash(docs, "doc_id", "text").localCheckpoint(False)
+        return simhash_near_pairs(sigs, max_hamming=8)
 
     def dedup_embedding_cosine(spark, sf_dir):
         # Near-dup dedup through the 100 TB path: hyperplane-LSH buckets
@@ -386,6 +404,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         query = [float(x) for x in
                  emb.filter(F.col("vec_id") == 0).first()["embedding"]]
         return cosine_topk(emb, query, k=10)
+
+    def sim_ann_lsh_topk(spark, sf_dir):
+        # ANN scale path: hyperplane-LSH bucket + multi-probe + exact
+        # re-rank.  Deterministic (seeded planes) → VALUES oracle;
+        # recall-vs-exact is asserted in tests/test_functions.py.
+        from mc2skos_spark.functions.similarity import lsh_bucketed_topk
+        emb = _t(spark, sf_dir, "embeddings")
+        query = [float(x) for x in
+                 emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return lsh_bucketed_topk(emb, query, k=10, num_planes=8,
+                                 multiprobe=2)
+
+    def sim_ann_ivf_topk(spark, sf_dir):
+        # IVF-lite: deterministic sampled centroids, probe the nearest
+        # lists, exact re-rank inside them.
+        from mc2skos_spark.functions.similarity import ivf_topk
+        emb = _t(spark, sf_dir, "embeddings")
+        query = [float(x) for x in
+                 emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        return ivf_topk(emb, query, k=10, num_centroids=16, nprobe=4)
 
     # --- text analysis
     def text_tokens(spark, sf_dir):
@@ -436,10 +474,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_rollup": b1_rollup,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_near_clusters": dedup_near_clusters,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "sim_cosine_topk": sim_cosine_topk,
+        "sim_ann_lsh_topk": sim_ann_lsh_topk,
+        "sim_ann_ivf_topk": sim_ann_ivf_topk,
         "text_tokens": text_tokens,
         "text_bpe_tokens": text_bpe_tokens,
         "text_quality": text_quality,
@@ -493,8 +534,11 @@ def oracle_sql() -> dict[str, str]:
                              1.0::DOUBLE)))) * 10000) / 10000 AS quality
         FROM feats
     """
-    jaccard = """
-        WITH toks AS (
+    # shared CTE chain: shingling → stop-shingle cap → pair jaccard
+    # (used by dedup_ngram_jaccard and, under WITH RECURSIVE, by the
+    # cluster/keeper oracle)
+    jaccard_ctes = """
+        toks AS (
             SELECT doc_id,
                    list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                x -> x != '') AS tk
@@ -513,14 +557,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
             FROM sh a JOIN sh b USING (sh)
             WHERE a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-        SELECT id_a, id_b,
-               round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8
+            GROUP BY 1, 2),
+        jpairs AS (
+            SELECT id_a, id_b,
+                   round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8)
     """
+    jaccard = ("WITH " + jaccard_ctes +
+               "SELECT id_a, id_b, jaccard FROM jpairs")
+    # clusters = connected components of the pair graph (min-label via
+    # recursive reachability), keeper = min id; unpaired docs keep
+    # themselves — mirrors near_dup_keepers + the union-find loop
+    clusters = ("WITH RECURSIVE " + jaccard_ctes + """,
+        edges AS (SELECT id_a AS src, id_b AS dst FROM jpairs
+                  UNION ALL SELECT id_b, id_a FROM jpairs),
+        reach AS (
+            SELECT src AS id, dst AS peer FROM edges
+            UNION
+            SELECT reach.id, edges.dst
+            FROM reach JOIN edges ON reach.peer = edges.src)
+        SELECT d.doc_id AS id,
+               coalesce(least(d.doc_id, r.mn), d.doc_id) AS keeper_id
+        FROM documents d
+        LEFT JOIN (SELECT id, min(peer) AS mn FROM reach GROUP BY id) r
+               ON r.id = d.doc_id
+        WHERE d.doc_id < 300""")
     out = {
         "s1_reassembly": """
             SELECT user_id,
@@ -644,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
             FROM documents GROUP BY text HAVING count(*) > 1""",
         "dedup_ngram_jaccard": jaccard,
+        "dedup_near_clusters": clusters,
         # dedup_minhash_lsh / dedup_simhash / text_fingerprint hash with
         # Spark's xxhash64 (public spec, seeded, deterministic); DuckDB
         # lacks the function, so their oracles are precomputed VALUES

@@ -120,9 +120,11 @@ def run_benchmark():
     # flagship KG pipeline, record-scaled with sf; input staged untimed
     n_records = max(2000, int(160000 * sf))
     path, n_turns = stage_transcripts(spark, n_records)
+    # min-of-3 for the flagship: it is the headline number and this
+    # host's steal noise is worst on the longest job
     kg_runs = []
     n_triples = 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         n_triples = kg_pipeline_job(spark, path)
         kg_runs.append(round(time.monotonic() - t0, 3))

@@ -93,7 +93,6 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def minhash_lsh_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
     """Band the signatures and emit co-bucketed candidate pairs."""
-    num_hashes = None  # derived per-row via slice
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
     banded = signatures.select(
         "id",
@@ -155,7 +154,11 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         if dim is None:
             raise ValueError("dim is required when num_planes > 0")
         planes = _planes(dim, num_planes)
-        base = base.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+        # the bucketed table is referenced 4× (probe explode, bucket
+        # join, two vector lookups): cut lineage once, lazily — the
+        # staged pipeline would snapshot the signature table anyway
+        base = (base.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+                .localCheckpoint(eager=False))
         deltas = [d for d in range(1 << num_planes)
                   if bin(d).count("1") <= multiprobe]
         probed = base.select(
@@ -221,6 +224,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                                  .otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x))
     return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def near_dup_keepers(df: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs → per-document keeper assignment: the step that
+    turns pair detection into an actual dedup decision.
+
+    Near-duplicate similarity is not transitive, so clusters are the
+    connected components of the pair graph (reusing the union-find loop
+    from canonicalization, ``operators/canonicalize.py``); the keeper is
+    the minimum id in each cluster; documents in no pair keep
+    themselves.  Returns ``(id, keeper_id)`` for every input document —
+    downstream keeps ``id == keeper_id`` rows only.
+    """
+    from ..operators.canonicalize import connected_components
+
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    labels = connected_components(edges)  # comp = min id in component
+    return (df.select(F.col(id_col).alias("id"))
+            .join(labels.withColumnRenamed("vertex", "id"), "id", "left")
+            .select("id", F.coalesce("comp", F.col("id"))
+                    .alias("keeper_id")))
 
 
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -117,15 +117,16 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     probe = sorted(centroids, key=lambda c: -cos_py(c[1], query_vec))[:nprobe]
     probe_ids = [cid for cid, _ in probe]
 
-    assign = None
-    for cid, cvec in centroids:
-        cv = F.array(*[F.lit(x) for x in cvec])
-        score = cosine(F.col(vec_col).cast("array<double>"), cv)
-        assign = (F.struct(score.alias("s"), F.lit(cid).alias("cid"))
-                  if assign is None
-                  else F.when(score > assign["s"],
-                              F.struct(score.alias("s"),
-                                       F.lit(cid).alias("cid"))).otherwise(assign))
-    assigned = embeddings.withColumn("centroid", assign["cid"])
+    # argmax via array_max over (score, cid) structs: the expression
+    # tree stays LINEAR in num_centroids.  (A chained
+    # when(score > best).otherwise(best) references the accumulated
+    # tree twice per centroid — 2^k nodes, OOM at plan build for k=16.)
+    entries = F.array(*[
+        F.struct(cosine(F.col(vec_col).cast("array<double>"),
+                        F.array(*[F.lit(x) for x in cvec])).alias("s"),
+                 F.lit(cid).alias("cid"))
+        for cid, cvec in centroids])
+    assigned = embeddings.withColumn("centroid",
+                                     F.array_max(entries)["cid"])
     candidates = assigned.filter(F.col("centroid").isin(probe_ids))
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)

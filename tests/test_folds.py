@@ -162,6 +162,16 @@ def test_765_components_reversed_with_table():
     assert parse_765_components(fields) == ["299", "5--931", "201.3"]
 
 
+def test_765_blank_s_surfaces_warning():
+    """A blank $s is skipped but the anomaly must reach the caller's
+    warning side-channel (the reference logs it, record.py:427)."""
+    fields = [{"subfields": [sf("b", "306.6"), sf("r", "2"),
+                             sf("s", None), sf("s", "804")]}]
+    warnings: list[str] = []
+    assert parse_765_components(fields, warnings) == ["306.6", "280.4"]
+    assert warnings == ["blank 765 $s subfield"]
+
+
 # ------------------------------------------------------------------ 008 decode
 
 @pytest.mark.parametrize("value,expected", [

@@ -168,6 +168,19 @@ def test_simhash_banded_equals_brute_force(spark, documents):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_near_dup_keepers_chain_cluster(spark):
+    """Similarity is not transitive: a pair chain (1,2),(2,3) must fold
+    into ONE cluster via connected components, keeper = min id;
+    documents in no pair keep themselves."""
+    from mc2skos_spark.functions.dedup import near_dup_keepers
+    docs = spark.createDataFrame([(i, "t%d" % i) for i in range(1, 6)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    got = {r["id"]: r["keeper_id"]
+           for r in near_dup_keepers(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
 def test_shingles_short_docs_produce_no_pairs(spark):
     """<n-token texts must yield NO shingles (a degenerate single-token
     shingle would make any two short docs jaccard-1.0 duplicates)."""
