@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""File-converter CLI — the reference's ``mc2skos map infile outfile``
+surface (/root/reference/mc2skos/mc2skos.py:206-250) over the Spark
+engine, so a reference user can switch command-for-command:
+
+    spark-submit --py-files mc2skos_spark.zip jobs/convert.py \\
+        infile.xml outfile.ttl [--webdewey] [--altlabels] \\
+        [--components] [--exclude_notes] [--skip-classification] \\
+        [--skip-authority] [--scheme gnd] [--uri TEMPLATE] \\
+        [--whitespace STR] [--include extra.ttl] [--expand] \\
+        [--transitive] [-o turtle|jskos|ndjson]
+
+This is the small-file convenience mode: records are distributed for
+extraction (the same Arrow pass the pipeline uses) and the result is
+streamed back into ONE output file like the reference writes.  For
+table-scale inputs use jobs/run_pipeline.py (catalog snapshots,
+resume, partitioned sinks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Convert MARC21 Classification/Authority XML to SKOS")
+    parser.add_argument("infile", nargs="+", help="input MARCXML file(s)")
+    parser.add_argument("outfile", help="output RDF file")
+    parser.add_argument("-o", "--outformat", default=None,
+                        choices=["turtle", "jskos", "ndjson"],
+                        help="default: by outfile extension "
+                             "(.ttl→turtle, .ndjson/.jskos→jskos)")
+    parser.add_argument("--include", action="append", default=[],
+                        help="RDF (Turtle) file(s) to union into the "
+                             "output graph")
+    parser.add_argument("--uri", dest="base_uri", default=None,
+                        help="concept URI template (ad-hoc scheme)")
+    parser.add_argument("--scheme", default=None,
+                        help="concept scheme code or URI")
+    parser.add_argument("--whitespace", default=None,
+                        help="whitespace replacement in minted URIs")
+    parser.add_argument("--altlabels", "--indexterms", dest="altlabels",
+                        action="store_true")
+    parser.add_argument("--exclude_notes", action="store_true")
+    parser.add_argument("--components", action="store_true")
+    parser.add_argument("--webdewey", action="store_true")
+    parser.add_argument("--skip-classification", dest="skip_classification",
+                        action="store_true")
+    parser.add_argument("--skip-authority", dest="skip_authority",
+                        action="store_true")
+    parser.add_argument("--expand", action="store_true",
+                        help="SKOS inference post-pass")
+    parser.add_argument("--transitive", action="store_true",
+                        help="materialize skos:broaderTransitive")
+    args = parser.parse_args()
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("mc2skos-convert").getOrCreate()
+    stats = convert(spark, args.infile, args.outfile,
+                    outformat=args.outformat, include=args.include,
+                    base_uri=args.base_uri, scheme=args.scheme,
+                    whitespace=args.whitespace, altlabels=args.altlabels,
+                    exclude_notes=args.exclude_notes,
+                    components=args.components, webdewey=args.webdewey,
+                    skip_classification=args.skip_classification,
+                    skip_authority=args.skip_authority,
+                    expand=args.expand, transitive=args.transitive)
+    print(json.dumps(stats))
+    spark.stop()
+
+
+def convert(spark, infiles, outfile, outformat=None, include=(),
+            base_uri=None, scheme=None, whitespace=None, altlabels=False,
+            exclude_notes=False, components=False, webdewey=False,
+            skip_classification=False, skip_authority=False,
+            expand=False, transitive=False) -> dict:
+    """Convert MARCXML file(s) to one SKOS output file; returns stats."""
+    from mc2skos_spark.operators.closure import broader_transitive
+    from mc2skos_spark.operators.expand import expand_inferred
+    from mc2skos_spark.operators.extract import (extract_triples,
+                                                 quarantine_from_extracted,
+                                                 triples_from_extracted)
+    from mc2skos_spark.plans import schemas
+    from mc2skos_spark.sinks.jskos import triples_to_jskos
+    from mc2skos_spark.sinks.serializers import (triples_to_ndjson,
+                                                 triples_to_turtle,
+                                                 turtle_header)
+    from mc2skos_spark.sources.rdf_include import include_triples
+
+    fmt = outformat
+    if fmt is None:
+        ext = os.path.splitext(outfile)[1].lower()
+        fmt = {"ttl": "turtle", "turtle": "turtle", "jskos": "jskos",
+               "ndjson": "jskos", "json": "jskos"}.get(ext.lstrip("."),
+                                                       "turtle")
+
+    import xml.etree.ElementTree as ET
+    rows = []
+    for path in infiles:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        # PI-preserving parse: ddc examples carry <?ddc …?> processing
+        # instructions inside note subfields (P5 flatten semantics)
+        parser = ET.XMLParser(target=ET.TreeBuilder(insert_pis=True))
+        root = ET.parse(path, parser=parser).getroot()
+        elems = ([root] if root.tag.endswith("record")
+                 else [el for el in root.iter() if el.tag.endswith("record")])
+        for i, el in enumerate(elems):
+            el.tail = None
+            rows.append(("%s#%d" % (stem, i), stem,
+                         ET.tostring(el, encoding="unicode")))
+    records = spark.createDataFrame(rows, schema=schemas.MARC_RECORDS)
+
+    default_scheme = None
+    if base_uri or scheme or whitespace:
+        default_scheme = {"generic": base_uri, "scheme": scheme,
+                          "whitespace": whitespace}
+    options = {
+        "include_webdewey": webdewey,
+        "include_altlabels": altlabels,
+        "include_components": components,
+        "exclude_notes": exclude_notes,
+        "skip_classification": skip_classification,
+        "skip_authority": skip_authority,
+    }
+
+    extracted = extract_triples(records, options, default_scheme).cache()
+    triples = triples_from_extracted(extracted)
+    triples = include_triples(triples, spark, list(include))
+    if expand:
+        triples = expand_inferred(triples)
+    if transitive:
+        triples = triples.unionByName(broader_transitive(triples))
+
+    n = 0
+    with open(outfile, "w", encoding="utf-8") as fp:
+        if fmt == "turtle":
+            fp.write(turtle_header() + "\n")
+            for row in triples_to_turtle(triples).toLocalIterator():
+                fp.write(row["block"] + "\n")
+                n += 1
+        elif fmt == "jskos":
+            for row in triples_to_jskos(triples).toLocalIterator():
+                fp.write(row["line"] + "\n")
+                n += 1
+        else:
+            for row in triples_to_ndjson(triples).toLocalIterator():
+                fp.write(row["line"] + "\n")
+                n += 1
+
+    quarantined = quarantine_from_extracted(extracted).count()
+    return {"outfile": outfile, "format": fmt,
+            "subjects": n, "quarantined": quarantined}
+
+
+if __name__ == "__main__":
+    main()

@@ -45,7 +45,12 @@ def _extract_batches(options: dict, default_scheme: str | None):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         vocabularies = Vocabularies()
         if default_scheme:
-            vocabularies.set_default_scheme(scheme=default_scheme)
+            if isinstance(default_scheme, dict):
+                # CLI parity: --uri/--whitespace define an ad-hoc scheme
+                # (reference mc2skos.py:221-227 → vocabularies.py)
+                vocabularies.set_default_scheme(**default_scheme)
+            else:
+                vocabularies.set_default_scheme(scheme=default_scheme)
         for batch in batches:
             rows = []
             for record_id, xml in zip(batch["record_id"],
