@@ -72,6 +72,84 @@ def test_add_table_number():
     assert bag["is_public"] is False
 
 
+def test_historical_add_table_number():
+    """test_process_record.py:80-106: 008 'baaaaaah' → historical add
+    table record: TABLE_RECORD, display False, not synthesized."""
+    bag = extract('''
+        <mx:record %s>
+            <mx:leader>00000nw  a2200000n  4500</mx:leader>
+            <mx:controlfield tag="008">091203baaaaaah</mx:controlfield>
+            <mx:datafield tag="084" ind2=" " ind1="0">
+                <mx:subfield code="a">ddc</mx:subfield>
+                <mx:subfield code="c">23no</mx:subfield>
+                <mx:subfield code="e">nob</mx:subfield>
+            </mx:datafield>
+            <mx:datafield tag="153" ind2=" " ind1=" ">
+                <mx:subfield code="a">820.1</mx:subfield>
+                <mx:subfield code="c">828</mx:subfield>
+                <mx:subfield code="y">1</mx:subfield>
+                <mx:subfield code="a">7</mx:subfield>
+                <mx:subfield code="e">820</mx:subfield>
+                <mx:subfield code="j">1800-1837</mx:subfield>
+                <mx:subfield code="9">ess=reb</mx:subfield>
+                <mx:subfield code="9">ess=rhb</mx:subfield>
+            </mx:datafield>
+        </mx:record>''' % MX)
+    assert bag["record_type"] == C.TABLE_RECORD
+    assert bag["number_type"] == C.SINGLE_NUMBER
+    assert bag["display"] is False
+    assert bag["synthesized"] is False
+
+
+def test_synthesized_number_span():
+    """test_process_record.py:108-132."""
+    bag = extract('''
+        <mx:record %s>
+          <mx:leader>00000nw  a2200000n  4500</mx:leader>
+          <mx:controlfield tag="008">091203abdaaaba</mx:controlfield>
+          <mx:datafield tag="084" ind2=" " ind1="0">
+            <mx:subfield code="a">ddc</mx:subfield>
+            <mx:subfield code="c">23no</mx:subfield>
+            <mx:subfield code="e">nob</mx:subfield>
+          </mx:datafield>
+          <mx:datafield tag="153" ind2=" " ind1=" ">
+            <mx:subfield code="a">133.01</mx:subfield>
+            <mx:subfield code="c">133.09</mx:subfield>
+            <mx:subfield code="e">133</mx:subfield>
+            <mx:subfield code="j">Generell forminndeling</mx:subfield>
+            <mx:subfield code="9">ess=en</mx:subfield>
+            <mx:subfield code="9">ess=eh</mx:subfield>
+          </mx:datafield>
+        </mx:record>''' % MX)
+    assert bag["record_type"] == C.SCHEDULE_RECORD
+    assert bag["number_type"] == C.NUMBER_SPAN
+    assert bag["display"] is True
+    assert bag["synthesized"] is True
+
+
+def test_synthesized_schedule_record():
+    """test_process_record.py:134-155."""
+    bag = extract('''
+        <mx:record %s>
+          <mx:leader>00000nw  a2200000n  4500</mx:leader>
+          <mx:controlfield tag="008">091203aaaaaabb</mx:controlfield>
+          <mx:datafield tag="084" ind2=" " ind1="0">
+            <mx:subfield code="a">ddc</mx:subfield>
+            <mx:subfield code="c">23no</mx:subfield>
+            <mx:subfield code="e">nob</mx:subfield>
+          </mx:datafield>
+          <mx:datafield tag="153" ind2=" " ind1=" ">
+            <mx:subfield code="a">025.1712</mx:subfield>
+            <mx:subfield code="e">025.17</mx:subfield>
+            <mx:subfield code="9">ess=ien</mx:subfield>
+          </mx:datafield>
+        </mx:record>''' % MX)
+    assert bag["record_type"] == C.SCHEDULE_RECORD
+    assert bag["number_type"] == C.SINGLE_NUMBER
+    assert bag["display"] is True
+    assert bag["synthesized"] is True
+
+
 def test_index_terms_with_caption_ordering():
     bag = extract('''
         <mx:record %s>
