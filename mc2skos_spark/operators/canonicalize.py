@@ -117,23 +117,28 @@ def _cc_loop(both: DataFrame, max_rounds: int,
         new_labels = (labels.join(cand, "vertex", "left")
                       .select("vertex",
                               F.least("comp", F.coalesce("ncomp", "comp"))
-                               .alias("comp")))
-        # label-pointer compression: relabel through the label table
-        compressed = (new_labels.alias("a")
-                      .join(new_labels.select(
-                          F.col("vertex").alias("comp"),
-                          F.col("comp").alias("parent")).alias("b"),
-                          "comp", "left")
-                      .select("vertex",
-                              F.coalesce("parent", "comp").alias("comp"))
+                               .alias("comp"))
                       .localCheckpoint())
-        changed = (compressed.alias("n")
+        changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "vertex")
                    .filter(F.col("n.comp") != F.col("o.comp"))
                    .limit(1).count())
-        labels = compressed
         if changed == 0:
-            break
+            # converged: new_labels == labels, and compression would be
+            # an identity join — skip it (for the common tiny-component
+            # case the loop converges in round 1, so this saves the
+            # whole compression cost)
+            return labels
+        # label-pointer compression: relabel through the label table —
+        # keeps round count O(log diameter) for long chains
+        labels = (new_labels.alias("a")
+                  .join(new_labels.select(
+                      F.col("vertex").alias("comp"),
+                      F.col("comp").alias("parent")).alias("b"),
+                      "comp", "left")
+                  .select("vertex",
+                          F.coalesce("parent", "comp").alias("comp"))
+                  .localCheckpoint())
     return labels
 
 
