@@ -21,25 +21,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def transitive_closure(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+def transitive_closure(edges: DataFrame, max_rounds: int = 20,
+                       loop_partitions: int | None = None) -> DataFrame:
     """(src, dst) edge list → all (src, dst) pairs connected by a
     directed path of ≥1 edges.  Cycles are safe (a node never pairs
-    with itself unless the input contains a genuine cycle)."""
+    with itself unless the input contains a genuine cycle).
+
+    Like the union-find loop, the iteration runs at its own shuffle
+    width scaled to the materialized path count (~1M rows/partition,
+    floor 8) — per-round task overhead dominates small iterative jobs,
+    while a 100× bigger edge list gets proportional width.
+    """
     paths = (edges.select("src", "dst").distinct()
              .localCheckpoint())
     n = paths.count()
-    for _ in range(max_rounds):
-        hops = (paths.alias("a")
-                .join(paths.alias("b"), F.col("a.dst") == F.col("b.src"))
-                .select(F.col("a.src").alias("src"),
-                        F.col("b.dst").alias("dst")))
-        grown = (paths.unionByName(hops).distinct()
-                 .localCheckpoint())
-        m = grown.count()
-        paths = grown
-        if m == n:       # fixpoint: no new reachable pair this round
-            break
-        n = m
+    spark = edges.sparkSession
+    if loop_partitions is None:
+        loop_partitions = max(8, n // 1_000_000)
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(shuffle_conf)
+    spark.conf.set(shuffle_conf, str(loop_partitions))
+    try:
+        for _ in range(max_rounds):
+            hops = (paths.alias("a")
+                    .join(paths.alias("b"),
+                          F.col("a.dst") == F.col("b.src"))
+                    .select(F.col("a.src").alias("src"),
+                            F.col("b.dst").alias("dst")))
+            grown = (paths.unionByName(hops).distinct()
+                     .localCheckpoint())
+            m = grown.count()
+            paths = grown
+            if m == n:   # fixpoint: no new reachable pair this round
+                break
+            n = m
+    finally:
+        spark.conf.set(shuffle_conf, saved)
     return paths
 
 
