@@ -81,13 +81,22 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     sh = (df.select(F.col(id_col).alias("id"),
                     shingles(F.col(text_col), n).alias("shs"))
           # a <n-token doc has no shingles and no meaningful signature;
-          # array_min over empty would yield NULL minhashes that all
+          # a fold over empty would keep the +inf seeds that all
           # co-bucket — drop such docs instead
           .filter(F.size("shs") > 0))
-    sig = F.array(*[
-        F.array_min(F.transform(
-            F.col("shs"), lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
-        for i in range(num_hashes)])
+    # ONE traversal of the shingle array; the accumulator is the
+    # num_hashes-wide running-minimum vector.  The seed MUST be closed
+    # over as a literal inside a 1-arg comprehension — a defaulted
+    # second lambda parameter (lambda s, seed=i: …) silently binds to
+    # the HOF's array-index variable and every "seeded" hash becomes
+    # the same function.
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    sig = F.aggregate(
+        F.col("shs"), init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, h: F.least(a, h)))
     return sh.select("id", sig.alias("sig"))
 
 

@@ -76,6 +76,19 @@ def test_minhash_lsh_finds_near_dups(spark, documents):
     assert expected <= found
 
 
+def test_minhash_signature_hashes_are_independent(spark):
+    """Regression: each signature slot must come from a DIFFERENT seeded
+    hash function.  (A defaulted second lambda param once bound the seed
+    to the HOF's array-index variable, collapsing all 16 slots to one
+    function — every signature was 16 copies of the same minimum.)"""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["id", "txt"])
+    (sig,) = minhash_signatures(df, "id", "txt", n=2,
+                                num_hashes=16).collect()
+    assert len(set(sig["sig"])) > 8, sig["sig"]
+
+
 def test_simhash_near_pairs(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog"),
