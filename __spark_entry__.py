@@ -425,6 +425,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  emb.filter(F.col("vec_id") == 0).first()["embedding"]]
         return ivf_topk(emb, query, k=10, num_centroids=16, nprobe=4)
 
+    # --- multimodal plumbing: binary payload column + typed metadata →
+    #     Arrow-batch feature extraction (the decode itself is a
+    #     deterministic digest stub — codec libs absent — but the
+    #     WHOLE Spark path runs: binary Arrow transfer, size-balanced
+    #     repartition, mapInPandas).  The payload here is the document
+    #     text's UTF-8 bytes so the oracle is plain SQL (octet_length +
+    #     sha256 over the same bytes).
+    def mm_media_features(spark, sf_dir):
+        from mc2skos_spark.functions.multimodal import extract_media_features
+        docs = _t(spark, sf_dir, "documents")
+        kind = (F.when(F.col("doc_id") % 3 == 0, "image")
+                .when(F.col("doc_id") % 3 == 1, "audio")
+                .otherwise("video"))
+        media = docs.select(
+            F.col("doc_id").alias("media_id"), kind.alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.lit(None).cast("int").alias("meta_width"),
+            F.lit(None).cast("int").alias("meta_height"),
+            F.lit(None).cast("int").alias("meta_duration_ms"))
+        return (extract_media_features(media)
+                .select("media_id", "kind", "payload_bytes",
+                        "content_digest"))
+
     # --- text analysis
     def text_tokens(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
@@ -481,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
+        "mm_media_features": mm_media_features,
         "text_tokens": text_tokens,
         "text_bpe_tokens": text_bpe_tokens,
         "text_quality": text_quality,
@@ -767,6 +791,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "text_quality": quality,
         "text_langid": langid,
+        "mm_media_features": """
+            SELECT doc_id AS media_id,
+                   CASE cast(doc_id % 3 AS int)
+                        WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   cast(octet_length(encode(text)) AS int) AS payload_bytes,
+                   sha256(text) AS content_digest
+            FROM documents""",
     }
     from mc2skos_spark.plans.oracle_values import VALUES_SQL
     out.update(VALUES_SQL)
