@@ -220,6 +220,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    # token-less docs all hash to signature 0 and would co-bucket into
+    # one quadratic clique in the banded pair join — they carry no
+    # similarity signal, so drop them (route empties through exact
+    # dedup instead); same guard as minhash_signatures
+    df = df.filter(F.size(toks) > 0)
     votes = F.aggregate(
         hashes, F.array_repeat(F.lit(0), 64),
         lambda acc, h: F.zip_with(

@@ -41,6 +41,32 @@ def test_transitive_closure_deep_chain_log_rounds(spark):
     assert out.count() == 40 * 41 // 2
 
 
+def test_transitive_closure_random_graph_matches_python(spark):
+    """Seeded random digraph (with cycles) vs a pure-Python BFS
+    reachability oracle — the doubling loop must agree exactly,
+    including (v, v) self-pairs for vertices on cycles."""
+    import random
+    rng = random.Random(99)
+    edges = {(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(60)}
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    expected = set()
+    for s in {e[0] for e in edges}:
+        seen: set[int] = set()
+        stack = list(adj.get(s, ()))
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            stack.extend(adj.get(v, ()))
+        expected |= {(s, v) for v in seen}
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    got = {(r["src"], r["dst"]) for r in transitive_closure(df).collect()}
+    assert got == expected
+
+
 def _class_record(notation, parent=None):
     parent_sf = ('<subfield code="e">%s</subfield>' % parent) if parent else ""
     return (
