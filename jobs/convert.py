@@ -8,7 +8,7 @@ engine, so a reference user can switch command-for-command:
         [--components] [--exclude_notes] [--skip-classification] \\
         [--skip-authority] [--scheme gnd] [--uri TEMPLATE] \\
         [--whitespace STR] [--include extra.ttl] [--expand] \\
-        [--transitive] [-o turtle|jskos|ndjson]
+        [--transitive] [-o turtle|jskos|triples]
 
 This is the small-file convenience mode: records are distributed for
 extraction (the same Arrow pass the pipeline uses) and the result is
@@ -31,9 +31,10 @@ def main() -> None:
     parser.add_argument("infile", nargs="+", help="input MARCXML file(s)")
     parser.add_argument("outfile", help="output RDF file")
     parser.add_argument("-o", "--outformat", default=None,
-                        choices=["turtle", "jskos", "ndjson"],
-                        help="default: by outfile extension "
-                             "(.ttl→turtle, .ndjson/.jskos→jskos)")
+                        choices=["turtle", "jskos", "triples"],
+                        help="default: by outfile extension (.ttl→turtle,"
+                             " .ndjson/.jskos→jskos); 'triples' = one"
+                             " predicate-map JSON line per subject")
     parser.add_argument("--include", action="append", default=[],
                         help="RDF (Turtle) file(s) to union into the "
                              "output graph")
@@ -103,20 +104,12 @@ def convert(spark, infiles, outfile, outformat=None, include=(),
                "ndjson": "jskos", "json": "jskos"}.get(ext.lstrip("."),
                                                        "turtle")
 
-    import xml.etree.ElementTree as ET
+    from mc2skos_spark.sources.synth import records_in_xml_file
     rows = []
     for path in infiles:
         stem = os.path.splitext(os.path.basename(path))[0]
-        # PI-preserving parse: ddc examples carry <?ddc …?> processing
-        # instructions inside note subfields (P5 flatten semantics)
-        parser = ET.XMLParser(target=ET.TreeBuilder(insert_pis=True))
-        root = ET.parse(path, parser=parser).getroot()
-        elems = ([root] if root.tag.endswith("record")
-                 else [el for el in root.iter() if el.tag.endswith("record")])
-        for i, el in enumerate(elems):
-            el.tail = None
-            rows.append(("%s#%d" % (stem, i), stem,
-                         ET.tostring(el, encoding="unicode")))
+        for i, xml in enumerate(records_in_xml_file(path)):
+            rows.append(("%s#%d" % (stem, i), stem, xml))
     records = spark.createDataFrame(rows, schema=schemas.MARC_RECORDS)
 
     default_scheme = None

@@ -168,8 +168,14 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         # staged pipeline would snapshot the signature table anyway
         base = (base.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
                 .localCheckpoint(eager=False))
-        deltas = [d for d in range(1 << num_planes)
-                  if bin(d).count("1") <= multiprobe]
+        # enumerate the Hamming ball directly (sum of C(num_planes, i)
+        # deltas) — scanning all 2^num_planes ints would hang the
+        # driver at the plane counts the scale path wants
+        from itertools import combinations
+        deltas = sorted({
+            sum(1 << b for b in bits)
+            for r in range(multiprobe + 1)
+            for bits in combinations(range(num_planes), r)})
         probed = base.select(
             "id",
             F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(d))

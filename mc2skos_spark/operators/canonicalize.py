@@ -101,8 +101,10 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
 
 def _cc_loop(both: DataFrame, max_rounds: int,
              cc_partitions: int) -> DataFrame:
-    both = (both.repartition(cc_partitions, "src")
-            .localCheckpoint())
+    # `both` arrives already checkpointed; re-materializing it at the
+    # loop width would be a second full write for nothing — the round
+    # joins exchange it by their own keys regardless, at the shuffle
+    # width set by the caller's conf override.
     # label(v) = min(v, min neighbor) to start.
     labels = (both.groupBy("src")
               .agg(F.least(F.first("src"), F.min("dst")).alias("comp"))

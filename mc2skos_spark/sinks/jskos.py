@@ -100,7 +100,10 @@ def _concept_object(uri: str, rows: list) -> dict:
         elif not is_literal:
             obj.setdefault(pred, []).append({"uri": value})
         elif datatype == C.XSD + "boolean":
-            obj[pred] = value == "true"
+            # conflicting booleans after a URI merge resolve by AND —
+            # commutative, so the result is independent of collect_list
+            # order (false wins deterministically)
+            obj[pred] = (value == "true") and obj.get(pred, True)
         else:
             # unmapped literal predicate: repeated values must ALL
             # survive (collect_list order is nondeterministic, so a

@@ -29,25 +29,36 @@ _MARC_NS = "http://www.loc.gov/MARC21/slim"
 GEN_VERSION = 2
 
 
-def fixture_records(examples_dir: str = EXAMPLES_DIR) -> list[tuple[str, str]]:
-    """(source_stem, standalone_record_xml) for every reference example.
+def records_in_xml_file(path: str) -> list[str]:
+    """Standalone ``<record>`` XML strings from a MARCXML file.
 
-    Records are re-serialized element-by-element so namespace
-    declarations travel with each record even when the original file
-    declared them on a wrapping ``<collection>``.
+    Re-serialized element-by-element so namespace declarations travel
+    with each record even when the original file declared them on a
+    wrapping ``<collection>``.  The parse preserves processing
+    instructions (``<?ddc …?>`` inside note subfields — the P5 flatten
+    semantics) so every consumer — fixtures, goldens, the convert CLI —
+    sees the same tree.
     """
+    parser = ET.XMLParser(target=ET.TreeBuilder(insert_pis=True))
+    root = ET.parse(path, parser=parser).getroot()
+    if root.tag.endswith("record"):
+        records = [root]
+    else:
+        records = [el for el in root.iter() if el.tag.endswith("record")]
+    out = []
+    for element in records:
+        element.tail = None  # ET.tostring would serialize the tail
+        out.append(ET.tostring(element, encoding="unicode"))
+    return out
+
+
+def fixture_records(examples_dir: str = EXAMPLES_DIR) -> list[tuple[str, str]]:
+    """(source_stem, standalone_record_xml) for every reference example."""
     out = []
     for path in sorted(glob.glob(os.path.join(examples_dir, "*.xml"))):
         stem = os.path.splitext(os.path.basename(path))[0]
-        tree = ET.parse(path)
-        root = tree.getroot()
-        if root.tag.endswith("record"):
-            records = [root]
-        else:
-            records = [el for el in root.iter() if el.tag.endswith("record")]
-        for element in records:
-            element.tail = None  # ET.tostring would serialize the tail
-            out.append((stem, ET.tostring(element, encoding="unicode")))
+        for xml in records_in_xml_file(path):
+            out.append((stem, xml))
     return out
 
 

@@ -74,27 +74,47 @@ class IncrementalExtractor:
         """Pending turns as of the start of ``batch_id``: latest compact
         before it, plus later per-batch add-deltas, minus conversations
         completed since the compact.  Reads only tables keyed < batch_id
-        so a replayed batch reconstructs its exact pre-batch state."""
+        so a replayed batch reconstructs its exact pre-batch state.
+
+        A done marker erases only pending rows ADDED AT OR BEFORE its
+        own batch (the rows its completion actually consumed): if the
+        same conv_id delivers fresh turns in a later batch, those must
+        survive — a blanket conv_id anti-join would drop them or not
+        depending on compaction cadence (nondeterministic data loss).
+        """
         compacts = [t for t in catalog.tables("pend_compact_")
                     if _table_id(t) < batch_id]
         base_id = _table_id(compacts[-1]) if compacts else -1
-        parts = [catalog.read(compacts[-1])] if compacts else []
-        parts += [catalog.read(t) for t in catalog.tables("pend_add_batch_")
+        parts = []
+        if compacts:
+            # compact rows survived every done ≤ base_id → tag with it
+            parts.append(catalog.read(compacts[-1])
+                         .withColumn("__add_batch", F.lit(base_id)))
+        parts += [catalog.read(t)
+                  .withColumn("__add_batch", F.lit(_table_id(t)))
+                  for t in catalog.tables("pend_add_batch_")
                   if base_id < _table_id(t) < batch_id]
         if not parts:
             return None
         state = parts[0]
         for p in parts[1:]:
             state = state.unionByName(p)
-        dones = [catalog.read(t) for t in catalog.tables("done_convs_batch_")
+        dones = [catalog.read(t)
+                 .withColumn("__done_batch", F.lit(_table_id(t)))
+                 for t in catalog.tables("done_convs_batch_")
                  if base_id < _table_id(t) < batch_id]
         if dones:
             done = dones[0]
             for d in dones[1:]:
                 done = done.unionByName(d)
-            state = state.join(F.broadcast(done.distinct()), "conv_id",
-                               "anti")
-        return state
+            done = F.broadcast(done.groupBy("conv_id").agg(
+                F.max("__done_batch").alias("__done_batch")))
+            state = state.join(
+                done,
+                (state["conv_id"] == done["conv_id"]) &
+                (done["__done_batch"] >= state["__add_batch"]),
+                "left_anti")
+        return state.drop("__add_batch")
 
     # ------------------------------------------------------- batch step
 

@@ -139,6 +139,39 @@ def test_streaming_incremental_matches_batch(spark, tmp_path):
             per_file_rows * 1.5 + 10
 
 
+def test_streaming_conv_id_reuse_after_completion(spark, tmp_path):
+    """A done marker must erase only the pending rows its completion
+    consumed (adds with batch id ≤ the marker's): turns for the SAME
+    conv_id arriving in later batches survive and complete on their
+    own.  (A blanket conv_id anti-join dropped them or not depending on
+    compaction cadence — nondeterministic loss.)"""
+    from mc2skos_spark.streaming.incremental import IncrementalExtractor
+
+    recs = synth_marc_records(2, seed=91, duplicate_every=0)
+    rows_a = make_transcript_rows(recs[:1], seed=92)  # conv-000000
+    rows_b = make_transcript_rows(recs[1:], seed=93)  # conv-000000 again
+    max_b = max(r[1] for r in rows_b)
+    b_first = [r for r in rows_b if r[1] <= max_b // 2]
+    b_rest = [r for r in rows_b if r[1] > max_b // 2]
+
+    warehouse = str(tmp_path / "wh")
+    extractor = IncrementalExtractor(warehouse, compact_every=0)
+    mk = lambda rows: spark.createDataFrame(rows,
+                                            schema=schemas.TRANSCRIPTS)
+    extractor.process_batch(mk(rows_a), 0)    # conv completes → done_0
+    extractor.process_batch(mk(b_first), 1)   # same conv_id, new turns
+    extractor.process_batch(mk(b_rest), 2)    # completes the reuse
+
+    streamed = {(r["subj"], r["pred"], r["obj"])
+                for r in streamed_triples(spark, warehouse).collect()}
+    expected = set()
+    for rows in (rows_a, rows_b):
+        expected |= {(r["subj"], r["pred"], r["obj"])
+                     for r in triples_from_extracted(extract_triples(
+                         reassemble_records(mk(rows)))).collect()}
+    assert streamed == expected
+
+
 def test_streaming_replay_idempotent(spark, tmp_path):
     """Crash-and-replay of any micro-batch must reproduce its snapshots
     byte-for-byte: batch N reads only state keyed <N and writes only
