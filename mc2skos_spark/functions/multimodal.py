@@ -48,11 +48,15 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 
 
 def extract_media_features(media: DataFrame,
-                           batch_size_hint: int = 64) -> DataFrame:
+                           batch_size_hint: int = 64,
+                           balance: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Binary columns are large: repartition by media_id first so Arrow
-    batches stay bounded, and never collect payloads to the driver.
+    Binary columns are large: ``balance=True`` hash-repartitions by
+    media_id so Arrow batches stay size-bounded regardless of upstream
+    skew; pass ``balance=False`` when the input is already well spread
+    (saves a full-payload shuffle — the expensive part when payloads
+    are MBs).  Payloads never reach the driver.
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -68,8 +72,8 @@ def extract_media_features(media: DataFrame,
             }
             yield pd.DataFrame(out)
 
-    balanced = media.repartition(F.xxhash64("media_id"))
-    return balanced.mapInPandas(fn, schema=FEATURES_SCHEMA)
+    source = media.repartition(F.xxhash64("media_id")) if balance else media
+    return source.mapInPandas(fn, schema=FEATURES_SCHEMA)
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
