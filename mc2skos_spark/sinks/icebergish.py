@@ -47,8 +47,12 @@ class IcebergishCatalog:
         tdir = self._table_dir(table)
         if not os.path.isdir(tdir):
             return []
-        return sorted(f for f in os.listdir(tdir)
-                      if f.startswith("manifest-") and f.endswith(".json"))
+        # sort by the parsed snapshot id, not lexicographically — the
+        # zero-padded name wraps at 1e6 commits and [-1] would resolve
+        # a stale snapshot
+        return sorted((f for f in os.listdir(tdir)
+                       if f.startswith("manifest-") and f.endswith(".json")),
+                      key=lambda f: int(f[len("manifest-"):-len(".json")]))
 
     def current_manifest(self, table: str) -> dict | None:
         manifests = self._list_manifests(table)
@@ -95,17 +99,23 @@ class IcebergishCatalog:
         key = lineage_key or df.columns[0]
         # Explicit schema: an empty snapshot has no footer to infer from.
         written = self.spark.read.schema(df.schema).parquet(snap_dir)
+        # aggregate the key in ITS OWN type and cast after (a string
+        # cast before min/max would order numeric keys lexically);
+        # sort the collected rows so part_id assignment — and therefore
+        # the manifest bytes — are replay-deterministic
+        stats = sorted(
+            written.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.min(key).cast("string").alias("mn"),
+                 F.max(key).cast("string").alias("mx"))
+            .collect(),
+            key=lambda r: r["file"])
         lineage = [
             {"part_id": i,
              "file": os.path.basename(r["file"]),
              "input_min": r["mn"], "input_max": r["mx"],
              "row_count": r["cnt"]}
-            for i, r in enumerate(
-                written.groupBy(F.input_file_name().alias("file"))
-                .agg(F.count(F.lit(1)).alias("cnt"),
-                     F.min(F.col(key).cast("string")).alias("mn"),
-                     F.max(F.col(key).cast("string")).alias("mx"))
-                .collect())
+            for i, r in enumerate(stats)
         ]
         row_count = sum(p["row_count"] for p in lineage)
         counts = [p["row_count"] for p in lineage] or [0]

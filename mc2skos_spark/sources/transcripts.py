@@ -31,6 +31,10 @@ from pyspark.sql import DataFrame, functions as F
 
 # A standalone serialized MARC record span, any namespace prefix.
 RECORD_SPAN_PATTERN = r"(?s)<(?:\w+:)?record[\s>].*?</(?:\w+:)?record>"
+# shared with the stateful-streaming path: record_id derivation must be
+# byte-identical between batch and streaming (tested), so there is ONE
+# 001-controlfield pattern
+CONTROL_001_PATTERN = r'<(?:\w+:)?controlfield[^>]*tag="001"[^>]*>([^<]*)<'
 
 
 def reassemble_records(transcripts: DataFrame,
@@ -84,9 +88,7 @@ def reassemble_records(transcripts: DataFrame,
     )
     return records.select(
         F.coalesce(
-            F.regexp_extract(
-                "record_xml",
-                r'<(?:\w+:)?controlfield[^>]*tag="001"[^>]*>([^<]*)<', 1),
+            F.regexp_extract("record_xml", CONTROL_001_PATTERN, 1),
             F.lit(""),
         ).alias("raw_001"),
         "conv_id", "pos", "record_xml",
@@ -98,10 +100,12 @@ def reassemble_records(transcripts: DataFrame,
     )
 
 
-def roundtrip_check(transcripts: DataFrame, records: DataFrame) -> dict:
+def roundtrip_check(transcripts: DataFrame, records: DataFrame,
+                    payload_tool: str = "marc_export") -> dict:
     """Evidence for the per-turn-equality invariant: every payload byte
-    must land in exactly one reassembled record."""
-    payload_chars = (transcripts.filter(F.col("tool") == "marc_export")
+    must land in exactly one reassembled record.  ``payload_tool`` must
+    match the value the records were reassembled with."""
+    payload_chars = (transcripts.filter(F.col("tool") == payload_tool)
                      .agg(F.sum(F.length("text"))).collect()[0][0]) or 0
     record_chars = (records.agg(F.sum(F.length("record_xml")))
                     .collect()[0][0]) or 0
