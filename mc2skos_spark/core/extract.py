@@ -51,6 +51,16 @@ def _mint_relation(vocabularies: Vocabularies, relations: list,
             'unknown scheme "%s"%s' % (scheme_code,
                                        " in field %s" % tag if tag else ""))
         return
+    except (TypeError, ValueError, IndexError, KeyError) as exc:
+        # malformed edge data (e.g. a mapping field with $2 but no
+        # value: template expansion slices None) — contain the damage
+        # to THIS edge like the unknown-scheme branch above, instead of
+        # quarantining the whole record
+        warnings.append(
+            "cannot mint %s URI%s: %s"
+            % (relation.rpartition("#")[2],
+               " in field %s" % tag if tag else "", exc))
+        return
     if uri:
         relations.append({"uri": uri, "relation": relation})
 
@@ -150,7 +160,8 @@ def extract_classification(rec: dict, vocabularies: Vocabularies,
     value_008 = controlfield(rec, "008")
     (bag["created"], bag["record_type"], bag["number_type"], bag["display"],
      bag["synthesized"], bag["deprecated"]) = _wrap_crash(
-        parse_008_classification, value_008, control_number=cn, what="008")
+        parse_008_classification, value_008, bag["warnings"],
+        control_number=cn, what="008")
 
     # F1: 153 notation state machine (required field, record.py:275-277).
     field_153 = first_datafield(rec, "153")
@@ -165,19 +176,27 @@ def extract_classification(rec: dict, vocabularies: Vocabularies,
         bag["record_type"] = (C.SCHEDULE_RECORD if bag["table"] is None
                               else C.TABLE_RECORD)
 
-    # URI minting (record.py:248-264).
+    # URI minting (record.py:248-264).  Wrapped so malformed template
+    # inputs (e.g. notation None from a $j-only 153: expansion slices
+    # None → TypeError) surface as InvalidRecordError — the documented
+    # contract of this module — not a raw TypeError.
     bag["scheme_uris"] = []
-    if bag["record_type"] == C.TABLE_RECORD:
-        uri = scheme.uri("scheme", collection="table",
-                         object=bag["table"] if bag["table"] is not None else "")
+
+    def _mint_record_uris():
+        if bag["record_type"] == C.TABLE_RECORD:
+            uri = scheme.uri("scheme", collection="table",
+                             object=bag["table"] if bag["table"] is not None
+                             else "")
+            if uri:
+                bag["scheme_uris"].append(uri)
+        obj = "edition" if scheme.edition is not None else ""
+        uri = scheme.uri("scheme", collection="scheme", object=obj)
         if uri:
             bag["scheme_uris"].append(uri)
-    obj = "edition" if scheme.edition is not None else ""
-    uri = scheme.uri("scheme", collection="scheme", object=obj)
-    if uri:
-        bag["scheme_uris"].append(uri)
-    bag["uri"] = scheme.uri("concept", collection="class",
-                            object=bag["notation"], control_number=cn)
+        bag["uri"] = scheme.uri("concept", collection="class",
+                                object=bag["notation"], control_number=cn)
+
+    _wrap_crash(_mint_record_uris, control_number=cn, what="URI minting")
 
     # E1 broader edge (record.py:289-295).
     if parent_notation is not None:
@@ -283,7 +302,9 @@ def extract_authority(rec: dict, vocabularies: Vocabularies,
     scheme_uri = scheme.uri("scheme")
     if scheme_uri:
         bag["scheme_uris"].append(scheme_uri)
-    bag["uri"] = scheme.uri("concept", control_number=cn)
+    bag["uri"] = _wrap_crash(
+        lambda: scheme.uri("concept", control_number=cn),
+        control_number=cn, what="URI minting")
 
     # T6 deprecation from leader[5] (record.py:625-627).
     leader = rec["leader"]

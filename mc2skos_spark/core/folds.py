@@ -50,15 +50,21 @@ TERM_TAG_SUFFIXES = ("00", "10", "11", "30", "47", "48", "50", "51", "53",
                      "55", "62")
 
 
-def parse_008_classification(value: str | None):
+def parse_008_classification(value: str | None,
+                             warnings: list[str] | None = None):
     """Decode the classification 008 fixed field.
 
     Returns (created, record_type, number_type, display, synthesized,
     deprecated) with the exact branch structure of
     /root/reference/mc2skos/record.py:437-501, including the documented
     quirk that the "other information" display fallback tests position 7
-    rather than 13 (record.py:493).
+    rather than 13 (record.py:493).  Unknown 008/6 and 008/13 values are
+    surfaced on the ``warnings`` side-channel (the reference logs them,
+    record.py:461,498) — such records fail the publish filter later, so
+    without the warning they would vanish without a trace.
     """
+    if warnings is None:
+        warnings = []
     if value is None:
         return None, None, None, True, False, False
 
@@ -72,7 +78,10 @@ def parse_008_classification(value: str | None):
         "j": C.INTERNAL_SUMMARY_OF_TABLE_NUMBER,
         "m": C.MANUAL_NOTE_RECORD,
         "1": C.SCHEDULE_RECORD,  # undocumented, kept (record.py:458-459)
-    }.get(value[6], C.UNKNOWN)
+    }.get(value[6])
+    if record_type is None:
+        record_type = C.UNKNOWN
+        warnings.append("unknown value in 008/6: %s" % value[6])
 
     number_type = {
         "a": C.SINGLE_NUMBER,
@@ -91,6 +100,7 @@ def parse_008_classification(value: str | None):
         display = False
     else:
         display = False
+        warnings.append("unknown value in 008/13: %s" % value[13])
 
     return created, record_type, number_type, display, synthesized, deprecated
 

@@ -68,22 +68,31 @@ def _flatten_text(node: ET.Element) -> str | None:
     return node.text
 
 
+def _tree_builder() -> ET.TreeBuilder:
+    # insert_pis/insert_comments keep PIs AND comments as child nodes so
+    # _flatten_text sees the same tree shape the reference's lxml parse
+    # produces (a comment inside subfield text must drop the leading
+    # text exactly like a PI does — element.py:52-60).
+    return ET.TreeBuilder(insert_pis=True, insert_comments=True)
+
+
 def _parse_xml(xml_string: str) -> ET.Element:
-    # insert_pis=True keeps processing instructions as child nodes so that
-    # _flatten_text sees the same tree shape lxml would produce.
-    parser = ET.XMLParser(target=ET.TreeBuilder(insert_pis=True))
-    return ET.fromstring(xml_string, parser=parser)
+    return ET.fromstring(xml_string, parser=ET.XMLParser(target=_tree_builder()))
 
 
 def parse_record_xml(xml_string: str) -> dict:
     """Parse one MARCXML ``<record>`` element string into the dict form."""
     root = _parse_xml(xml_string)
     if _localname(root.tag) != "record":
-        # Accept a wrapping collection with a single record inside.
-        for child in root:
-            if _localname(child.tag) == "record":
-                root = child
-                break
+        # Accept a wrapping collection with a SINGLE record inside;
+        # silently keeping only the first of several would be data loss.
+        records = [c for c in root if _localname(c.tag) == "record"]
+        if len(records) != 1:
+            raise ValueError(
+                "expected one <record>, found %d inside <%s> — split "
+                "multi-record files with records_in_xml_file/"
+                "iter_records_in_file" % (len(records), root.tag))
+        root = records[0]
     return record_element_to_dict(root)
 
 
@@ -107,10 +116,17 @@ def record_element_to_dict(root: ET.Element) -> dict:
             for sf in child:
                 if _localname(sf.tag) != "subfield":
                     continue
+                # raw text nodes (leading text + child tails) mirror
+                # lxml's subfield/text() — get_ess_codes inspects each
+                # node separately (element.py:70-71)
+                text_nodes = [t for t in
+                              [sf.text] + [c.tail for c in sf]
+                              if t is not None]
                 subfields.append({
                     "code": sf.get("code"),
                     "value": _flatten_text(sf),
                     "has_text": sf.text is not None,
+                    "text_nodes": text_nodes,
                 })
             datafields.append({
                 "tag": child.get("tag"),
@@ -133,11 +149,22 @@ def iter_records_in_file(path: str):
     driver-side fixture loading and by the file source; the distributed
     path reads transcript tables instead.
     """
-    parser = ET.XMLParser(target=ET.TreeBuilder(insert_pis=True))
-    for event, elem in ET.iterparse(path, events=("end",), parser=parser):
+    parser = ET.XMLParser(target=_tree_builder())
+    root = None
+    for event, elem in ET.iterparse(path, events=("start", "end"),
+                                    parser=parser):
+        if event == "start":
+            if root is None:
+                root = elem
+            continue
         if _localname(elem.tag) == "record":
             yield record_element_to_dict(elem)
             elem.clear()
+            # cleared <record> shells stay attached to the growing
+            # root <collection> — drop them or memory grows linearly
+            # with record count despite the per-element clear
+            if root is not None and root is not elem:
+                root.clear()
 
 
 # --------------------------------------------------------------------------
@@ -204,10 +231,21 @@ def datafield_subfield_text(rec: dict, tag: str, code: str) -> str | None:
 
 
 def ess_codes(field: dict) -> list[str]:
-    """``$9`` subfields of the form ``ess=X`` → ``X`` (element.py:70-71)."""
+    """``$9`` subfields of the form ``ess=X`` → ``X`` (element.py:70-71).
+
+    The reference xpaths ``subfield/text()`` — every raw text NODE is
+    tested for the ``ess=`` prefix separately (a PI/comment splits the
+    text into several nodes), not the flattened value.  Hand-built test
+    dicts without ``text_nodes`` fall back to the flattened value.
+    """
     out = []
     for sf in field["subfields"]:
-        if sf["code"] == "9" and sf["value"] is not None \
-                and sf["value"].startswith("ess="):
-            out.append(sf["value"][4:])
+        if sf["code"] != "9":
+            continue
+        nodes = sf.get("text_nodes")
+        if nodes is None:
+            nodes = [sf["value"]] if sf["value"] is not None else []
+        for node in nodes:
+            if node.startswith("ess="):
+                out.append(node[4:])
     return out

@@ -107,11 +107,17 @@ def parse_turtle(text: str) -> list[tuple]:
         kind, value = tokens[i]
         if kind == "bare" and value == "prefix" or \
            kind == "langtag" and value == "prefix":
-            # '@prefix' tokenizes as langtag 'prefix'
+            # '@prefix' tokenizes as langtag 'prefix'.  Hard errors, not
+            # asserts: this parser is the golden-file judge, so a
+            # malformed directive must fail loudly even under python -O
+            if i + 3 >= n:
+                raise ValueError("turtle: truncated @prefix directive")
             pfx_kind, pfx_value = tokens[i + 1]
             prefixes[pfx_value[0] if pfx_kind == "pname" else ""] = \
                 tokens[i + 2][1]
-            assert tokens[i + 3] == ("punct", ".")
+            if tokens[i + 3] != ("punct", "."):
+                raise ValueError("turtle: @prefix not terminated by '.', "
+                                 "got %r" % (tokens[i + 3],))
             i += 4
             continue
 

@@ -39,8 +39,9 @@ def records_in_xml_file(path: str) -> list[str]:
     semantics) so every consumer — fixtures, goldens, the convert CLI —
     sees the same tree.
     """
-    parser = ET.XMLParser(target=ET.TreeBuilder(insert_pis=True))
-    root = ET.parse(path, parser=parser).getroot()
+    from ..core.marcxml import _tree_builder
+    root = ET.parse(path,
+                    parser=ET.XMLParser(target=_tree_builder())).getroot()
     if root.tag.endswith("record"):
         records = [root]
     else:

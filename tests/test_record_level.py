@@ -323,6 +323,93 @@ def test_exact_triple_set_with_default_scheme():
     }
 
 
+def test_malformed_mapping_edge_warns_and_keeps_record():
+    """An 024 with $2 but no $a (control_number=None) must not destroy
+    the record: the single edge is warn-skipped like the unknown-scheme
+    branch, every other triple survives."""
+    bag = extract('''
+        <mx:record %s>
+          <mx:leader>00000nz  a2200000n  4500</mx:leader>
+          <mx:controlfield tag="001">sh0001</mx:controlfield>
+          <mx:controlfield tag="008">120224n|aana               a aaa     </mx:controlfield>
+          <mx:datafield tag="040" ind1=" " ind2=" ">
+            <mx:subfield code="b">eng</mx:subfield></mx:datafield>
+          <mx:datafield tag="150" ind1=" " ind2=" ">
+            <mx:subfield code="a">Topic</mx:subfield></mx:datafield>
+          <mx:datafield tag="024" ind1="7" ind2=" ">
+            <mx:subfield code="2">viaf</mx:subfield></mx:datafield>
+        </mx:record>''' % MX)
+    assert bag["prefLabel"] == "Topic"
+    assert bag["relations"] == []
+    assert any("cannot mint" in w for w in bag["warnings"])
+
+
+def test_153_without_notation_raises_invalid_record():
+    """$j-only 153 (notation None) must surface as InvalidRecordError —
+    the documented contract — not a raw TypeError from template
+    expansion slicing None."""
+    with pytest.raises(InvalidRecordError) as err:
+        extract('''
+            <mx:record %s>
+              <mx:leader>00000nw  a2200000n  4500</mx:leader>
+              <mx:controlfield tag="008">091203aaaaaaaa</mx:controlfield>
+              <mx:datafield tag="084" ind1="0" ind2=" ">
+                <mx:subfield code="a">ddc</mx:subfield>
+                <mx:subfield code="c">23</mx:subfield></mx:datafield>
+              <mx:datafield tag="153" ind1=" " ind2=" ">
+                <mx:subfield code="j">Caption only</mx:subfield>
+              </mx:datafield>
+            </mx:record>''' % MX)
+    assert "URI minting" in str(err.value)
+
+
+def test_unknown_008_values_surface_warnings():
+    """Unknown 008/6 makes the record UNKNOWN+unpublishable; without a
+    warning row it would vanish without a trace (the reference logs it,
+    record.py:461,498)."""
+    bag = extract('''
+        <mx:record %s>
+          <mx:leader>00000nw  a2200000n  4500</mx:leader>
+          <mx:controlfield tag="008">091203xaaaaaax</mx:controlfield>
+          <mx:datafield tag="084" ind1="0" ind2=" ">
+            <mx:subfield code="a">ddc</mx:subfield>
+            <mx:subfield code="c">23</mx:subfield></mx:datafield>
+          <mx:datafield tag="153" ind1=" " ind2=" ">
+            <mx:subfield code="a">111</mx:subfield>
+            <mx:subfield code="j">Caption</mx:subfield></mx:datafield>
+        </mx:record>''' % MX)
+    assert bag["is_public"] is False
+    assert "unknown value in 008/6: x" in bag["warnings"]
+    assert "unknown value in 008/13: x" in bag["warnings"]
+
+
+def test_comment_in_subfield_flattens_like_reference():
+    """lxml keeps comments as child nodes, so the reference's flatten
+    drops leading text and keeps tails (element.py:52-60) — ours must
+    match byte-for-byte."""
+    from mc2skos_spark.core.marcxml import parse_record_xml
+    rec = parse_record_xml(
+        '<record xmlns="http://www.loc.gov/MARC21/slim">'
+        '<leader>00000nw  a2200000n  4500</leader>'
+        '<datafield tag="680" ind1=" " ind2=" ">'
+        '<subfield code="i">abc<!--note-->def</subfield>'
+        '</datafield></record>')
+    assert rec["datafields"][0]["subfields"][0]["value"] == "def"
+
+
+def test_multi_record_collection_is_rejected():
+    from mc2skos_spark.core.marcxml import parse_record_xml
+    rec = ('<record xmlns="http://www.loc.gov/MARC21/slim">'
+           '<leader>00000nw  a2200000n  4500</leader></record>')
+    with pytest.raises(ValueError, match="expected one"):
+        parse_record_xml('<collection xmlns="http://www.loc.gov/MARC21/'
+                         'slim">%s%s</collection>'
+                         % (rec.replace(' xmlns="http://www.loc.gov/'
+                                        'MARC21/slim"', ''),
+                            rec.replace(' xmlns="http://www.loc.gov/'
+                                        'MARC21/slim"', '')))
+
+
 def test_language_derivation():
     vocabularies = Vocabularies()
     vocabularies.set_default_scheme("http://test/{object}")
