@@ -316,9 +316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- P4: xpath-style projection over array columns (higher-order
     #     filter/transform/exists — the datafields-array analog)
     def p4_array_projection(spark, sf_dir):
+        from mc2skos_spark.functions.textstats import tokens
         docs = _t(spark, sf_dir, "documents")
-        toks = F.filter(F.split(F.lower("text"), r"\s+"),
-                        lambda t: t != "")
+        toks = tokens(F.lower(F.col("text")))
         return docs.select(
             "doc_id",
             F.size(F.filter(toks, lambda t: t.startswith("s")))
@@ -694,7 +694,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM part)
             SELECT p_partkey, sort_key,
                    cast(row_number() OVER (ORDER BY sort_key, p_partkey)
-                        AS int) AS rk
+                        AS bigint) AS rk
             FROM keyed""",
         "w1_window_rank": """
             WITH ranked AS (

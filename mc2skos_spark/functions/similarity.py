@@ -29,7 +29,11 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-magnitude vector yields NULL→0.0 instead of an
+    # ANSI DIVIDE_BY_ZERO that would kill the whole query (parity with
+    # the Python helper in ivf_topk)
+    return F.coalesce(F.try_divide(_dot(a, b), _norm(a) * _norm(b)),
+                      F.lit(0.0))
 
 
 def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
@@ -105,7 +109,8 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
               .select(F.col(id_col).alias("cid"),
                       F.col(vec_col).alias("cvec"))
               .collect())
-    centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]])
+    # keep the native id value — the API supports non-numeric id_col
+    centroids = [(r["cid"], [float(x) for x in r["cvec"]])
                  for r in sample]
 
     def cos_py(a, b):

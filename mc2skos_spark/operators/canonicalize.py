@@ -35,15 +35,25 @@ SAMEAS_PREDS = (C.OWL + "sameAs", C.SKOS + "exactMatch")
 
 def candidate_sameas_edges(triples: DataFrame,
                            use_exact_match: bool = False) -> DataFrame:
-    """(src, dst) candidate identity edges between concept URIs."""
+    """(src, dst) candidate identity edges between concept URIs.
+
+    The identifier literal is the record's 001 control number, which is
+    only unique PER ASSIGNING AGENCY — two unrelated vocabularies can
+    hold the same digits.  The self-join therefore keys on
+    (identifier, URI authority): same agency host (e.g. dewey.info
+    across the e22/e23 editions) merges, a GND/NALT digit collision
+    does not.
+    """
+    authority = F.substring_index(F.col("subj"), "/", 3)
     ids = (triples
            .filter((F.col("pred") == IDENTIFIER_PRED) &
                    F.col("obj_is_literal"))
-           .select(F.col("obj").alias("ident"), F.col("subj")))
-    # Self-join on identifier value; keep src<dst to halve the edges.
+           .select(F.col("obj").alias("ident"),
+                   authority.alias("auth"), F.col("subj")))
+    # Self-join on (identifier, authority); keep src<dst to halve edges.
     left = ids.alias("l")
     right = ids.alias("r")
-    edges = (left.join(right, on="ident")
+    edges = (left.join(right, on=["ident", "auth"])
              .select(F.col("l.subj").alias("src"),
                      F.col("r.subj").alias("dst"))
              .filter(F.col("src") < F.col("dst"))
@@ -90,6 +100,10 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
         # scale job; it is reused for every loop round anyway
         cc_partitions = max(8, both.count() // 1_000_000)
     spark = edges.sparkSession
+    # NOTE: the width override is session-scoped for the loop's
+    # duration — fine for this pipeline's sequential driver, but a
+    # session shared by CONCURRENT query threads would plan them at the
+    # loop width too; isolate with a dedicated session in that setup.
     shuffle_conf = "spark.sql.shuffle.partitions"
     saved_shuffle = spark.conf.get(shuffle_conf)
     spark.conf.set(shuffle_conf, str(cc_partitions))

@@ -49,9 +49,13 @@ def global_rank(df: DataFrame, order_cols: list[str],
     off_map = F.create_map(*[F.lit(x) for pid in sorted(offsets)
                              for x in (pid, offsets[pid])])
     w = Window.partitionBy("__pid").orderBy(*order_cols)
+    # rank stays LONG: this operator exists for datasets too big for a
+    # single window partition, where an int32 rank would overflow (and
+    # throw under ANSI) past ~2.1B rows
     out = (parted
            .withColumn("__rn", F.row_number().over(w))
            .withColumn(rank_col,
-                       (off_map[F.col("__pid")] + F.col("__rn")).cast("int"))
+                       (off_map[F.col("__pid")].cast("long")
+                        + F.col("__rn")))
            .drop("__pid", "__rn"))
     return out

@@ -63,9 +63,17 @@ def turtle_sort_key(subj_col) -> F.Column:
 
 
 def _term_expr():
-    """Render one triple's object as a Turtle term (JVM expressions)."""
+    """Render one triple's object as a Turtle term (JVM expressions).
+
+    Escapes backslash, quote, LF, CR and TAB — raw #xA/#xD are illegal
+    inside STRING_LITERAL_QUOTE, so a newline-bearing note would
+    otherwise produce unparseable Turtle (rdflib escapes identically).
+    """
     escaped = F.regexp_replace(
         F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', r'\"')
+    escaped = F.regexp_replace(escaped, "\n", r"\\n")
+    escaped = F.regexp_replace(escaped, "\r", r"\\r")
+    escaped = F.regexp_replace(escaped, "\t", r"\\t")
     literal = F.concat(F.lit('"'), escaped, F.lit('"'))
     literal = (F.when(F.col("obj_lang").isNotNull(),
                       F.concat(literal, F.lit("@"), F.col("obj_lang")))
@@ -89,21 +97,29 @@ def triples_to_turtle(triples: DataFrame) -> DataFrame:
     position (the bnode cons-list is not reproducible — see SURVEY §1c).
     """
     rendered = triples.select(
-        "subj",
+        "subj", "pred", "obj",
         F.concat(F.lit("    <"), F.col("pred"), F.lit("> "), _term_expr(),
                  F.when(F.col("component_pos").isNotNull(),
                         F.concat(F.lit("  # pos="),
                                  F.col("component_pos").cast("string")))
                   .otherwise(F.lit(""))).alias("stmt"),
     )
+    # class_order parity (mc2skos.py:336-339): ConceptScheme blocks
+    # print before Concept blocks regardless of their URI sort keys
+    is_scheme = F.max(
+        F.when((F.col("pred") == C.RDF + "type") &
+               (F.col("obj") == C.SKOS + "ConceptScheme"), 1)
+        .otherwise(0))
     blocks = (rendered.groupBy("subj")
               .agg(F.array_join(F.array_sort(F.collect_list("stmt")),
-                                " ;\n").alias("body"))
+                                " ;\n").alias("body"),
+                   is_scheme.alias("is_scheme"))
               .select(
+                  (1 - F.col("is_scheme")).alias("class_rank"),
                   turtle_sort_key(F.col("subj")).alias("sort_key"),
                   F.concat(F.lit("<"), F.col("subj"), F.lit(">\n"),
                            F.col("body"), F.lit(" .\n")).alias("block")))
-    return blocks.orderBy("sort_key").select("block")
+    return blocks.orderBy("class_rank", "sort_key").select("block")
 
 
 def turtle_header() -> str:
