@@ -69,8 +69,11 @@ def _term_expr():
     inside STRING_LITERAL_QUOTE, so a newline-bearing note would
     otherwise produce unparseable Turtle (rdflib escapes identically).
     """
+    # NB replacement strings are JAVA regex replacements: backslash is
+    # an escape there too, so a literal backslash must be written \\
+    # (r'\"' would collapse to a bare quote and not escape at all)
     escaped = F.regexp_replace(
-        F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', r'\"')
+        F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', r'\\"')
     escaped = F.regexp_replace(escaped, "\n", r"\\n")
     escaped = F.regexp_replace(escaped, "\r", r"\\r")
     escaped = F.regexp_replace(escaped, "\t", r"\\t")

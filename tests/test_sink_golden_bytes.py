@@ -116,6 +116,28 @@ def test_turtle_block_roundtrips_to_reference_rows(golden_triples):
     assert reparsed == golden
 
 
+def test_turtle_escapes_control_chars_roundtrip(spark):
+    """Raw LF/CR are illegal inside Turtle string literals: a note
+    containing them must serialize escaped and round-trip through the
+    reader to the original bytes."""
+    nasty = 'line one\nline "two"\r\ttabbed \\ backslash'
+    triples = spark.createDataFrame(
+        [("http://x/s", "http://x/p", nasty, True, "en", None, None,
+          "r1")],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_datatype string, component_pos int, "
+        "record_id string")
+    block = triples_to_turtle(triples).collect()[0]["block"]
+    assert r"\n" in block and r"\r" in block and r"\t" in block
+    # the literal itself carries no raw control characters
+    literal = block.split('"', 1)[1].rsplit('"', 1)[0]
+    assert "\n" not in literal and "\r" not in literal \
+        and "\t" not in literal
+    rows = parse_turtle(turtle_header() + block)
+    assert rows == [("http://x/s", "http://x/p", nasty, True, "en",
+                     None, None)]
+
+
 def test_jskos_line_bytes(golden_triples):
     lines = triples_to_jskos(golden_triples).collect()
     assert len(lines) == 1
