@@ -31,10 +31,13 @@ def main() -> None:
     parser.add_argument("infile", nargs="+", help="input MARCXML file(s)")
     parser.add_argument("outfile", help="output RDF file")
     parser.add_argument("-o", "--outformat", default=None,
-                        choices=["turtle", "jskos", "triples"],
-                        help="default: by outfile extension (.ttl→turtle,"
-                             " .ndjson/.jskos→jskos); 'triples' = one"
-                             " predicate-map JSON line per subject")
+                        choices=["turtle", "jskos", "ndjson", "triples"],
+                        help="like the reference: 'jskos' = ONE indented"
+                             " JSON document with @graph, 'ndjson' = one"
+                             " JSKOS concept per line; 'triples' = one"
+                             " predicate-map JSON line per subject."
+                             " Default by outfile extension (.ttl→turtle,"
+                             " .jskos/.json→jskos, .ndjson→ndjson)")
     parser.add_argument("--include", action="append", default=[],
                         help="RDF (Turtle) file(s) to union into the "
                              "output graph")
@@ -66,6 +69,8 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("mc2skos-convert").getOrCreate()
+    from mc2skos_spark.plans.shiplib import ensure_shipped
+    ensure_shipped(spark)  # workers need the package without --py-files
     stats = convert(spark, args.infile, args.outfile,
                     outformat=args.outformat, include=args.include,
                     base_uri=args.base_uri, scheme=args.scheme,
@@ -101,8 +106,8 @@ def convert(spark, infiles, outfile, outformat=None, include=(),
     if fmt is None:
         ext = os.path.splitext(outfile)[1].lower()
         fmt = {"ttl": "turtle", "turtle": "turtle", "jskos": "jskos",
-               "ndjson": "jskos", "json": "jskos"}.get(ext.lstrip("."),
-                                                       "turtle")
+               "ndjson": "ndjson", "json": "jskos"}.get(ext.lstrip("."),
+                                                        "turtle")
 
     from mc2skos_spark.sources.synth import records_in_xml_file
     rows = []
@@ -141,6 +146,20 @@ def convert(spark, infiles, outfile, outformat=None, include=(),
                 fp.write(row["block"] + "\n")
                 n += 1
         elif fmt == "jskos":
+            # reference parity (mc2skos.py:349-355): ONE indented JSON
+            # document with a top-level @context and @graph
+            graph = sorted(
+                (json.loads(row["line"]) for row in
+                 triples_to_jskos(triples, ndjson=False).toLocalIterator()),
+                key=lambda o: o["uri"])
+            n = len(graph)
+            from mc2skos_spark.sinks.jskos import JSKOS_CONTEXT_URL
+            fp.write(json.dumps({"@context": JSKOS_CONTEXT_URL,
+                                 "@graph": graph},
+                                sort_keys=True, indent=2,
+                                ensure_ascii=False))
+            fp.write("\n")
+        elif fmt == "ndjson":
             for row in triples_to_jskos(triples).toLocalIterator():
                 fp.write(row["line"] + "\n")
                 n += 1

@@ -48,6 +48,9 @@ def main() -> None:
                         help="materialize skos:broaderTransitive "
                              "(skosify transitive=True analog)")
     parser.add_argument("--no-canonicalize", action="store_true")
+    parser.add_argument("--force", action="store_true",
+                        help="rerun every stage even if the warehouse "
+                             "holds committed snapshots")
     parser.add_argument("--block-size", type=int, default=None,
                         help="two-phase reassembly block size for "
                              "pathologically long conversations")
@@ -71,6 +74,11 @@ def main() -> None:
     from mc2skos_spark.sinks.serializers import write_turtle
 
     spark = SparkSession.builder.appName("mc2skos-kg-pipeline").getOrCreate()
+    # executors must import the package even without --py-files (e.g.
+    # `python jobs/run_pipeline.py` from a checkout: the driver sees it
+    # via sys.path, local-mode Python WORKERS do not)
+    from mc2skos_spark.plans.shiplib import ensure_shipped
+    ensure_shipped(spark)
 
     if args.synth:
         from mc2skos_spark.sources.synth import transcripts_dataframe
@@ -90,7 +98,8 @@ def main() -> None:
                           default_scheme=args.scheme, expand=args.expand,
                           transitive=args.transitive,
                           canonicalize=not args.no_canonicalize,
-                          block_size=args.block_size)
+                          block_size=args.block_size,
+                          force=args.force)
     triples = pipeline.run(transcripts)
     if args.turtle_out:
         write_turtle(triples, args.turtle_out)

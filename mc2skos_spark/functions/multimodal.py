@@ -48,7 +48,6 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 
 
 def extract_media_features(media: DataFrame,
-                           batch_size_hint: int = 64,
                            balance: bool = True) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
@@ -56,18 +55,24 @@ def extract_media_features(media: DataFrame,
     media_id so Arrow batches stay size-bounded regardless of upstream
     skew; pass ``balance=False`` when the input is already well spread
     (saves a full-payload shuffle — the expensive part when payloads
-    are MBs).  Payloads never reach the driver.
+    are MBs).  Rows per Arrow batch are governed by the session's
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — lower it for
+    multi-MB payloads.  Payloads never reach the driver.
     """
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
+            # NULL payloads (the schema permits them) yield NULL
+            # features instead of crashing the whole stage on len(None)
             out = {
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
-                "payload_bytes": batch["payload"].map(len),
+                "payload_bytes": batch["payload"].map(
+                    lambda b: len(b) if b is not None else None),
                 "content_digest": batch["payload"].map(
-                    lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+                    lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    if b is not None else None),
                 "feature": [
-                    _decode_stub(bytes(p), k)
+                    _decode_stub(bytes(p), k) if p is not None else None
                     for p, k in zip(batch["payload"], batch["kind"])],
             }
             yield pd.DataFrame(out)

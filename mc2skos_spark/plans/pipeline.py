@@ -9,15 +9,21 @@ Stage DAG (SURVEY.md §3 lifecycle):
       triples ──(4 optional transitive)──► + skos:broaderTransitive
 
 Every stage commits its output to the Icebergish catalog; on re-run a
-stage whose snapshot is already committed is *skipped* and its table
-read back (resume = manifest presence, the anti-join-manifest pattern
-degenerating to a whole-stage check because stages commit atomically).
-A kill between data write and manifest commit leaves the stage
-uncommitted → it reruns and overwrites the orphan snapshot dir, giving
-byte-identical results (BASELINE.md resume-idempotence row).
+stage whose snapshot is already committed *with the same pipeline
+configuration* is skipped and its table read back (resume = manifest
+presence + config-fingerprint match: a run with different flags must
+NOT silently serve snapshots produced under the old flags).  A kill
+between data write and manifest commit leaves the stage uncommitted →
+it reruns and overwrites the orphan snapshot dir, giving byte-identical
+results (BASELINE.md resume-idempotence row).  The fingerprint cannot
+see the INPUT data — reuse a warehouse only for the same input, or pass
+``force=True`` to rerun everything.
 """
 
 from __future__ import annotations
+
+import hashlib
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,7 +46,8 @@ class KgPipeline:
                  expand: bool = False,
                  transitive: bool = False,
                  canonicalize: bool = True,
-                 block_size: int | None = None):
+                 block_size: int | None = None,
+                 force: bool = False):
         self.spark = spark
         self.catalog = IcebergishCatalog(warehouse, spark)
         self.options = dict(options or {})
@@ -49,16 +56,27 @@ class KgPipeline:
         self.transitive = transitive
         self.canonicalize = canonicalize
         self.block_size = block_size
+        self.force = force
         self.stage_log: list[tuple[str, str]] = []  # (stage, ran|resumed)
+        self.config_hash = hashlib.sha256(json.dumps({
+            "options": sorted(self.options.items()),
+            "default_scheme": default_scheme,
+            "expand": expand, "transitive": transitive,
+            "canonicalize": canonicalize, "block_size": block_size,
+        }, sort_keys=True).encode()).hexdigest()[:16]
 
     def _stage(self, name: str, build, partition_by=None,
                lineage_key=None) -> DataFrame:
-        if self.catalog.exists(name):
+        manifest = self.catalog.current_manifest(name)
+        if (manifest is not None and not self.force and
+                manifest.get("properties", {}).get("config_hash")
+                == self.config_hash):
             self.stage_log.append((name, "resumed"))
             return self.catalog.read(name)
         df = build()
         self.catalog.write(name, df, partition_by=partition_by,
-                           lineage_key=lineage_key)
+                           lineage_key=lineage_key,
+                           properties={"config_hash": self.config_hash})
         self.stage_log.append((name, "ran"))
         return self.catalog.read(name)
 

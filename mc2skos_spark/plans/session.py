@@ -19,7 +19,8 @@ def build_session(app_name: str = "mc2skos_spark",
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     master = master or "local[%d]" % cpus
     if master.startswith("local[") and master != "local[*]":
-        cpus = int(master[6:-1])
+        # tolerate Spark's local[N,maxFailures] form
+        cpus = int(master[6:-1].split(",")[0])
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     # Heap sizing: enough that 32 concurrent tasks don't GC-thrash, but
     # FIXED (-Xms=-Xmx) and pre-touched.  This sandbox is a micro-VM

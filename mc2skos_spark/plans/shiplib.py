@@ -14,11 +14,20 @@ import os
 import tempfile
 import zipfile
 
-_SHIPPED: set[int] = set()
+# keyed by applicationId — id(sc) can be recycled by the allocator after
+# a context is stopped and collected, which would silently skip shipping
+# to the NEXT context
+_SHIPPED: set[str] = set()
 
 
 def package_zip() -> str:
-    """Build (or reuse) a zip of the mc2skos_spark package."""
+    """Build (or reuse) a zip of the mc2skos_spark package.
+
+    Cache key is the newest source mtime at millisecond resolution
+    (whole seconds would reuse a stale zip for two edits inside one
+    second); the temp file carries the pid so concurrent builders never
+    interleave writes into one .tmp before the atomic rename.
+    """
     import mc2skos_spark
 
     pkg_dir = os.path.dirname(os.path.abspath(mc2skos_spark.__file__))
@@ -28,9 +37,9 @@ def package_zip() -> str:
             if name.endswith(".py"):
                 newest = max(newest, os.path.getmtime(os.path.join(root, name)))
     zip_path = os.path.join(tempfile.gettempdir(),
-                            "mc2skos_spark_pkg_%d.zip" % int(newest))
+                            "mc2skos_spark_pkg_%d.zip" % int(newest * 1000))
     if not os.path.exists(zip_path):
-        tmp = zip_path + ".tmp"
+        tmp = "%s.%d.tmp" % (zip_path, os.getpid())
         with zipfile.ZipFile(tmp, "w") as zf:
             for root, _dirs, files in os.walk(pkg_dir):
                 for name in files:
@@ -46,7 +55,7 @@ def package_zip() -> str:
 
 def ensure_shipped(spark) -> None:
     sc = spark.sparkContext
-    key = id(sc)
+    key = sc.applicationId
     if key in _SHIPPED:
         return
     sc.addPyFile(package_zip())

@@ -77,11 +77,14 @@ class IcebergishCatalog:
 
     def write(self, table: str, df: DataFrame,
               partition_by: list[str] | None = None,
-              lineage_key: str | None = None) -> dict:
+              lineage_key: str | None = None,
+              properties: dict | None = None) -> dict:
         """Write a new snapshot of ``table`` and commit it atomically.
 
         ``lineage_key``: column whose per-file min/max is recorded as the
         input span in the lineage rows (defaults to the first column).
+        ``properties``: caller metadata recorded in the manifest (e.g.
+        the pipeline's config fingerprint that gates resume).
         """
         tdir = self._table_dir(table)
         os.makedirs(tdir, exist_ok=True)
@@ -129,6 +132,7 @@ class IcebergishCatalog:
             "skew": {"partitions": len(counts),
                      "max_rows": max(counts), "min_rows": min(counts),
                      "mean_rows": row_count / max(len(counts), 1)},
+            "properties": dict(properties or {}),
             "lineage": lineage,
         }
         tmp = self._manifest_path(table, snapshot_id) + ".tmp"

@@ -34,13 +34,24 @@ def test_convert_authority_with_scheme_and_jskos(spark, tmp_path):
     out = str(tmp_path / "out.ndjson")
     stats = convert(spark, [os.path.join(EXAMPLES, "gnd-1020118989.xml")],
                     out, scheme="gnd", altlabels=True)
-    assert stats["format"] == "jskos" and stats["subjects"] >= 1
+    assert stats["format"] == "ndjson" and stats["subjects"] >= 1
     lines = [json.loads(line) for line in open(out)]
     uris = {o["uri"] for o in lines}
     assert "http://d-nb.info/gnd/1020118989" in uris
     (concept,) = [o for o in lines
                   if o["uri"] == "http://d-nb.info/gnd/1020118989"]
     assert concept["prefLabel"]  # language-mapped labels survive
+
+    # -o jskos: the reference's SINGLE indented JSON document with
+    # @graph (mc2skos.py:349-355), not per-line records
+    out2 = str(tmp_path / "doc.jskos")
+    stats2 = convert(spark, [os.path.join(EXAMPLES,
+                                          "gnd-1020118989.xml")],
+                     out2, scheme="gnd", altlabels=True)
+    assert stats2["format"] == "jskos"
+    doc = json.load(open(out2))
+    assert "@graph" in doc and isinstance(doc["@graph"], list)
+    assert {o["uri"] for o in doc["@graph"]} == uris
 
 
 def test_convert_multi_file_with_include_and_expand(spark, tmp_path):

@@ -46,6 +46,26 @@ def test_resume_skips_committed_stages(spark, transcripts, tmp_path):
     assert result == baseline
 
 
+def test_resume_reruns_on_config_change(spark, transcripts, tmp_path):
+    """A warehouse produced under different flags must NOT be served as
+    a resume: the snapshots reflect the OLD configuration (a rerun with
+    --expand would otherwise print 'resumed' and return unexpanded
+    triples)."""
+    wh = str(tmp_path / "wh")
+    plain = KgPipeline(spark, wh)
+    base = triple_set(plain.run(transcripts))
+
+    expanded = KgPipeline(spark, wh, expand=True)
+    result = triple_set(expanded.run(transcripts))
+    ran = {stage for stage, how in expanded.stage_log if how == "ran"}
+    assert "triples_expanded" in ran and "triples" in ran
+    assert result > base  # inverse edges actually present
+
+    forced = KgPipeline(spark, wh, expand=True, force=True)
+    forced.run(transcripts)
+    assert all(how == "ran" for _, how in forced.stage_log)
+
+
 def test_kill_between_write_and_commit_is_idempotent(spark, transcripts,
                                                      tmp_path):
     wh = str(tmp_path / "wh")

@@ -50,6 +50,11 @@ def main():
     queries = entry.queries()
     oracles = entry.oracle_sql()
     only = set(sys.argv[1:])
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd name silently matching nothing would print ALL OK
+        print("unknown query name(s):", sorted(unknown))
+        sys.exit(2)
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
