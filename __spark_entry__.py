@@ -474,6 +474,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.select("doc_id",
                            fingerprint(F.col("text")).alias("fp"))
 
+    def text_rolling_fingerprint(spark, sf_dir):
+        from mc2skos_spark.functions.textstats import rolling_fingerprint
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select("doc_id",
+                           rolling_fingerprint(F.col("text")).alias("rfp"))
+
     return {
         "s1_reassembly": s1_reassembly,
         "p1_leader_dispatch": p1_leader_dispatch,
@@ -510,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
+        "text_rolling_fingerprint": text_rolling_fingerprint,
     }
 
 

@@ -108,6 +108,20 @@ def fingerprint(text_col) -> Column:
         F.lit(0).cast("long"), lambda acc, h: acc.bitwiseXOR(h))
 
 
+def rolling_fingerprint(text_col) -> Column:
+    """Order-SENSITIVE rolling fingerprint: rotate-left-5 + XOR fold of
+    token hashes — permuting the tokens changes the value (the classic
+    rolling-hash shape), while staying pure bit arithmetic so ANSI mode
+    never overflows.  Complements :func:`fingerprint` (bag-of-tokens)."""
+    def step(acc, h):
+        rot = (F.shiftleft(acc, 5)
+               .bitwiseOR(F.shiftrightunsigned(acc, 59)))
+        return rot.bitwiseXOR(h)
+    return F.aggregate(
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)),
+        F.lit(0).cast("long"), step)
+
+
 def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per document with all derived text features."""
     col = F.col(text_col)

@@ -207,6 +207,21 @@ def test_shingles_short_docs_produce_no_pairs(spark):
     assert {r["id"] for r in sigs.collect()} == {4}
 
 
+def test_fingerprint_order_sensitivity(spark):
+    """XOR fingerprint is bag-of-tokens (permutation-invariant); the
+    rolling variant must distinguish token order."""
+    from mc2skos_spark.functions.textstats import (fingerprint,
+                                                   rolling_fingerprint)
+    df = spark.createDataFrame([(1, "alpha beta gamma"),
+                                (2, "gamma beta alpha")], ["id", "txt"])
+    rows = df.select("id", fingerprint(F.col("txt")).alias("fp"),
+                     rolling_fingerprint(F.col("txt")).alias("rfp")) \
+             .collect()
+    by_id = {r["id"]: (r["fp"], r["rfp"]) for r in rows}
+    assert by_id[1][0] == by_id[2][0]     # XOR fold: same bag
+    assert by_id[1][1] != by_id[2][1]     # rolling: order matters
+
+
 def test_bpe_ish_token_count(spark):
     from mc2skos_spark.functions.textstats import bpe_ish_token_count
     df = spark.createDataFrame([(1, "Hello, world! v2.0 (beta)")], ["id", "t"])
