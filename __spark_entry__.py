@@ -300,6 +300,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out = t if out is None else out.unionByName(t)
         return out.distinct()
 
+    # --- S4 rendered sink: the ordered-Turtle serializer's ACTUAL bytes
+    #     for the gnd golden family, end-to-end (transcripts →
+    #     reassembly → extraction → triples_to_turtle).  The oracle is a
+    #     VALUES literal rendered from the reference's own golden
+    #     /root/reference/examples/gnd-1020118989.ttl (parsed triples →
+    #     the sink's documented block layout), so the driver
+    #     hash-verifies the serialized output, not just the triple set.
+    def s4_turtle_blocks(spark, sf_dir):
+        from mc2skos_spark.operators.extract import (
+            extract_triples, triples_from_extracted)
+        from mc2skos_spark.plans import schemas
+        from mc2skos_spark.sinks.serializers import triples_to_turtle
+        from mc2skos_spark.sources.examples import golden_record_families
+        from mc2skos_spark.sources.synth import make_transcript_rows
+        from mc2skos_spark.sources.transcripts import reassemble_records
+        _ship(spark)
+        for options, default_scheme, recs in golden_record_families():
+            if default_scheme != "gnd":
+                continue
+            rows = make_transcript_rows(recs, seed=29)
+            df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+            triples = triples_from_extracted(
+                extract_triples(reassemble_records(df), options,
+                                default_scheme))
+            return triples_to_turtle(triples)
+        raise RuntimeError("gnd family missing from reference examples")
+
+    # --- streaming completeness gate, batch-expressed: the predicate
+    #     that decides exactly-once extraction in the incremental path
+    #     (streaming/incremental.py — contiguous 0..max turn range AND
+    #     terminal marker at max), run over the events table recast as
+    #     transcript turns.  event_id % 16 gives each user a residue set
+    #     that is usually-but-not-always contiguous, and only 'purchase'
+    #     events mint the terminal marker, so both halves of the
+    #     predicate discriminate (68 of 150 conversations pass at
+    #     sf0.01).
+    def st_completeness_gate(spark, sf_dir):
+        from mc2skos_spark.streaming.incremental import (
+            complete_conversations)
+        events = _t(spark, sf_dir, "events")
+        turns = events.select(
+            F.col("user_id").alias("conv_id"),
+            F.pmod("event_id", F.lit(16)).cast("int").alias("turn_idx"),
+            F.when(F.col("event_type") == "purchase", "assistant")
+             .otherwise("user").alias("role"),
+            F.when(F.col("event_type") == "purchase", "done")
+             .otherwise(F.col("event_type")).alias("text"))
+        return complete_conversations(turns)
+
+    # --- G3 validation slice: skos:broader cycle detection (skosify's
+    #     hierarchy check).  Edges: the doc-id binary tree (i → i/2)
+    #     over doc_id < 64 plus one planted back-edge 1 → 63, creating
+    #     the cycle 63→31→15→7→3→1→63; the detector reuses the
+    #     transitive-closure doubling loop and reports the diagonal.
+    def tc_cycle_detect(spark, sf_dir):
+        from mc2skos_spark.operators.closure import cycle_members
+        docs = _t(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") >= 1) & (F.col("doc_id") < 64))
+        tree = docs.select(
+            F.col("doc_id").cast("int").alias("src"),
+            F.shiftright(F.col("doc_id").cast("int"), 1).alias("dst"))
+        back = spark.createDataFrame([(1, 63)], "src int, dst int")
+        return cycle_members(tree.unionByName(back))
+
     # --- TC: iterative transitive closure (skosify transitive=True
     #     analog — /root/reference/examples/skosify.cfg:3).  Edges form
     #     a binary tree over doc ids (i → i/2), depth ~log2(n), so the
@@ -371,10 +435,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .filter(F.col("est_jaccard") >= 0.9))
 
     def dedup_simhash(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        # Verified at the scale-realistic radius k=3 (16-bit pigeonhole
+        # blocks, 65k values per band — see the band-cardinality bound
+        # in simhash_near_pairs).  The corpus holds almost no natural
+        # hamming≤3 pairs, so plant deterministic one-token-appended
+        # copies of the first 40 docs: their signatures differ in only
+        # the bits that one extra token's votes flip.
+        docs = (_t(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 200).select("doc_id", "text"))
+        planted = docs.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"))
         # banded pairing self-joins the signature table → compute once
-        sigs = simhash(docs, "doc_id", "text").localCheckpoint(False)
-        return simhash_near_pairs(sigs, max_hamming=8)
+        sigs = simhash(docs.unionByName(planted),
+                       "doc_id", "text").localCheckpoint(False)
+        return simhash_near_pairs(sigs, max_hamming=3)
 
     def dedup_embedding_cosine(spark, sf_dir):
         # Near-dup dedup through the 100 TB path: hyperplane-LSH buckets
@@ -498,6 +573,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_window_rank": w1_window_rank,
         "cc_region_cliques": cc_region_cliques,
         "kg_golden_triples": kg_golden_triples,
+        "s4_turtle_blocks": s4_turtle_blocks,
+        "st_completeness_gate": st_completeness_gate,
+        "tc_cycle_detect": tc_cycle_detect,
         "tc_transitive_closure": tc_transitive_closure,
         "p4_array_projection": p4_array_projection,
         "b1_rollup": b1_rollup,
@@ -774,6 +852,31 @@ def oracle_sql() -> dict[str, str]:
             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE floor(list_cosine_similarity(a.v, b.v) * 10000)
                   >= 9000""",
+        "st_completeness_gate": """
+            WITH turns AS (
+                SELECT user_id AS conv_id,
+                       cast(event_id % 16 AS int) AS turn_idx,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 'assistant' ELSE 'user' END AS role,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 'done' ELSE event_type END AS text
+                FROM events)
+            SELECT conv_id FROM turns
+            GROUP BY conv_id
+            HAVING count(DISTINCT turn_idx) = max(turn_idx) + 1
+               AND max(CASE WHEN role = 'assistant' AND text = 'done'
+                            THEN turn_idx END) = max(turn_idx)""",
+        "tc_cycle_detect": """
+            WITH RECURSIVE e AS (
+                SELECT cast(doc_id AS int) AS src,
+                       cast(doc_id // 2 AS int) AS dst
+                FROM documents WHERE doc_id >= 1 AND doc_id < 64
+                UNION ALL SELECT 1, 63),
+            tc AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src)
+            SELECT DISTINCT src AS vertex FROM tc WHERE src = dst""",
         "tc_transitive_closure": """
             WITH RECURSIVE e AS (
                 SELECT cast(doc_id AS int) AS src,

@@ -278,6 +278,15 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     blocks — equi-join on (block index, block value), dedup the
     candidate pairs, popcount-filter.  Candidate generation is linear
     in docs-per-identical-block, never all-pairs.
+
+    Scale bound on k: block width is ``64 // (k+1)`` bits, so each band
+    has only ``2**width`` distinct values — at k=3 that is 16-bit
+    blocks (65k values per band, fine), but by k=8 blocks are 7 bits
+    wide (128 values), every (band, value) bucket holds ~n/128 docs,
+    and the candidate join degrades toward O(n²/128) with hot shuffle
+    keys.  Keep k ≤ 3 at scale; for larger radii recurse: band at k'≤3
+    and re-split each oversized bucket on a second block (or switch to
+    the multi-probe scheme used for embedding LSH).
     """
     bands = max_hamming + 1
     width = 64 // bands

@@ -101,10 +101,24 @@ def lsh_bucketed_topk(embeddings: DataFrame, query_vec: list[float],
 
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              num_centroids: int = 16, nprobe: int = 4,
+             sample_mod: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF-lite ANN: deterministic sampled centroids, probe the nprobe
-    nearest lists, exact re-rank inside them."""
-    sample = (embeddings.orderBy(F.xxhash64(F.col(id_col)))
+    nearest lists, exact re-rank inside them.
+
+    Centroid pick: a deterministic hash slice (``xxhash64(id) %
+    sample_mod == 0`` — a Bernoulli sample that, unlike ``df.sample``,
+    is independent of how the scan happened to be partitioned) followed
+    by a TakeOrdered *within the slice only*.  Nothing hash-ranks the
+    full corpus; the full scan touches each row once with a cheap
+    filter.  Size ``sample_mod`` so corpus/sample_mod is comfortably ≥
+    num_centroids but small — at 100 TB something like 2**20 keeps the
+    ranked slice metadata-scale.
+    """
+    sample = (embeddings
+              .filter(F.pmod(F.xxhash64(F.col(id_col)),
+                             F.lit(sample_mod)) == 0)
+              .orderBy(F.xxhash64(F.col(id_col)))
               .limit(num_centroids)
               .select(F.col(id_col).alias("cid"),
                       F.col(vec_col).alias("cvec"))

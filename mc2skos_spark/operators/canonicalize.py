@@ -80,10 +80,17 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
     action the survey's lifecycle (§3) calls out.
 
     The candidate-edge set is orders of magnitude smaller than the
-    triple table (only URIs sharing an identifier), so the loop runs at
-    its own parallelism (``cc_partitions``) instead of the session's
-    shuffle width — per-round task overhead, not data volume, dominates
-    iterative jobs.  The default scales with the materialized edge
+    triple table (only URIs sharing an identifier), so the loop's BIG
+    exchange (the per-round propagate join over the edge list) runs at
+    its own explicit width (``cc_partitions``): the edge list is
+    ``repartition(cc_partitions, dst)``-ed once, and each round the
+    (small) label table is repartitioned to the matching (key, width),
+    so the join plans with no further exchange.  The session's
+    ``spark.sql.shuffle.partitions`` is never touched — a session
+    shared by concurrent query threads keeps its own width mid-loop
+    (the loop's aggregate exchanges stay at session width, where AQE
+    coalesces them to the data size and map-side partial combine still
+    applies).  The default width scales with the materialized edge
     count (~1M edges per partition, floor 8), so a 100× bigger edge
     list gets proportionally more loop parallelism.
     """
@@ -99,26 +106,18 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
         # counting the checkpointed edge list is one cheap metadata-
         # scale job; it is reused for every loop round anyway
         cc_partitions = max(8, both.count() // 1_000_000)
-    spark = edges.sparkSession
-    # NOTE: the width override is session-scoped for the loop's
-    # duration — fine for this pipeline's sequential driver, but a
-    # session shared by CONCURRENT query threads would plan them at the
-    # loop width too; isolate with a dedicated session in that setup.
-    shuffle_conf = "spark.sql.shuffle.partitions"
-    saved_shuffle = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, str(cc_partitions))
-    try:
-        return _cc_loop(both, max_rounds, cc_partitions)
-    finally:
-        spark.conf.set(shuffle_conf, saved_shuffle)
+    # re-key by the propagate-join key at the loop width, once; the
+    # checkpoint preserves the hash partitioning so every round's join
+    # reads it exchange-free
+    both = both.repartition(cc_partitions, "dst").localCheckpoint()
+    return _cc_loop(both, max_rounds, cc_partitions)
 
 
 def _cc_loop(both: DataFrame, max_rounds: int,
              cc_partitions: int) -> DataFrame:
-    # `both` arrives already checkpointed; re-materializing it at the
-    # loop width would be a second full write for nothing — the round
-    # joins exchange it by their own keys regardless, at the shuffle
-    # width set by the caller's conf override.
+    # `both` arrives checkpointed AND hash-partitioned by dst at the
+    # loop width; the label side of each round's join is repartitioned
+    # to match, so neither side re-exchanges.
     # label(v) = min(v, min neighbor) to start.
     labels = (both.groupBy("src")
               .agg(F.least(F.first("src"), F.min("dst")).alias("comp"))
@@ -127,7 +126,8 @@ def _cc_loop(both: DataFrame, max_rounds: int,
 
     for _ in range(max_rounds):
         # propagate: candidate label for v = min over neighbors' labels
-        cand = (both.join(labels.withColumnRenamed("vertex", "dst"), "dst")
+        cand = (both.join(labels.withColumnRenamed("vertex", "dst")
+                          .repartition(cc_partitions, "dst"), "dst")
                 .groupBy("src").agg(F.min("comp").alias("ncomp"))
                 .withColumnRenamed("src", "vertex"))
         new_labels = (labels.join(cand, "vertex", "left")

@@ -27,37 +27,70 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 20,
     directed path of ≥1 edges.  Cycles are safe (a node never pairs
     with itself unless the input contains a genuine cycle).
 
-    Like the union-find loop, the iteration runs at its own shuffle
-    width scaled to the materialized path count (~1M rows/partition,
-    floor 8) — per-round task overhead dominates small iterative jobs,
-    while a 100× bigger edge list gets proportional width.
+    Like the union-find loop, the per-round self-join runs at its own
+    explicit width scaled to the materialized path count (~1M rows/
+    partition, floor 8, re-derived per round as the path set doubles):
+    both join inputs are ``repartition(width, join_key)``-ed, which
+    REPLACES the exchange the join would have planned anyway — the
+    session's ``spark.sql.shuffle.partitions`` is never read-modified,
+    so concurrent queries on a shared session keep their own width.
+    The grow-step ``distinct`` stays at session width (AQE coalesces;
+    map-side partial combine applies).
     """
     paths = (edges.select("src", "dst").distinct()
              .localCheckpoint())
     n = paths.count()
-    spark = edges.sparkSession
-    if loop_partitions is None:
-        loop_partitions = max(8, n // 1_000_000)
-    shuffle_conf = "spark.sql.shuffle.partitions"
-    saved = spark.conf.get(shuffle_conf)
-    spark.conf.set(shuffle_conf, str(loop_partitions))
-    try:
-        for _ in range(max_rounds):
-            hops = (paths.alias("a")
-                    .join(paths.alias("b"),
-                          F.col("a.dst") == F.col("b.src"))
-                    .select(F.col("a.src").alias("src"),
-                            F.col("b.dst").alias("dst")))
-            grown = (paths.unionByName(hops).distinct()
-                     .localCheckpoint())
-            m = grown.count()
-            paths = grown
-            if m == n:   # fixpoint: no new reachable pair this round
-                break
-            n = m
-    finally:
-        spark.conf.set(shuffle_conf, saved)
+    fixed_width = loop_partitions is not None
+    for _ in range(max_rounds):
+        width = loop_partitions if fixed_width else max(8, n // 1_000_000)
+        hops = (paths.repartition(width, "dst").alias("a")
+                .join(paths.repartition(width, "src").alias("b"),
+                      F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"),
+                        F.col("b.dst").alias("dst")))
+        grown = (paths.unionByName(hops).distinct()
+                 .localCheckpoint())
+        m = grown.count()
+        paths = grown
+        if m == n:   # fixpoint: no new reachable pair this round
+            break
+        n = m
     return paths
+
+
+def cycle_members(edges: DataFrame, max_rounds: int = 20,
+                  loop_partitions: int | None = None) -> DataFrame:
+    """Vertices that lie on a directed cycle: ``(vertex)``.
+
+    A vertex is on a cycle iff it reaches itself through ≥1 edge, i.e.
+    the transitive closure contains the pair (v, v) — so this reuses
+    the doubling loop verbatim and filters the diagonal.  This is the
+    first slice of the skosify *validation* pass the reference reaches
+    via ``--skosify`` (/root/reference/mc2skos/mc2skos.py:198-201:
+    skosify's hierarchy checks reject ``skos:broader`` cycles); here it
+    feeds the warning side-channel instead of a hard failure.
+    """
+    closure = transitive_closure(edges, max_rounds, loop_partitions)
+    return (closure.filter(F.col("src") == F.col("dst"))
+            .select(F.col("src").alias("vertex")))
+
+
+def broader_cycle_warnings(triples: DataFrame,
+                           skos_ns: str =
+                           "http://www.w3.org/2004/02/skos/core#"
+                           ) -> DataFrame:
+    """``skos:broader`` cycle report in the warning-channel shape
+    ``(record_id, reason)`` — a concept hierarchy must be a DAG, so any
+    URI on a broader-cycle is flagged (skosify's hierarchy-cycle check,
+    warn-and-report rather than throw, matching the P7/P8 policy)."""
+    edges = (triples
+             .filter((F.col("pred") == skos_ns + "broader") &
+                     ~F.col("obj_is_literal"))
+             .select(F.col("subj").alias("src"),
+                     F.col("obj").alias("dst")))
+    return cycle_members(edges).select(
+        F.col("vertex").alias("record_id"),
+        F.lit("skos:broader cycle").alias("reason"))
 
 
 def broader_transitive(triples: DataFrame,

@@ -56,6 +56,30 @@ def _table_id(name: str) -> int:
     return int(name.rsplit("_", 1)[-1])
 
 
+def complete_conversations(turns: DataFrame) -> DataFrame:
+    """``(conv_id)`` of conversations that are COMPLETE in ``turns``:
+    the predicate that decides exactly-once extraction.
+
+    A conversation is complete iff its turns cover the contiguous range
+    0..max AND the max turn is the terminal marker (assistant says
+    "done").  The marker alone is not enough: file-based micro-batches
+    split a conversation's rows arbitrarily, so later turn_idx values
+    can arrive in an *earlier* batch than earlier ones.  Duplicate
+    (conv_id, turn_idx) deliveries are tolerated (count_distinct), so
+    the gate may run on raw merged state before dedup.
+    """
+    terminal = F.max(F.when((F.col("role") == "assistant") &
+                            (F.col("text") == "done"),
+                            F.col("turn_idx")))
+    return (turns.groupBy("conv_id")
+            .agg(F.count_distinct("turn_idx").alias("n_turns"),
+                 F.max("turn_idx").alias("max_idx"),
+                 terminal.alias("done_idx"))
+            .filter((F.col("done_idx") == F.col("max_idx")) &
+                    (F.col("n_turns") == F.col("max_idx") + 1))
+            .select("conv_id"))
+
+
 class IncrementalExtractor:
     """foreachBatch handler with conversation-completeness gating."""
 
@@ -127,21 +151,7 @@ class IncrementalExtractor:
         # (conv_id, turn_idx) dedup tolerates re-delivered rows on replay
         merged = merged.dropDuplicates(["conv_id", "turn_idx"])
 
-        # A conversation is complete iff its turns cover the contiguous
-        # range 0..max AND the max turn is the terminal marker.  (The
-        # marker alone is not enough: file-based micro-batches split a
-        # conversation's rows arbitrarily, so later turn_idx values can
-        # arrive in an *earlier* batch than earlier ones.)
-        terminal = F.max(F.when((F.col("role") == "assistant") &
-                                (F.col("text") == "done"),
-                                F.col("turn_idx")))
-        done = (merged.groupBy("conv_id")
-                .agg(F.count_distinct("turn_idx").alias("n_turns"),
-                     F.max("turn_idx").alias("max_idx"),
-                     terminal.alias("done_idx"))
-                .filter((F.col("done_idx") == F.col("max_idx")) &
-                        (F.col("n_turns") == F.col("max_idx") + 1))
-                .select("conv_id"))
+        done = complete_conversations(merged)
         complete = merged.join(F.broadcast(done), "conv_id", "semi")
 
         extracted = extract_triples(

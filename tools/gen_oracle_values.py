@@ -55,6 +55,57 @@ def lit(v) -> str:
     return str(v)
 
 
+def s4_turtle_block() -> str:
+    """Expected ordered-Turtle blocks for the gnd golden family,
+    rendered FROM THE REFERENCE GOLDEN .ttl (not from Spark output):
+    parse /root/reference/examples/gnd-*.ttl with the repo's Turtle
+    reader, then lay the triples out exactly as the sink documents
+    (sinks/serializers.py triples_to_turtle — one ``    <pred> term``
+    statement per triple, statements byte-sorted, ' ;\\n' joins, block
+    ``<subj>\\n…body… .\\n``).  The driver hash-compare then proves the
+    Spark pipeline SERIALIZES the reference's triples byte-for-byte."""
+    import glob
+
+    from mc2skos_spark.core.turtle import parse_turtle_file
+
+    xsd_boolean = "http://www.w3.org/2001/XMLSchema#boolean"
+    rows = set()
+    for path in sorted(glob.glob(
+            "/root/reference/examples/gnd-*.ttl")):
+        rows.update(parse_turtle_file(path))
+
+    def esc(s: str) -> str:
+        return (s.replace("\\", "\\\\").replace('"', '\\"')
+                 .replace("\n", "\\n").replace("\r", "\\r")
+                 .replace("\t", "\\t"))
+
+    def term(obj, is_lit, lang, dtype):
+        if not is_lit:
+            return "<%s>" % obj
+        if lang:
+            return '"%s"@%s' % (esc(obj), lang)
+        if dtype == xsd_boolean:
+            return obj  # bare true/false
+        if dtype:
+            return '"%s"^^<%s>' % (esc(obj), dtype)
+        return '"%s"' % esc(obj)
+
+    by_subj: dict[str, list[str]] = {}
+    for subj, pred, obj, is_lit, lang, dtype, pos in rows:
+        stmt = "    <%s> %s" % (pred, term(obj, is_lit, lang, dtype))
+        if pos is not None:
+            stmt += "  # pos=%d" % pos
+        by_subj.setdefault(subj, []).append(stmt)
+    blocks = sorted(
+        "<%s>\n%s .\n" % (subj, " ;\n".join(sorted(stmts)))
+        for subj, stmts in by_subj.items())
+    values = ",\n".join("    (%s)" % lit(b) for b in blocks)
+    print("s4_turtle_blocks: %d blocks (from reference goldens)"
+          % len(blocks))
+    return ("SELECT CAST(block AS VARCHAR) AS block FROM (VALUES\n%s\n)"
+            " AS t(block)" % values)
+
+
 def kg_golden_block() -> str:
     from mc2skos_spark.sources.examples import golden_triples_union
     rows = sorted(golden_triples_union({"rvk"}),
@@ -94,6 +145,7 @@ def main():
         print("%s: %d rows" % (name, len(tuples)))
     spark.stop()
     blocks["kg_golden_triples"] = kg_golden_block()
+    blocks["s4_turtle_blocks"] = s4_turtle_block()
 
     with open(OUT, "w") as fp:
         fp.write('"""GENERATED by tools/gen_oracle_values.py — do not '
