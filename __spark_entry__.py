@@ -279,6 +279,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     hash-verifies the pipeline's emitted triples against the
     #     reference conversions — the same parity
     #     /root/reference/test/test_process_examples.py:45-46 gates.
+    #     The whole corpus runs as ONE DAG even though the flag families
+    #     differ: conversation ids are prefixed with a family key, and
+    #     extract_triples resolves each record's conversion flags
+    #     per-row via options_by_key inside the single Arrow pass — the
+    #     production shape for mixed-vocabulary corpora (a driver loop
+    #     of per-family DAGs would mean one shuffle set per family).
     def kg_golden_triples(spark, sf_dir):
         from mc2skos_spark.operators.extract import (
             extract_triples, triples_from_extracted)
@@ -289,16 +295,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _ship(spark)
         cols = ["subj", "pred", "obj", "obj_is_literal",
                 "obj_lang", "obj_datatype", "component_pos"]
-        out = None
-        for options, default_scheme, recs in \
-                golden_record_families({"rvk"}):
-            rows = make_transcript_rows(recs, seed=17)
-            df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
-            t = triples_from_extracted(
-                extract_triples(reassemble_records(df), options,
-                                default_scheme)).select(*cols)
-            out = t if out is None else out.unionByName(t)
-        return out.distinct()
+        options_by_key = {}
+        all_rows = []
+        for fi, (options, default_scheme, recs) in enumerate(
+                golden_record_families({"rvk"})):
+            key = "f%d" % fi
+            options_by_key[key] = (options, default_scheme)
+            for row in make_transcript_rows(recs, seed=17):
+                all_rows.append((key + "|" + row[0],) + tuple(row[1:]))
+        df = spark.createDataFrame(all_rows, schema=schemas.TRANSCRIPTS)
+        records = reassemble_records(df).withColumn(
+            "opt_key", F.substring_index("conv_id", "|", 1))
+        t = triples_from_extracted(
+            extract_triples(records, options_by_key=options_by_key))
+        return t.select(*cols).distinct()
 
     # --- S4 rendered sink: the ordered-Turtle serializer's ACTUAL bytes
     #     for the gnd golden family, end-to-end (transcripts →

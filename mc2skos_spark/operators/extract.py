@@ -37,27 +37,56 @@ from ..plans import schemas
 _EXTRACTED_COLS = [f.name for f in schemas.EXTRACTED.fields]
 
 
-def _extract_batches(options: dict, default_scheme: str | None):
+def _build_vocabularies(default_scheme) -> Vocabularies:
+    vocabularies = Vocabularies()
+    if default_scheme:
+        if isinstance(default_scheme, dict):
+            # CLI parity: --uri/--whitespace define an ad-hoc scheme
+            # (reference mc2skos.py:221-227 → vocabularies.py)
+            vocabularies.set_default_scheme(**default_scheme)
+        else:
+            vocabularies.set_default_scheme(scheme=default_scheme)
+    return vocabularies
+
+
+def _extract_batches(options: dict, default_scheme: str | None,
+                     options_by_key: dict | None = None):
     """Build the mapInPandas function; everything it closes over is
     picklable plain data (the Vocabularies registry is rebuilt per
-    executor — it is a few KB, the broadcast-dim analog)."""
+    executor — it is a few KB, the broadcast-dim analog).
+
+    ``options_by_key``: per-record conversion flags — ``{opt_key:
+    (options, default_scheme)}``; the input then carries an ``opt_key``
+    column and each record is extracted under its own flag set in the
+    SAME single pass (one DAG for a corpus of mixed vocabularies,
+    instead of one DAG per flag family).  Per-key registries are built
+    lazily once per python worker.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        vocabularies = Vocabularies()
-        if default_scheme:
-            if isinstance(default_scheme, dict):
-                # CLI parity: --uri/--whitespace define an ad-hoc scheme
-                # (reference mc2skos.py:221-227 → vocabularies.py)
-                vocabularies.set_default_scheme(**default_scheme)
-            else:
-                vocabularies.set_default_scheme(scheme=default_scheme)
+        if options_by_key is None:
+            shared = (options, _build_vocabularies(default_scheme))
+            lookup = None
+        else:
+            shared = None
+            built: dict = {}
+
+            def lookup(key):
+                if key not in built:
+                    opts, scheme = options_by_key[key]
+                    built[key] = (dict(opts), _build_vocabularies(scheme))
+                return built[key]
         for batch in batches:
+            keys = (batch["opt_key"] if lookup is not None
+                    else [None] * len(batch))
             rows = []
-            for record_id, xml in zip(batch["record_id"],
-                                      batch["record_xml"]):
+            for record_id, xml, key in zip(batch["record_id"],
+                                           batch["record_xml"], keys):
+                row_options, vocabularies = (shared if lookup is None
+                                             else lookup(key))
                 try:
                     bag = extract_concept(parse_record_xml(xml),
-                                          vocabularies, options)
+                                          vocabularies, row_options)
                 except InvalidRecordError as exc:
                     rows.append(("quarantine", None, None, None, None,
                                  None, None, None, record_id, str(exc)))
@@ -81,7 +110,7 @@ def _extract_batches(options: dict, default_scheme: str | None):
                 # keeps the global dedup's shuffle input minimal)
                 seen = set()
                 for (subj, pred, obj, is_lit, lang, dtype,
-                     pos) in concept_to_triples(bag, options):
+                     pos) in concept_to_triples(bag, row_options):
                     row = (subj, pred, obj, is_lit, lang, dtype, pos)
                     if row in seen:
                         continue
@@ -96,13 +125,21 @@ def _extract_batches(options: dict, default_scheme: str | None):
 def extract_triples(records: DataFrame, options: dict | None = None,
                     default_scheme: str | None = None,
                     partitions: int | None = None,
-                    balance: bool = True) -> DataFrame:
+                    balance: bool = True,
+                    options_by_key: dict | None = None) -> DataFrame:
     """MARC_RECORDS → EXTRACTED (tagged union of triples + quarantine).
 
     ``balance=True`` hash-repartitions by record_id so Arrow batches get
     size-balanced partitions regardless of upstream skew (north_rule).
     Pass ``balance=False`` when the input is already well-spread (e.g.
     straight off the reassembly shuffle) to save one full-data shuffle.
+
+    ``options_by_key``: per-record conversion flags (``{opt_key:
+    (options, default_scheme)}``); ``records`` must then carry an
+    ``opt_key`` column.  This is the production path for a corpus that
+    mixes vocabularies with different flags — ONE extraction DAG, flags
+    resolved per record inside the same Arrow pass, instead of one DAG
+    (and one shuffle set) per flag family.
     """
     options = dict(options or {})
     source = records
@@ -112,8 +149,9 @@ def extract_triples(records: DataFrame, options: dict | None = None,
                 "spark.sql.shuffle.partitions")
         source = records.repartition(int(partitions),
                                      F.xxhash64("record_id"))
-    return source.mapInPandas(_extract_batches(options, default_scheme),
-                              schema=schemas.EXTRACTED)
+    return source.mapInPandas(
+        _extract_batches(options, default_scheme, options_by_key),
+        schema=schemas.EXTRACTED)
 
 
 def triples_from_extracted(extracted: DataFrame,

@@ -116,3 +116,77 @@ def test_global_rank_matches_global_window(spark):
     # is keyed by the physical partition id
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "SPARK_PARTITION_ID" in plan.upper() or "__pid" in plan
+
+
+def test_cycle_members_planted_cycle(spark):
+    """A broader-hierarchy with one back-edge: exactly the vertices on
+    the directed cycle are reported, tree-only vertices are not."""
+    from mc2skos_spark.operators.closure import cycle_members
+    tree = [(i, i // 2) for i in range(1, 32)]        # binary tree → root
+    edges = spark.createDataFrame(tree + [(1, 27)], ["src", "dst"])
+    got = {r["vertex"] for r in cycle_members(edges).collect()}
+    assert got == {1, 3, 6, 13, 27}                   # 27→13→6→3→1→27
+    # acyclic input → empty report
+    acyclic = spark.createDataFrame(tree, ["src", "dst"])
+    assert cycle_members(acyclic).count() == 0
+
+
+def test_broader_cycle_warnings_channel_shape(spark):
+    """skos:broader cycles land in the warning channel as
+    (record_id, reason) rows; literals and other predicates ignored."""
+    from mc2skos_spark.operators.closure import broader_cycle_warnings
+    b = C.SKOS + "broader"
+    rows = [("u:a", b, "u:b", False), ("u:b", b, "u:c", False),
+            ("u:c", b, "u:a", False),                 # the cycle
+            ("u:d", b, "u:a", False),                 # feeds in, not on it
+            ("u:a", C.SKOS + "prefLabel", "A", True),
+            ("u:x", b, "not-a-uri-literal", True)]    # literal obj ignored
+    triples = spark.createDataFrame(
+        [(s, p, o, lit, None, None, None, "r") for s, p, o, lit in rows],
+        "subj string, pred string, obj string, obj_is_literal boolean, "
+        "obj_lang string, obj_datatype string, component_pos int, "
+        "record_id string")
+    got = {(r["record_id"], r["reason"])
+           for r in broader_cycle_warnings(triples).collect()}
+    assert got == {("u:a", "skos:broader cycle"),
+                   ("u:b", "skos:broader cycle"),
+                   ("u:c", "skos:broader cycle")}
+
+
+def test_iterative_loops_leave_session_conf_untouched(spark):
+    """The union-find and doubling loops must NOT read-modify-write
+    spark.sql.shuffle.partitions: a session shared by concurrent query
+    threads keeps its own shuffle width for the loop's whole duration
+    (round-2 review item — loops now pin width via explicit
+    repartition on their join inputs instead)."""
+    import threading
+    import time
+
+    from mc2skos_spark.operators.canonicalize import connected_components
+
+    conf_key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(conf_key)
+    observed: set[str] = set()
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            observed.add(spark.conf.get(conf_key))
+            time.sleep(0.005)
+
+    poller = threading.Thread(target=poll)
+    poller.start()
+    try:
+        edges = spark.createDataFrame(
+            [(i, i // 2) for i in range(1, 200)], ["src", "dst"])
+        # widths deliberately different from the session's to make any
+        # leak observable
+        cc = connected_components(edges, cc_partitions=3)
+        assert cc.count() == 200          # vertices 0..199, one component
+        tc = transitive_closure(edges, loop_partitions=5)
+        assert tc.count() > 199
+    finally:
+        stop.set()
+        poller.join()
+    assert spark.conf.get(conf_key) == before
+    assert observed == {before}, "loop leaked its width into the session"

@@ -86,3 +86,61 @@ def test_kill_between_write_and_commit_is_idempotent(spark, transcripts,
     assert log["extracted"] == "resumed"
     assert log["triples_raw"] == "ran"
     assert result == baseline
+
+
+def test_kill_during_stage_write_discards_partial_snapshot(
+        spark, transcripts, tmp_path):
+    """Kill DURING a stage's data write (partial snapshot dir on disk,
+    manifest never committed): the rerun must treat the stage as
+    never-run, overwrite the orphan, and converge to the same output a
+    clean run produces — snapshot isolation at the file level."""
+    import os
+
+    clean = KgPipeline(spark, str(tmp_path / "clean"))
+    baseline = triple_set(clean.run(transcripts))
+
+    wh = str(tmp_path / "wh")
+    victim = KgPipeline(spark, wh)
+    real_write = victim.catalog.write
+
+    class SimulatedKill(RuntimeError):
+        pass
+
+    def killing_write(table, df, **kw):
+        if table == "extracted":
+            # a fraction of the data lands, then the process dies before
+            # the manifest commit (os.replace) ever happens
+            snap = os.path.join(wh, "extracted", "snap-000000")
+            df.limit(5).write.mode("overwrite").parquet(snap)
+            raise SimulatedKill(table)
+        return real_write(table, df, **kw)
+
+    victim.catalog.write = killing_write
+    with pytest.raises(SimulatedKill):
+        victim.run(transcripts)
+
+    # orphan partial data exists but is invisible: no manifest
+    assert os.path.isdir(os.path.join(wh, "extracted", "snap-000000"))
+    assert victim.catalog.current_manifest("extracted") is None
+
+    second = KgPipeline(spark, wh)
+    result = triple_set(second.run(transcripts))
+    log = dict(second.stage_log)
+    assert log["records"] == "resumed"      # committed before the kill
+    assert log["extracted"] == "ran"        # partial snapshot discarded
+    assert log["triples_raw"] == "ran"
+    assert result == baseline
+
+    # rerun output is identical to the clean run's at the manifest level
+    # (row counts, per-file lineage counts and input spans)
+    for stage in ("extracted", "triples_raw", "triples_canonical",
+                  "triples"):
+        a = clean.catalog.current_manifest(stage)
+        b = second.catalog.current_manifest(stage)
+        assert a["row_count"] == b["row_count"]
+        # part-file names embed the write's UUID; the deterministic
+        # surface is the per-file row counts and input spans
+        assert ([(p["row_count"], p["input_min"], p["input_max"])
+                 for p in a["lineage"]]
+                == [(p["row_count"], p["input_min"], p["input_max"])
+                    for p in b["lineage"]])
