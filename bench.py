@@ -14,6 +14,15 @@ ceiling note in run_scaling), each in a fresh JVM on the same staged
 input — the sandbox stand-in for the north_rule's N vs 4N executor
 clusters — and writes BENCH/BASELINE.md with turns/sec at both plus
 the scaling efficiency.
+
+``--skew`` mode: stages a pathological input (one conv_id holding most
+of the table) and times stage-0 reassembly with and without the
+``block_size`` salted two-phase fold, asserting output equality and
+recording both wall times in BENCH/BASELINE.md.
+
+BENCH/BASELINE.md is assembled from part files (BENCH/_scaling.md,
+BENCH/_skew.md) so the two modes can run at different times without
+clobbering each other's sections.
 """
 
 from __future__ import annotations
@@ -105,12 +114,13 @@ def run_benchmark():
     queries["g1_dedup_set"](spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
 
-    # min-of-2 per query: this host shows 2-3x run-to-run noise
-    # (hypervisor steal); the min is the honest steady-state estimate
+    # min-of-3 per query: this host shows 2-3x run-to-run noise
+    # (hypervisor steal); the min is the honest steady-state estimate,
+    # and n=3 keeps cross-round comparisons under the noise floor
     timings: dict[str, float] = {}
     for name in headline:
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.monotonic()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -142,6 +152,7 @@ def run_benchmark():
         "kg_turns": n_turns,
         "kg_triples": n_triples,
         "kg_turns_per_sec": round(n_turns / kg_sec, 1),
+        "min_of": {"headline": 3, "kg_pipeline": 3},
     }
     spark.stop()
     print(json.dumps(result))
@@ -209,7 +220,7 @@ def run_scaling():
     speedup = results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]
     efficiency = speedup / (hi / lo)
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as fp:
+    with open("BENCH/_scaling.md", "w") as fp:
         fp.write(
             "# BENCH — scaling evidence (north_rule N→4N)\n\n"
             "Same KG-pipeline job (%d synthetic MARC records → %d "
@@ -241,9 +252,165 @@ def run_scaling():
                hi, results[hi]["sec"], results[hi]["runs"],
                results[hi]["turns_per_sec"], results[hi]["triples"],
                lo, hi, speedup, efficiency, lo, hi, lo, hi))
+    assemble_baseline_md()
     print(json.dumps({"metric": "scaling_efficiency_%d_to_%d" % (lo, hi),
                       "value": round(efficiency, 3), "unit": "ratio",
                       "results": results}))
+
+
+def assemble_baseline_md():
+    """BENCH/BASELINE.md = concat of the part files that exist, so
+    --scaling and --skew can each refresh their own section."""
+    parts = []
+    for name in ("BENCH/_scaling.md", "BENCH/_skew.md"):
+        if os.path.exists(name):
+            with open(name) as fp:
+                parts.append(fp.read().rstrip() + "\n")
+    if parts:
+        with open("BENCH/BASELINE.md", "w") as fp:
+            fp.write("\n".join(parts))
+
+
+def stage_skewed_transcripts(spark, n_records: int, hot_pct: int = 75,
+                             seed: int = 42) -> tuple[str, int, int]:
+    """UNTIMED: stage a transcripts table where ``hot_pct`` percent of
+    conversations (by ``conv_no % 100``) are remapped into ONE
+    pathological conv_id (``conv-hot``).  Per-conversation turn
+    contiguity is preserved (``turn_idx = conv_no * 1024 + turn_idx``),
+    so reassembly recovers the exact same records — the hot key only
+    changes WHERE the fold work lands.  Returns (path, n_turns,
+    hot_turns).
+
+    Why hot_pct defaults high: the unsalted skew penalty is
+    ``hot_frac x parallelism`` — a 20%-hot key that merely doubles wall
+    time on 8 local cores would stall a 1000-executor cluster ~200x.
+    The sandbox has 8 cores, so a 75%-hot key emulates the relative
+    penalty a much colder hot key inflicts at cluster scale."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mc2skos_spark.sources.synth import GEN_VERSION, transcripts_dataframe
+
+    path = os.path.join(tempfile.gettempdir(),
+                        "mc2skos_bench_skew_v%d_%d_p%d_%d"
+                        % (GEN_VERSION, n_records, hot_pct, seed))
+    marker = path + ".counts"
+    if not os.path.exists(marker):
+        df = transcripts_dataframe(spark, n_records, seed=seed,
+                                   partitions=64)
+        conv_no = F.substring("conv_id", 6, 6).cast("int")
+        hot = F.pmod(conv_no, F.lit(100)) < hot_pct
+        df = df.select(
+            F.when(hot, F.lit("conv-hot")).otherwise(F.col("conv_id"))
+             .alias("conv_id"),
+            F.when(hot, conv_no * 1024 + F.col("turn_idx"))
+             .otherwise(F.col("turn_idx")).cast("int").alias("turn_idx"),
+            "role", "text", "tool", "ts")
+        df.write.mode("overwrite").parquet(path)
+        back = spark.read.parquet(path)
+        n_turns = back.count()
+        hot_turns = back.filter(F.col("conv_id") == "conv-hot").count()
+        with open(marker, "w") as fp:
+            fp.write("%d,%d" % (n_turns, hot_turns))
+    with open(marker) as fp:
+        n_turns, hot_turns = (int(x) for x in fp.read().split(","))
+    return path, n_turns, hot_turns
+
+
+def run_skew():
+    """Skew evidence: one conv_id holding most of the table.  Times
+    stage-0 reassembly unsalted (whole hot conversation folds in one
+    reduce task) vs ``block_size=1024`` (two-phase salted fold: blocks
+    concatenate in parallel, the per-conversation fold sees ~1024x
+    fewer, far larger elements), asserts the two outputs are identical
+    (count + order-insensitive xxhash64 fold), and writes
+    BENCH/_skew.md → BENCH/BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from mc2skos_spark.plans.session import build_session
+    from mc2skos_spark.sources.transcripts import reassemble_records
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count()
+    n_records = int(os.environ.get("SPARK_GRAFT_SKEW_RECORDS", "384000"))
+    hot_pct = int(os.environ.get("SPARK_GRAFT_SKEW_HOT_PCT", "75"))
+    spark = build_session(app_name="mc2skos-skew",
+                          master="local[%d]" % cpus,
+                          shuffle_partitions=max(cpus, 16))
+    path, n_turns, hot_turns = stage_skewed_transcripts(spark, n_records,
+                                                        hot_pct=hot_pct)
+    transcripts = spark.read.parquet(path)
+
+    def fingerprint(df):
+        # order-insensitive equality evidence: XOR-fold of row hashes
+        # (ANSI-safe — no sum overflow)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("record_id", "conv_id", "record_xml"))
+             .alias("h")).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    variants = {"unsalted": None, "block_size=1024": 1024}
+    timings: dict[str, list[float]] = {k: [] for k in variants}
+    finger: dict[str, tuple[int, int]] = {}
+    # warm-up, then min-of-3 per variant, interleaved so hypervisor
+    # steal hits both variants alike
+    reassemble_records(transcripts).write.format("noop") \
+        .mode("overwrite").save()
+    for _ in range(3):
+        for label, bs in variants.items():
+            t0 = time.monotonic()
+            df = reassemble_records(transcripts, block_size=bs)
+            df.write.format("noop").mode("overwrite").save()
+            timings[label].append(round(time.monotonic() - t0, 3))
+    for label, bs in variants.items():
+        finger[label] = fingerprint(
+            reassemble_records(transcripts, block_size=bs))
+    assert finger["unsalted"] == finger["block_size=1024"], finger
+    spark.stop()
+
+    best = {k: min(v) for k, v in timings.items()}
+    speedup = best["unsalted"] / best["block_size=1024"]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/_skew.md", "w") as fp:
+        fp.write(
+            "# BENCH — skew evidence (hot-key salting)\n\n"
+            "Pathological input: %d synthetic MARC records → %d "
+            "transcript turns,\nwith ONE conv_id (`conv-hot`) holding "
+            "%d turns (%.0f%% of the table,\nper-conversation turn "
+            "contiguity preserved).  Stage-0 reassembly on\nlocal[%d], "
+            "min of 3 interleaved runs per variant, identical outputs\n"
+            "asserted (row count + XOR-fold of row xxhash64: n=%d, "
+            "h=%d):\n\n"
+            "| variant | wall sec (min of 3) | all runs |\n|---|---|---|\n"
+            "| unsalted `groupBy(conv_id)` fold | %.2f | %s |\n"
+            "| salted two-phase fold (`block_size=1024`) | %.2f | %s |\n\n"
+            "**salted speedup on the skewed input = %.2fx** "
+            "(sources/transcripts.py\n`block_size` path).  Unsalted, "
+            "the hot conversation's entire payload\nfolds through one "
+            "reduce task (collect_list + array_sort over %d\nrows in "
+            "one JVM thread); salted, phase 1 concatenates contiguous\n"
+            "1024-turn blocks across the cluster and phase 2 folds "
+            "~1024x fewer,\nlarger elements, with record spans "
+            "recovered per block in parallel\n(only block-boundary "
+            "residues are stitched).  The hot fraction is\nset high "
+            "(%d%%) because the unsalted penalty scales as\n"
+            "hot_frac x parallelism: on this sandbox a 75%%-hot key "
+            "reproduces the\nrelative stall a 20%%-hot key inflicts "
+            "on a ~1000-executor cluster\n(unsalted wall is pinned at "
+            "hot_frac x total work no matter how many\nexecutors "
+            "exist).  At 100 TB the same knob bounds per-task state "
+            "by\nblock size instead of by the hottest conversation.\n"
+            % (n_records, n_turns, hot_turns, 100.0 * hot_turns / n_turns,
+               cpus, finger["unsalted"][0], finger["unsalted"][1],
+               best["unsalted"], timings["unsalted"],
+               best["block_size=1024"], timings["block_size=1024"],
+               speedup, hot_turns, hot_pct))
+    assemble_baseline_md()
+    print(json.dumps({"metric": "skew_salted_speedup", "value":
+                      round(speedup, 3), "unit": "ratio",
+                      "timings": timings, "hot_turns": hot_turns,
+                      "n_turns": n_turns}))
 
 
 if __name__ == "__main__":
@@ -252,5 +419,7 @@ if __name__ == "__main__":
         scaling_worker(int(sys.argv[idx + 1]), sys.argv[idx + 2])
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--skew" in sys.argv:
+        run_skew()
     else:
         run_benchmark()

@@ -47,12 +47,22 @@ def reassemble_records(transcripts: DataFrame,
 
     ``block_size``: the explicit skew/scale path (SURVEY.md §4 item 1).
     A pathologically hot conv_id (one conversation with millions of
-    turns) would force all its rows through one reduce task and one
-    in-memory array.  With ``block_size=B`` the fold runs in two phases:
-    first ``groupBy(conv_id, turn_idx div B)`` concatenates each
-    *contiguous* B-turn block (the salt — cardinality rises by x(turns/B),
-    keys become uniform), then the per-conversation fold concatenates
-    the far-smaller blocks in block order.  Exact same output.
+    turns) would force all its rows through one reduce task, one
+    in-memory array, AND one single-task regex scan over the whole
+    reassembled payload.  With ``block_size=B`` the stage has NO
+    per-conversation serial step: ``groupBy(conv_id, turn_idx div B)``
+    concatenates each *contiguous* B-turn block (the salt — cardinality
+    rises by x(turns/B), keys become uniform), record spans are
+    recovered PER BLOCK in parallel, and only the block-boundary
+    residues (the partial record at each block's edges — bounded by
+    record size, not conversation size) are stitched and re-scanned.
+    Exact same output, including positional fallback ids (global record
+    positions are rebuilt from block/region-level prefix sums — window
+    functions over per-BLOCK stats, never over records).  The one
+    assumption: a record's ``</record>`` closes before the next
+    ``<record`` opens (true for any well-formed MARC export; an input
+    violating it is malformed and quarantines downstream on either
+    path).
     """
     payload_turns = (transcripts
                      .filter(F.col("tool") == payload_tool)
@@ -71,21 +81,20 @@ def reassemble_records(transcripts: DataFrame,
                               F.floor(F.col("turn_idx") / block_size))
                   .groupBy("conv_id", "block")
                   .agg(ordered_concat("turn_idx", "text").alias("text")))
-        assembled = (blocks.groupBy("conv_id")
-                     .agg(ordered_concat("block", "text").alias("payload")))
+        records = _blocked_records(blocks, ordered_concat)
     else:
         assembled = (payload_turns.groupBy("conv_id")
                      .agg(ordered_concat("turn_idx", "text")
                           .alias("payload")))
-    records = (
-        assembled
-        .select(
-            "conv_id",
-            F.posexplode(
-                F.regexp_extract_all("payload",
-                                     F.lit(RECORD_SPAN_PATTERN), 0)
-            ).alias("pos", "record_xml"))
-    )
+        records = (
+            assembled
+            .select(
+                "conv_id",
+                F.posexplode(
+                    F.regexp_extract_all("payload",
+                                         F.lit(RECORD_SPAN_PATTERN), 0)
+                ).alias("pos", "record_xml"))
+        )
     return records.select(
         F.coalesce(
             F.regexp_extract("record_xml", CONTROL_001_PATTERN, 1),
@@ -98,6 +107,92 @@ def reassemble_records(transcripts: DataFrame,
          .alias("record_id"),
         "conv_id", "record_xml",
     )
+
+
+def _blocked_records(blocks: DataFrame, ordered_concat) -> DataFrame:
+    """(conv_id, block, text) → (conv_id, pos, record_xml), identical to
+    regex-extracting over the full ordered payload but with no
+    per-conversation serial work.
+
+    Per block, ``regexp_extract_all`` recovers the record spans that
+    complete inside the block; ``split`` on the same pattern yields the
+    residue around them (head = text before the first span, tail = text
+    after the last; a block with no span is all residue).  Consecutive
+    residues between two span-bearing blocks ("anchors") form a region
+    — tail(anchor r), any span-free blocks, head(anchor r+1) — which is
+    contiguous payload bounded by ~one record size, so stitching and
+    re-scanning regions is cheap and parallel (groupBy conv_id+region).
+    Global positions: every record sorts by (key_block, slot, local)
+    where completes of block b carry (b, 1, p) and region records carry
+    (first piece block, 2, q) — region r starts at anchor r's tail, so
+    this interleaves exactly as the single-payload scan would.  Offsets
+    come from a running sum over per-block/per-region COUNTS (window
+    over block-level rows — tiny), joined back to the records."""
+    from pyspark.sql import Window
+
+    spans = F.regexp_extract_all("text", F.lit(RECORD_SPAN_PATTERN), 0)
+    parts = F.split("text", RECORD_SPAN_PATTERN)
+    w = (Window.partitionBy("conv_id").orderBy("block")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    b = (blocks
+         .select("conv_id", "block", spans.alias("spans"),
+                 parts.alias("parts"))
+         .withColumn("n_spans", F.size("spans"))
+         .withColumn("anchors_before",
+                     F.coalesce(F.sum(F.when(F.col("n_spans") > 0, 1))
+                                .over(w), F.lit(0))))
+    # four consumers (completes, head, tail, units) fan out from here:
+    # cut the lineage once (lazy) so the phase-1 fold + regex pass run
+    # once, not per consumer
+    b = b.localCheckpoint(False)
+
+    completes = (b.filter(F.col("n_spans") > 0)
+                 .select("conv_id", F.col("block").alias("key_block"),
+                         F.lit(1).alias("slot"),
+                         F.posexplode("spans").alias("local_idx",
+                                                     "record_xml")))
+
+    # residue pieces: split() with limit -1 keeps leading/trailing empty
+    # strings, so parts[1] is always "text before the first span" (the
+    # whole text when span-free) and parts[-1] "after the last"
+    head = b.select("conv_id", "block",
+                    F.element_at("parts", 1).alias("piece"),
+                    F.col("anchors_before").alias("region"))
+    tail = (b.filter(F.col("n_spans") > 0)
+            .select("conv_id", "block",
+                    F.element_at("parts", -1).alias("piece"),
+                    (F.col("anchors_before") + 1).alias("region")))
+    pieces = head.unionByName(tail).filter(F.col("piece") != "")
+
+    regions = (pieces.groupBy("conv_id", "region")
+               .agg(F.min("block").alias("key_block"),
+                    ordered_concat("block", "piece").alias("text")))
+    region_recs = regions.select(
+        "conv_id", "key_block", F.lit(2).alias("slot"),
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit(RECORD_SPAN_PATTERN), 0)
+        ).alias("local_idx", "record_xml"))
+
+    # per-unit record counts → running offsets (block-granularity rows)
+    units = (b.filter(F.col("n_spans") > 0)
+             .select("conv_id", F.col("block").alias("key_block"),
+                     F.lit(1).alias("slot"),
+                     F.col("n_spans").cast("long").alias("cnt"))
+             .unionByName(
+                 region_recs.groupBy("conv_id", "key_block", "slot")
+                 .agg(F.count(F.lit(1)).alias("cnt"))))
+    wu = (Window.partitionBy("conv_id").orderBy("key_block", "slot")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    units = units.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(wu), F.lit(0)))
+
+    recs = completes.unionByName(region_recs)
+    return (recs.join(units.select("conv_id", "key_block", "slot",
+                                   "offset"),
+                      ["conv_id", "key_block", "slot"])
+            .select("conv_id",
+                    (F.col("offset") + F.col("local_idx")).alias("pos"),
+                    "record_xml"))
 
 
 def roundtrip_check(transcripts: DataFrame, records: DataFrame,
