@@ -374,6 +374,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         back = spark.createDataFrame([(1, 63)], "src int, dst int")
         return cycle_members(tree.unionByName(back))
 
+    # --- G3 validation slice 2: label-conflict detection (skosify's
+    #     check pass — same-scheme concepts sharing a (prefLabel, lang)
+    #     are merge candidates).  Documents stand in as concepts: the
+    #     label buckets (lang + n_chars mod 40) guarantee collisions,
+    #     and the REAL operator (shared_preflabels) runs over a proper
+    #     triples table with inScheme membership edges.
+    def g3_label_conflicts(spark, sf_dir):
+        from mc2skos_spark.core.constants import SKOS
+        from mc2skos_spark.operators.validate import shared_preflabels
+        docs = _t(spark, sf_dir, "documents")
+        subj = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+        label = F.concat("lang", F.lit("-"),
+                         (F.col("n_chars") % 40).cast("string"))
+        nulls = [F.lit(None).cast("string").alias("obj_datatype"),
+                 F.lit(None).cast("int").alias("component_pos"),
+                 F.lit(None).cast("string").alias("record_id")]
+        prefs = docs.select(
+            subj.alias("subj"), F.lit(SKOS + "prefLabel").alias("pred"),
+            label.alias("obj"), F.lit(True).alias("obj_is_literal"),
+            F.col("lang").alias("obj_lang"), *nulls)
+        schemes = docs.select(
+            subj.alias("subj"), F.lit(SKOS + "inScheme").alias("pred"),
+            F.col("source").alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+            F.lit(None).cast("string").alias("obj_lang"), *nulls)
+        return shared_preflabels(prefs.unionByName(schemes))
+
     # --- TC: iterative transitive closure (skosify transitive=True
     #     analog — /root/reference/examples/skosify.cfg:3).  Edges form
     #     a binary tree over doc ids (i → i/2), depth ~log2(n), so the
@@ -585,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_golden_triples": kg_golden_triples,
         "s4_turtle_blocks": s4_turtle_blocks,
         "st_completeness_gate": st_completeness_gate,
+        "g3_label_conflicts": g3_label_conflicts,
         "tc_cycle_detect": tc_cycle_detect,
         "tc_transitive_closure": tc_transitive_closure,
         "p4_array_projection": p4_array_projection,
@@ -876,6 +904,19 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(DISTINCT turn_idx) = max(turn_idx) + 1
                AND max(CASE WHEN role = 'assistant' AND text = 'done'
                             THEN turn_idx END) = max(turn_idx)""",
+        "g3_label_conflicts": """
+            WITH t AS (
+                SELECT 'doc:' || cast(doc_id AS varchar) AS subj,
+                       source AS scheme,
+                       lang || '-' || cast(n_chars % 40 AS varchar)
+                           AS label,
+                       lang
+                FROM documents)
+            SELECT scheme, label, lang,
+                   cast(count(DISTINCT subj) AS bigint) AS n_concepts,
+                   string_agg(subj, '|' ORDER BY subj) AS concepts
+            FROM t GROUP BY 1, 2, 3
+            HAVING count(DISTINCT subj) > 1""",
         "tc_cycle_detect": """
             WITH RECURSIVE e AS (
                 SELECT cast(doc_id AS int) AS src,

@@ -1,0 +1,101 @@
+"""SKOS label validation (skosify check-pass slice 2: label overlap,
+prefLabel policy, same-scheme merge candidates) — see
+operators/validate.py; cycle detection (slice 1) is covered in
+test_closure_rank.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mc2skos_spark.core.constants import SKOS
+from mc2skos_spark.operators.extract import (extract_triples,
+                                             triples_from_extracted)
+from mc2skos_spark.operators.validate import (drop_redundant_altlabels,
+                                              duplicate_preflabels,
+                                              overlapping_labels,
+                                              shared_preflabels)
+from mc2skos_spark.plans import schemas
+from mc2skos_spark.sources.synth import make_transcript_rows
+from mc2skos_spark.sources.transcripts import reassemble_records
+
+pytestmark = pytest.mark.spark
+
+
+def _t(subj, pred, obj, literal=True, lang=None):
+    return (subj, SKOS + pred, obj, literal, lang, None, None, "r1")
+
+
+@pytest.fixture()
+def label_triples(spark):
+    rows = [
+        # A: altLabel duplicates its own prefLabel (same lang) → overlap
+        _t("A", "prefLabel", "alpha", lang="en"),
+        _t("A", "altLabel", "alpha", lang="en"),
+        _t("A", "altLabel", "alef", lang="en"),          # kept
+        # B: same value but different lang → NOT an overlap
+        _t("B", "prefLabel", "beta", lang="en"),
+        _t("B", "altLabel", "beta", lang="de"),
+        # C: overlap with NO language tag on either side → overlap
+        _t("C", "prefLabel", "gamma"),
+        _t("C", "altLabel", "gamma"),
+        # D: two prefLabels in ONE language → preflabel policy hit
+        _t("D", "prefLabel", "delta", lang="en"),
+        _t("D", "prefLabel", "delta2", lang="en"),
+        _t("D", "prefLabel", "delta-nb", lang="nb"),     # other lang: fine
+        # E/F share a prefLabel within scheme s1; G matches in scheme s2
+        _t("E", "prefLabel", "shared", lang="en"),
+        _t("F", "prefLabel", "shared", lang="en"),
+        _t("G", "prefLabel", "shared", lang="en"),
+        _t("E", "inScheme", "s1", literal=False),
+        _t("F", "inScheme", "s1", literal=False),
+        _t("G", "inScheme", "s2", literal=False),
+    ]
+    return spark.createDataFrame(rows, schema=schemas.TRIPLES)
+
+
+def test_overlapping_labels(label_triples):
+    got = {(r["subj"], r["label"], r["lang"])
+           for r in overlapping_labels(label_triples).collect()}
+    assert got == {("A", "alpha", "en"), ("C", "gamma", None)}
+
+
+def test_drop_redundant_altlabels_repairs_only_overlaps(label_triples):
+    cleaned = drop_redundant_altlabels(label_triples)
+    alts = {(r["subj"], r["obj"], r["obj_lang"])
+            for r in cleaned.filter(F.col("pred") == SKOS + "altLabel")
+            .collect()}
+    # A keeps its distinct altLabel, B's cross-lang one survives,
+    # C's duplicate is gone
+    assert alts == {("A", "alef", "en"), ("B", "beta", "de")}
+    # nothing else is touched
+    assert cleaned.count() == label_triples.count() - 2
+    assert (cleaned.filter(F.col("pred") != SKOS + "altLabel").count()
+            == label_triples.filter(
+                F.col("pred") != SKOS + "altLabel").count())
+
+
+def test_duplicate_preflabels(label_triples):
+    got = {(r["subj"], r["lang"], r["n_labels"], r["labels"])
+           for r in duplicate_preflabels(label_triples).collect()}
+    assert got == {("D", "en", 2, "delta|delta2")}
+
+
+def test_shared_preflabels_scoped_to_scheme(label_triples):
+    got = {(r["scheme"], r["label"], r["lang"], r["n_concepts"],
+            r["concepts"])
+           for r in shared_preflabels(label_triples).collect()}
+    # E and F collide inside s1; G's identical label in s2 does not join
+    assert got == {("s1", "shared", "en", 2, "E|F")}
+
+
+def test_validation_clean_on_real_extraction(spark):
+    """The real extraction semantics emit well-formed labels: running
+    the checks over a synth-corpus conversion must flag nothing, and
+    the repair pass must be the identity."""
+    from mc2skos_spark.sources.synth import synth_marc_records
+    rows = make_transcript_rows(synth_marc_records(60, seed=97), seed=98)
+    df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+    triples = triples_from_extracted(
+        extract_triples(reassemble_records(df)))
+    assert overlapping_labels(triples).count() == 0
+    assert duplicate_preflabels(triples).count() == 0
+    assert drop_redundant_altlabels(triples).count() == triples.count()
