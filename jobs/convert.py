@@ -8,7 +8,7 @@ engine, so a reference user can switch command-for-command:
         [--components] [--exclude_notes] [--skip-classification] \\
         [--skip-authority] [--scheme gnd] [--uri TEMPLATE] \\
         [--whitespace STR] [--include extra.ttl] [--expand] \\
-        [--transitive] [-o turtle|jskos|triples]
+        [--transitive] [--skosify] [-o turtle|jskos|triples]
 
 This is the small-file convenience mode: records are distributed for
 extraction (the same Arrow pass the pipeline uses) and the result is
@@ -60,6 +60,12 @@ def main() -> None:
                         help="SKOS inference post-pass")
     parser.add_argument("--transitive", action="store_true",
                         help="materialize skos:broaderTransitive")
+    parser.add_argument("--skosify", action="store_true",
+                        help="validation pass (cycles, label conflicts"
+                             " — logged to stderr + stats) and the"
+                             " automatic repair skosify applies:"
+                             " drop altLabels duplicating a concept's"
+                             " own prefLabel")
     args = parser.parse_args()
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -79,7 +85,8 @@ def main() -> None:
                     components=args.components, webdewey=args.webdewey,
                     skip_classification=args.skip_classification,
                     skip_authority=args.skip_authority,
-                    expand=args.expand, transitive=args.transitive)
+                    expand=args.expand, transitive=args.transitive,
+                    skosify=args.skosify)
     print(json.dumps(stats))
     spark.stop()
 
@@ -88,7 +95,7 @@ def convert(spark, infiles, outfile, outformat=None, include=(),
             base_uri=None, scheme=None, whitespace=None, altlabels=False,
             exclude_notes=False, components=False, webdewey=False,
             skip_classification=False, skip_authority=False,
-            expand=False, transitive=False) -> dict:
+            expand=False, transitive=False, skosify=False) -> dict:
     """Convert MARCXML file(s) to one SKOS output file; returns stats."""
     from mc2skos_spark.operators.closure import broader_transitive
     from mc2skos_spark.operators.expand import expand_inferred
@@ -137,6 +144,19 @@ def convert(spark, infiles, outfile, outformat=None, include=(),
         triples = expand_inferred(triples)
     if transitive:
         triples = triples.unionByName(broader_transitive(triples))
+    n_validation_warnings = 0
+    if skosify:
+        # reference parity: skosify runs after expand
+        # (/root/reference/mc2skos/mc2skos.py:192-201); warnings are
+        # reported, the one automatic repair (redundant altLabels)
+        # is applied
+        from mc2skos_spark.operators.validate import (
+            drop_redundant_altlabels, validation_warnings)
+        for row in validation_warnings(triples).toLocalIterator():
+            print("skosify: %s: %s" % (row["record_id"], row["reason"]),
+                  file=sys.stderr)
+            n_validation_warnings += 1
+        triples = drop_redundant_altlabels(triples)
 
     n = 0
     with open(outfile, "w", encoding="utf-8") as fp:
@@ -169,8 +189,11 @@ def convert(spark, infiles, outfile, outformat=None, include=(),
                 n += 1
 
     quarantined = quarantine_from_extracted(extracted).count()
-    return {"outfile": outfile, "format": fmt,
-            "subjects": n, "quarantined": quarantined}
+    stats = {"outfile": outfile, "format": fmt,
+             "subjects": n, "quarantined": quarantined}
+    if skosify:
+        stats["validation_warnings"] = n_validation_warnings
+    return stats
 
 
 if __name__ == "__main__":

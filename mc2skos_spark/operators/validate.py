@@ -84,6 +84,42 @@ def drop_redundant_altlabels(triples: DataFrame) -> DataFrame:
     return triples.filter(~alt).unionByName(kept_alts)
 
 
+def validation_warnings(triples: DataFrame) -> DataFrame:
+    """The full check-pass report in the warning-channel shape
+    ``(record_id, reason)`` (same contract as P7/P8 warnings, keyed by
+    concept URI): broader-hierarchy cycles, altLabel/prefLabel
+    overlaps, multiple prefLabels per language, and same-scheme shared
+    prefLabels.  Deterministic reasons, deduplicated."""
+    from .closure import broader_cycle_warnings
+
+    cycles = broader_cycle_warnings(triples)
+    overlaps = overlapping_labels(triples).select(
+        F.col("subj").alias("record_id"),
+        F.concat(F.lit("altLabel duplicates prefLabel '"),
+                 F.col("label"), F.lit("'@"),
+                 F.coalesce(F.col("lang"), F.lit("-")))
+        .alias("reason"))
+    dups = duplicate_preflabels(triples).select(
+        F.col("subj").alias("record_id"),
+        F.concat(F.col("n_labels").cast("string"),
+                 F.lit(" prefLabels @"),
+                 F.coalesce(F.col("lang"), F.lit("-")))
+        .alias("reason"))
+    shared = (shared_preflabels(triples)
+              .select(F.explode(F.split("concepts", "[|]", -1))
+                      .alias("record_id"),
+                      F.concat(F.lit("prefLabel '"), F.col("label"),
+                               F.lit("'@"),
+                               F.coalesce(F.col("lang"), F.lit("-")),
+                               F.lit(" shared by "),
+                               F.col("n_concepts").cast("string"),
+                               F.lit(" concepts in "), F.col("scheme"))
+                      .alias("reason")))
+    return (cycles.unionByName(overlaps).unionByName(dups)
+            .unionByName(shared)
+            .dropDuplicates(["record_id", "reason"]))
+
+
 def shared_preflabels(triples: DataFrame) -> DataFrame:
     """Distinct concepts in the SAME scheme sharing a (prefLabel,
     lang) — merge-candidate report ``(scheme, label, lang, n_concepts,

@@ -47,6 +47,7 @@ class KgPipeline:
                  transitive: bool = False,
                  canonicalize: bool = True,
                  block_size: int | None = None,
+                 validate: bool = False,
                  force: bool = False):
         self.spark = spark
         self.catalog = IcebergishCatalog(warehouse, spark)
@@ -56,6 +57,7 @@ class KgPipeline:
         self.transitive = transitive
         self.canonicalize = canonicalize
         self.block_size = block_size
+        self.validate = validate
         self.force = force
         self.stage_log: list[tuple[str, str]] = []  # (stage, ran|resumed)
         self.config_hash = hashlib.sha256(json.dumps({
@@ -63,6 +65,7 @@ class KgPipeline:
             "default_scheme": default_scheme,
             "expand": expand, "transitive": transitive,
             "canonicalize": canonicalize, "block_size": block_size,
+            "validate": validate,
         }, sort_keys=True).encode()).hexdigest()[:16]
 
     def _stage(self, name: str, build, partition_by=None,
@@ -122,6 +125,16 @@ class KgPipeline:
                 "triples_transitive",
                 lambda: triples.unionByName(broader_transitive(triples)),
                 lineage_key="subj")
+
+        if self.validate:
+            # skosify check-pass analog (reference runs skosify AFTER
+            # expand, mc2skos.py:198-201): cycle + label reports into
+            # their own committed warnings table; triples unchanged
+            # (repair is the converter's opt-in, not the pipeline's)
+            from ..operators.validate import validation_warnings
+            self._stage("validation_warnings",
+                        lambda: validation_warnings(triples),
+                        lineage_key="record_id")
 
         # S6: the published triple store, partitioned by predicate key so
         # predicate-restricted reads prune at the directory level

@@ -30,6 +30,19 @@ def test_convert_turtle_matches_golden(spark, tmp_path):
     assert produced == golden
 
 
+def test_convert_skosify_clean_is_identity(spark, tmp_path):
+    """--skosify on a clean golden file: zero warnings, repair is a
+    no-op, output still matches the reference conversion."""
+    out = str(tmp_path / "out.ttl")
+    stats = convert(spark, [os.path.join(EXAMPLES, "ddc23no-001.xml")],
+                    out, webdewey=True, skosify=True)
+    assert stats["validation_warnings"] == 0
+    produced = set(parse_turtle_file(out))
+    golden = set(parse_turtle_file(os.path.join(EXAMPLES,
+                                                "ddc23no-001.ttl")))
+    assert produced == golden
+
+
 def test_convert_authority_with_scheme_and_jskos(spark, tmp_path):
     out = str(tmp_path / "out.ndjson")
     stats = convert(spark, [os.path.join(EXAMPLES, "gnd-1020118989.xml")],

@@ -26,6 +26,58 @@ def test_two_phase_reassembly_equals_single_phase(spark):
         assert two == single, "block_size=%d diverged" % block
 
 
+def test_blocked_reassembly_adversarial_property(spark):
+    """Blocked vs single-phase extraction on adversarial payloads:
+    inter-record garbage (incl. stray end-tag fragments), records
+    WITHOUT an 001 controlfield (positional conv#pos fallback ids must
+    match exactly — this pins the prefix-sum position reconstruction),
+    and random chunk boundaries, across block sizes down to 1."""
+    import random
+
+    rng = random.Random(1234)
+    with_001 = ('<record><controlfield tag="001">id%03d</controlfield>'
+                '<datafield tag="153"><subfield code="a">%d</subfield>'
+                '</datafield></record>')
+    without_001 = ('<record><datafield tag="153">'
+                   '<subfield code="a">anon%d</subfield>'
+                   '</datafield></record>')
+    garbage = ["", " \n ", "GARBAGE", "</reco", "rd>", "<notrecord/>",
+               "&lt;record&gt;"]
+
+    rows = []
+    for conv_no in range(6):
+        payload = ""
+        for k in range(rng.randint(1, 7)):
+            payload += rng.choice(garbage)
+            n = conv_no * 10 + k
+            payload += (with_001 % (n, n) if rng.random() < 0.6
+                        else without_001 % n)
+        payload += rng.choice(garbage)
+        cuts = sorted(rng.sample(range(1, len(payload)),
+                                 rng.randint(0, min(12, len(payload) - 1))))
+        chunks = [payload[a:b]
+                  for a, b in zip([0] + cuts, cuts + [len(payload)])]
+        turn_idx = rng.randint(0, 3)
+        for chunk in chunks:
+            rows.append(("conv-%d" % conv_no, turn_idx, "tool", chunk,
+                         "marc_export", None))
+            turn_idx += rng.randint(1, 4)   # gaps in turn_idx are legal
+            rows.append(("conv-%d" % conv_no, turn_idx, "user", "noise",
+                         None, None))       # non-payload interleave
+            turn_idx += rng.randint(1, 4)
+    df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+
+    single = sorted((r["record_id"], r["conv_id"], r["record_xml"])
+                    for r in reassemble_records(df).collect())
+    assert any(rid.startswith("conv-") and "#" in rid
+               for rid, _, _ in single), "fallback ids not exercised"
+    for block in (1, 3, 16, 1024):
+        two = sorted((r["record_id"], r["conv_id"], r["record_xml"])
+                     for r in reassemble_records(df, block_size=block)
+                     .collect())
+        assert two == single, "block_size=%d diverged" % block
+
+
 def test_bucketed_subject_join_has_no_exchange(spark, tmp_path):
     rows = make_transcript_rows(synth_marc_records(40, seed=61), seed=62)
     df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)

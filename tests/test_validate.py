@@ -87,6 +87,48 @@ def test_shared_preflabels_scoped_to_scheme(label_triples):
     assert got == {("s1", "shared", "en", 2, "E|F")}
 
 
+def test_validation_warnings_report(spark, label_triples):
+    from mc2skos_spark.operators.validate import validation_warnings
+    cyc = spark.createDataFrame(
+        [_t("X", "broader", "Y", literal=False),
+         _t("Y", "broader", "X", literal=False)],
+        schema=schemas.TRIPLES)
+    got = {(r["record_id"], r["reason"])
+           for r in validation_warnings(
+               label_triples.unionByName(cyc)).collect()}
+    assert got == {
+        ("X", "skos:broader cycle"),
+        ("Y", "skos:broader cycle"),
+        ("A", "altLabel duplicates prefLabel 'alpha'@en"),
+        ("C", "altLabel duplicates prefLabel 'gamma'@-"),
+        ("D", "2 prefLabels @en"),
+        ("E", "prefLabel 'shared'@en shared by 2 concepts in s1"),
+        ("F", "prefLabel 'shared'@en shared by 2 concepts in s1"),
+    }
+
+
+def test_pipeline_validate_stage(spark, tmp_path):
+    """validate=True commits a validation_warnings table without
+    touching the published triples.  The synth corpus intentionally
+    reuses caption vocabulary, so the ONLY warnings are same-scheme
+    shared-prefLabel merge candidates — no cycles, no overlaps, no
+    prefLabel-policy hits."""
+    from mc2skos_spark.plans.pipeline import KgPipeline
+    from mc2skos_spark.sources.synth import synth_marc_records
+    rows = make_transcript_rows(synth_marc_records(30, seed=77), seed=78)
+    df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+    pipe = KgPipeline(spark, str(tmp_path / "wh"), canonicalize=False,
+                      validate=True)
+    triples = pipe.run(df)
+    assert ("validation_warnings", "ran") in pipe.stage_log
+    warnings = pipe.catalog.read("validation_warnings").collect()
+    assert warnings and all(" shared by " in r["reason"]
+                            for r in warnings)
+    baseline = KgPipeline(spark, str(tmp_path / "wh2"),
+                          canonicalize=False).run(df)
+    assert triples.count() == baseline.count()
+
+
 def test_validation_clean_on_real_extraction(spark):
     """The real extraction semantics emit well-formed labels: running
     the checks over a synth-corpus conversion must flag nothing, and
