@@ -83,9 +83,12 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
     triple table (only URIs sharing an identifier), so the loop's BIG
     exchange (the per-round propagate join over the edge list) runs at
     its own explicit width (``cc_partitions``): the edge list is
-    ``repartition(cc_partitions, dst)``-ed once, and each round the
-    (small) label table is repartitioned to the matching (key, width),
-    so the join plans with no further exchange.  The session's
+    ``repartition(cc_partitions, dst)``-ed — materialized
+    pre-partitioned when it is big enough to matter, re-keyed lazily
+    from the checkpoint inside each round's job when it is small — and
+    each round the (small) label table is repartitioned to the
+    matching (key, width), so the join plans with no further
+    exchange.  The session's
     ``spark.sql.shuffle.partitions`` is never touched — a session
     shared by concurrent query threads keeps its own width mid-loop
     (the loop's aggregate exchanges stay at session width, where AQE
@@ -102,27 +105,39 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
                                       F.col("src").alias("dst")))
             .distinct()
             .localCheckpoint())
+    n = both.count()   # cheap on the checkpointed list; sizes the loop
+    if n == 0:
+        # no candidate identities at all (common for single-agency
+        # corpora): skip every loop job.  limit(0) keeps the vertex
+        # type whatever the edge ids are (string URIs or long doc ids).
+        return edges.select(F.col("src").alias("vertex"),
+                            F.col("src").alias("comp")).limit(0)
     if cc_partitions is None:
-        # counting the checkpointed edge list is one cheap metadata-
-        # scale job; it is reused for every loop round anyway
-        cc_partitions = max(8, both.count() // 1_000_000)
-    # re-key by the propagate-join key at the loop width, once; the
-    # checkpoint preserves the hash partitioning so every round's join
-    # reads it exchange-free
-    both = both.repartition(cc_partitions, "dst").localCheckpoint()
+        cc_partitions = max(8, n // 1_000_000)
+    # re-key by the propagate-join key at the loop width.  Big edge
+    # lists are materialized pre-partitioned once so every round's join
+    # reads them exchange-free; small ones stay lazy — re-keying a few
+    # MB from the checkpoint inside each round's job is cheaper than a
+    # second eager materialization.
+    both = both.repartition(cc_partitions, "dst")
+    if n > 10_000_000:
+        both = both.localCheckpoint()
     return _cc_loop(both, max_rounds, cc_partitions)
 
 
 def _cc_loop(both: DataFrame, max_rounds: int,
              cc_partitions: int) -> DataFrame:
-    # `both` arrives checkpointed AND hash-partitioned by dst at the
-    # loop width; the label side of each round's join is repartitioned
-    # to match, so neither side re-exchanges.
-    # label(v) = min(v, min neighbor) to start.
+    # `both` arrives (at least lazily) partitioned by dst at the loop
+    # width; the label side of each round's join is repartitioned to
+    # match.  label(v) = min(v, min neighbor) to start — the init is
+    # NOT materialized on its own: round 1 computes it inline from the
+    # checkpointed edge list, and the per-round checkpoint carries a
+    # `chg` flag so convergence is a limit(1) probe of materialized
+    # data.  Steady state for tiny components (1-round convergence) is
+    # therefore two loop jobs total: one materialize, one probe.
     labels = (both.groupBy("src")
               .agg(F.least(F.first("src"), F.min("dst")).alias("comp"))
-              .withColumnRenamed("src", "vertex")
-              .localCheckpoint())
+              .withColumnRenamed("src", "vertex"))
 
     for _ in range(max_rounds):
         # propagate: candidate label for v = min over neighbors' labels
@@ -130,21 +145,20 @@ def _cc_loop(both: DataFrame, max_rounds: int,
                           .repartition(cc_partitions, "dst"), "dst")
                 .groupBy("src").agg(F.min("comp").alias("ncomp"))
                 .withColumnRenamed("src", "vertex"))
+        newc = F.least("comp", F.coalesce("ncomp", "comp"))
         new_labels = (labels.join(cand, "vertex", "left")
-                      .select("vertex",
-                              F.least("comp", F.coalesce("ncomp", "comp"))
-                               .alias("comp"))
+                      .select("vertex", newc.alias("comp"),
+                              (newc < F.col("comp")).alias("chg"))
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "vertex")
-                   .filter(F.col("n.comp") != F.col("o.comp"))
-                   .limit(1).count())
+        changed = new_labels.filter("chg").limit(1).count()
+        new_labels = new_labels.select("vertex", "comp")
         if changed == 0:
             # converged: new_labels == labels, and compression would be
             # an identity join — skip it (for the common tiny-component
             # case the loop converges in round 1, so this saves the
-            # whole compression cost)
-            return labels
+            # whole compression cost).  Return the CHECKPOINTED copy so
+            # consumers never recompute the lazy round-1 init.
+            return new_labels
         # label-pointer compression: relabel through the label table —
         # keeps round count O(log diameter) for long chains
         labels = (new_labels.alias("a")
