@@ -8,7 +8,8 @@ engine, so a reference user can switch command-for-command:
         [--components] [--exclude_notes] [--skip-classification] \\
         [--skip-authority] [--scheme gnd] [--uri TEMPLATE] \\
         [--whitespace STR] [--include extra.ttl] [--expand] \\
-        [--transitive] [--skosify] [-o turtle|jskos|triples]
+        [--transitive] [--skosify] [-o turtle|jskos|triples] \\
+        [--notes] [-l|--list-schemes] [--version] [-v]
 
 This is the small-file convenience mode: records are distributed for
 extraction (the same Arrow pass the pipeline uses) and the result is
@@ -28,8 +29,12 @@ import sys
 def main() -> None:
     parser = argparse.ArgumentParser(
         description="Convert MARC21 Classification/Authority XML to SKOS")
-    parser.add_argument("infile", nargs="+", help="input MARCXML file(s)")
-    parser.add_argument("outfile", help="output RDF file")
+    # positionals optional like the reference (mc2skos.py:209-210) so
+    # --list-schemes works standalone; split + validated below
+    parser.add_argument("paths", nargs="*",
+                        metavar="infile... outfile",
+                        help="input MARCXML file(s), then the output "
+                             "RDF file (last positional)")
     parser.add_argument("-o", "--outformat", default=None,
                         choices=["turtle", "jskos", "ndjson", "triples"],
                         help="like the reference: 'jskos' = ONE indented"
@@ -49,6 +54,10 @@ def main() -> None:
                         help="whitespace replacement in minted URIs")
     parser.add_argument("--altlabels", "--indexterms", dest="altlabels",
                         action="store_true")
+    parser.add_argument("--notes", action="store_true",
+                        help="DEPRECATED no-op kept for flag parity: "
+                             "notes are included by default "
+                             "(reference mc2skos.py:230,252-255)")
     parser.add_argument("--exclude_notes", action="store_true")
     parser.add_argument("--components", action="store_true")
     parser.add_argument("--webdewey", action="store_true")
@@ -66,7 +75,34 @@ def main() -> None:
                              " automatic repair skosify applies:"
                              " drop altLabels duplicating a concept's"
                              " own prefLabel")
+    parser.add_argument("-l", "--list-schemes", dest="list_schemes",
+                        action="store_true",
+                        help="list supported vocabulary schemes and exit")
+    parser.add_argument("--version", action="version",
+                        version="%(prog)s mc2skos_spark")
+    parser.add_argument("-v", "--verbose", action="store_true",
+                        help="more verbose output (INFO-level Spark log)")
     args = parser.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    if args.notes:
+        import warnings as _w
+        _w.warn("--notes is deprecated as including notes is now the "
+                "default. The inverse option --exclude_notes has been "
+                "added to exclude notes.", DeprecationWarning)
+    if args.list_schemes:
+        # reference parity (mc2skos.py:267-271): registry listing, no
+        # conversion — and no Spark session needed (core is Spark-free)
+        from mc2skos_spark.core.vocab import Vocabularies
+        print("Schemes:")
+        for voc in Vocabularies():
+            print("- %s" % voc.code)
+        return
+    if len(args.paths) < 2:
+        parser.error("infile(s) and outfile are required")
+    infiles, outfile = args.paths[:-1], args.paths[-1]
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo_root not in sys.path:
@@ -75,9 +111,11 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("mc2skos-convert").getOrCreate()
+    if args.verbose:
+        spark.sparkContext.setLogLevel("INFO")
     from mc2skos_spark.plans.shiplib import ensure_shipped
     ensure_shipped(spark)  # workers need the package without --py-files
-    stats = convert(spark, args.infile, args.outfile,
+    stats = convert(spark, infiles, outfile,
                     outformat=args.outformat, include=args.include,
                     base_uri=args.base_uri, scheme=args.scheme,
                     whitespace=args.whitespace, altlabels=args.altlabels,

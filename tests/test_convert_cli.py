@@ -19,6 +19,22 @@ pytestmark = pytest.mark.spark
 EXAMPLES = "/root/reference/examples"
 
 
+def test_cli_list_schemes_no_spark():
+    """-l/--list-schemes (reference mc2skos.py:247,267-271) prints the
+    registry and exits — before any Spark session exists."""
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "convert.py"),
+         "--list-schemes"],
+        capture_output=True, text=True, timeout=60)
+    assert out.returncode == 0
+    lines = out.stdout.strip().splitlines()
+    assert lines[0] == "Schemes:"
+    from mc2skos_spark.core.vocab import Vocabularies
+    assert {ln[2:] for ln in lines[1:]} == {v.code for v in Vocabularies()}
+
+
 def test_convert_turtle_matches_golden(spark, tmp_path):
     out = str(tmp_path / "out.ttl")
     stats = convert(spark, [os.path.join(EXAMPLES, "ddc23no-001.xml")],
