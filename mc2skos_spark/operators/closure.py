@@ -39,10 +39,14 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 20,
     """
     paths = (edges.select("src", "dst").distinct()
              .localCheckpoint())
-    n = paths.count()
+    # no up-front count job: the first round's count seeds n.  (Only a
+    # fully pre-closed input pays one redundant round for this; a real
+    # edge list always grows in round 1.)
+    n = -1
     fixed_width = loop_partitions is not None
     for _ in range(max_rounds):
-        width = loop_partitions if fixed_width else max(8, n // 1_000_000)
+        width = (loop_partitions if fixed_width
+                 else max(8, max(n, 0) // 1_000_000))
         hops = (paths.repartition(width, "dst").alias("a")
                 .join(paths.repartition(width, "src").alias("b"),
                       F.col("a.dst") == F.col("b.src"))
