@@ -47,6 +47,10 @@ def main() -> None:
     parser.add_argument("--transitive", action="store_true",
                         help="materialize skos:broaderTransitive "
                              "(skosify transitive=True analog)")
+    parser.add_argument("--validate", action="store_true",
+                        help="commit a validation_warnings stage "
+                             "(skosify check pass: cycles, label "
+                             "conflicts)")
     parser.add_argument("--no-canonicalize", action="store_true")
     parser.add_argument("--force", action="store_true",
                         help="rerun every stage even if the warehouse "
@@ -99,6 +103,7 @@ def main() -> None:
                           transitive=args.transitive,
                           canonicalize=not args.no_canonicalize,
                           block_size=args.block_size,
+                          validate=args.validate,
                           force=args.force)
     triples = pipeline.run(transcripts)
     if args.turtle_out:

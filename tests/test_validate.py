@@ -129,6 +129,22 @@ def test_pipeline_validate_stage(spark, tmp_path):
     assert triples.count() == baseline.count()
 
 
+def test_connected_components_empty_edges_fast_path(spark):
+    """The empty candidate set skips the loop and keeps the edge id
+    type (string URIs here, long doc ids in near_dup_keepers)."""
+    from mc2skos_spark.operators.canonicalize import connected_components
+    empty_s = spark.createDataFrame([], "src string, dst string")
+    out = connected_components(empty_s)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"vertex": "string", "comp": "string"}
+    from mc2skos_spark.functions.dedup import near_dup_keepers
+    docs = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    keepers = {(r["id"], r["keeper_id"])
+               for r in near_dup_keepers(docs, pairs).collect()}
+    assert keepers == {(1, 1), (2, 2)}
+
+
 def test_validation_clean_on_real_extraction(spark):
     """The real extraction semantics emit well-formed labels: running
     the checks over a synth-corpus conversion must flag nothing, and
