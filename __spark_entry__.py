@@ -401,6 +401,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("string").alias("obj_lang"), *nulls)
         return shared_preflabels(prefs.unionByName(schemes))
 
+    # --- Entity-link scoring (north_star: "entity-link scoring"):
+    #     cross-scheme alignment candidates by prefLabel n-gram Jaccard
+    #     through the REAL operator (label_link_candidates) over a
+    #     triples table built from documents.  The corpus has no
+    #     natural cross-source near-identical texts, so plant
+    #     one-token-appended copies of the first 60 docs under a
+    #     'planted' scheme; same-scheme duplicates are excluded by the
+    #     operator (that is validate.shared_preflabels' job) — both
+    #     halves of the policy discriminate.
+    def el_label_links(spark, sf_dir):
+        from mc2skos_spark.core.constants import SKOS
+        from mc2skos_spark.operators.linking import label_link_candidates
+        docs = (_t(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") < 300)
+                .select("doc_id", "text", "source"))
+        planted = docs.filter(F.col("doc_id") < 60).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat("text", F.lit(" qq")).alias("text"),
+            F.lit("planted").alias("source"))
+        aug = docs.unionByName(planted)
+        subj = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+        nulls = [F.lit(None).cast("string").alias("obj_datatype"),
+                 F.lit(None).cast("int").alias("component_pos"),
+                 F.lit(None).cast("string").alias("record_id")]
+        prefs = aug.select(
+            subj.alias("subj"), F.lit(SKOS + "prefLabel").alias("pred"),
+            F.col("text").alias("obj"), F.lit(True).alias("obj_is_literal"),
+            F.lit(None).cast("string").alias("obj_lang"), *nulls)
+        schemes = aug.select(
+            subj.alias("subj"), F.lit(SKOS + "inScheme").alias("pred"),
+            F.col("source").alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+            F.lit(None).cast("string").alias("obj_lang"), *nulls)
+        return label_link_candidates(prefs.unionByName(schemes),
+                                     threshold=0.8, n=2,
+                                     max_shingle_freq=50)
+
     # --- TC: iterative transitive closure (skosify transitive=True
     #     analog — /root/reference/examples/skosify.cfg:3).  Edges form
     #     a binary tree over doc ids (i → i/2), depth ~log2(n), so the
@@ -613,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_turtle_blocks": s4_turtle_blocks,
         "st_completeness_gate": st_completeness_gate,
         "g3_label_conflicts": g3_label_conflicts,
+        "el_label_links": el_label_links,
         "tc_cycle_detect": tc_cycle_detect,
         "tc_transitive_closure": tc_transitive_closure,
         "p4_array_projection": p4_array_projection,
@@ -917,6 +955,43 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(subj, '|' ORDER BY subj) AS concepts
             FROM t GROUP BY 1, 2, 3
             HAVING count(DISTINCT subj) > 1""",
+        "el_label_links": """
+            WITH aug AS (
+                SELECT 'doc:' || cast(doc_id AS varchar) AS id,
+                       text, source
+                FROM documents WHERE doc_id < 300
+                UNION ALL
+                SELECT 'doc:' || cast(doc_id + 200000 AS varchar),
+                       text || ' qq', 'planted'
+                FROM documents WHERE doc_id < 60),
+            toks AS (
+                SELECT id, source,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM aug),
+            sh_all AS (
+                SELECT DISTINCT id, tk[i + 1] || ' ' || tk[i + 2] AS sh
+                FROM toks, unnest(range(greatest(len(tk) - 1, 1))) AS u(i)
+                WHERE len(tk) >= 2),
+            hot AS (SELECT sh FROM sh_all GROUP BY sh
+                    HAVING count(*) > 50),
+            sh AS (SELECT * FROM sh_all ANTI JOIN hot USING (sh)),
+            sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+            srcs AS (SELECT DISTINCT id, source FROM aug),
+            inter AS (
+                SELECT a.id AS src, b.id AS dst, count(*) AS i
+                FROM sh a JOIN sh b USING (sh)
+                WHERE a.id < b.id GROUP BY 1, 2)
+            SELECT src, dst,
+                   round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS score
+            FROM inter
+            JOIN sizes sa ON sa.id = src
+            JOIN sizes sb ON sb.id = dst
+            JOIN srcs qa ON qa.id = src
+            JOIN srcs qb ON qb.id = dst
+            WHERE qa.source != qb.source
+              AND round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.8""",
         "tc_cycle_detect": """
             WITH RECURSIVE e AS (
                 SELECT cast(doc_id AS int) AS src,

@@ -172,15 +172,21 @@ def _cc_loop(both: DataFrame, max_rounds: int,
     return labels
 
 
-def canonical_mapping(triples: DataFrame,
-                      use_exact_match: bool = False) -> DataFrame:
-    """(uri, canonical_uri) for every URI in a non-trivial component."""
-    edges = candidate_sameas_edges(triples, use_exact_match)
+def mapping_from_edges(edges: DataFrame) -> DataFrame:
+    """(src, dst) identity edges → (uri, canonical) for every URI in a
+    non-trivial component (canonical = min URI of the component)."""
     labels = connected_components(edges)
     canon = (labels.groupBy("comp").agg(F.min("vertex").alias("canonical")))
     return (labels.join(canon, "comp")
             .select(F.col("vertex").alias("uri"), "canonical")
             .filter(F.col("uri") != F.col("canonical")))
+
+
+def canonical_mapping(triples: DataFrame,
+                      use_exact_match: bool = False) -> DataFrame:
+    """(uri, canonical_uri) for every URI in a non-trivial component."""
+    return mapping_from_edges(
+        candidate_sameas_edges(triples, use_exact_match))
 
 
 def rewrite_canonical(triples: DataFrame, mapping: DataFrame) -> DataFrame:
