@@ -374,6 +374,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         back = spark.createDataFrame([(1, 63)], "src int, dst int")
         return cycle_members(tree.unionByName(back))
 
+    # --- streaming windowed metrics, batch-expressed: the REAL
+    #     watermark+window transformation (streaming/metrics.py) is
+    #     batch/stream agnostic, so the driver gate runs it over the
+    #     events table recast as transcript turns (1-day tumbling
+    #     event-time windows; exact=True swaps the streaming-state
+    #     approx_count_distinct for an oracle-able exact distinct).
+    #     Epoch-second window bounds keep the comparison TZ-proof.
+    def st_turn_rate_metrics(spark, sf_dir):
+        from mc2skos_spark.streaming.metrics import turn_rate_metrics
+        events = _t(spark, sf_dir, "events")
+        turns = events.select(
+            F.col("user_id").alias("conv_id"), "ts",
+            F.col("event_type").alias("text"),
+            F.when(F.col("event_type") == "purchase", "marc_export")
+             .otherwise("other").alias("tool"))
+        m = turn_rate_metrics(turns, window_duration="1 day", exact=True)
+        return m.select(
+            F.unix_timestamp("window_start").alias("ws"),
+            F.unix_timestamp("window_end").alias("we"),
+            "turns", "payload_turns", "conversations", "payload_chars")
+
     # --- G3 validation slice 2: label-conflict detection (skosify's
     #     check pass — same-scheme concepts sharing a (prefLabel, lang)
     #     are merge candidates).  Documents stand in as concepts: the
@@ -649,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_golden_triples": kg_golden_triples,
         "s4_turtle_blocks": s4_turtle_blocks,
         "st_completeness_gate": st_completeness_gate,
+        "st_turn_rate_metrics": st_turn_rate_metrics,
         "g3_label_conflicts": g3_label_conflicts,
         "el_label_links": el_label_links,
         "tc_cycle_detect": tc_cycle_detect,
@@ -942,6 +964,25 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(DISTINCT turn_idx) = max(turn_idx) + 1
                AND max(CASE WHEN role = 'assistant' AND text = 'done'
                             THEN turn_idx END) = max(turn_idx)""",
+        "st_turn_rate_metrics": """
+            WITH turns AS (
+                SELECT user_id AS conv_id, ts,
+                       event_type AS text,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 'marc_export' ELSE 'other' END AS tool
+                FROM events)
+            SELECT cast(floor(epoch(ts) / 86400) * 86400 AS bigint)
+                       AS ws,
+                   cast(floor(epoch(ts) / 86400) * 86400 + 86400
+                        AS bigint) AS we,
+                   count(*) AS turns,
+                   count(CASE WHEN tool = 'marc_export' THEN 1 END)
+                       AS payload_turns,
+                   count(DISTINCT conv_id) AS conversations,
+                   cast(sum(CASE WHEN tool = 'marc_export'
+                                 THEN length(text) ELSE 0 END)
+                        AS bigint) AS payload_chars
+            FROM turns GROUP BY 1, 2""",
         "g3_label_conflicts": """
             WITH t AS (
                 SELECT 'doc:' || cast(doc_id AS varchar) AS subj,
