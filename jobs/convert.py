@@ -104,10 +104,6 @@ def main() -> None:
         parser.error("infile(s) and outfile are required")
     infiles, outfile = args.paths[:-1], args.paths[-1]
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if repo_root not in sys.path:
-        sys.path.insert(0, repo_root)
-
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("mc2skos-convert").getOrCreate()

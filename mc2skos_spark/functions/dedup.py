@@ -47,12 +47,16 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .select("keeper_id", "dup_count"))
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.8,
-                        max_shingle_freq: int | None = 100) -> DataFrame:
-    """(id_a, id_b, jaccard) for pairs with Jaccard(shingles) ≥ threshold."""
-    sh = (df.select(F.col(id_col).alias("id"),
-                    F.explode(shingles(F.col(text_col), n)).alias("sh")))
+def jaccard_pairs_from_shingles(sh: DataFrame, threshold: float,
+                                max_shingle_freq: int | None = 100,
+                                a_col: str = "id_a", b_col: str = "id_b",
+                                score_col: str = "jaccard") -> DataFrame:
+    """(id, sh) rows — one row per DISTINCT shingle per id — →
+    (a_col, b_col, score_col) pairs with set Jaccard ≥ threshold
+    (a < b).  The shared scorer behind both text near-dup detection
+    (``ngram_jaccard_pairs``) and entity-link label scoring
+    (``operators/linking.py``): stop-shingle cap before the self-join,
+    per-pair intersection counts, sizes joined back."""
     if max_shingle_freq:
         hot = (sh.groupBy("sh").count()
                .filter(F.col("count") > max_shingle_freq).select("sh"))
@@ -60,19 +64,28 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (sh.alias("a").join(sh.alias("b"), "sh")
              .filter(F.col("a.id") < F.col("b.id"))
-             .groupBy(F.col("a.id").alias("id_a"),
-                      F.col("b.id").alias("id_b"))
+             .groupBy(F.col("a.id").alias(a_col),
+                      F.col("b.id").alias(b_col))
              .agg(F.count(F.lit(1)).alias("inter")))
     return (inter
-            .join(sizes.withColumnRenamed("id", "id_a")
-                       .withColumnRenamed("sz", "sz_a"), "id_a")
-            .join(sizes.withColumnRenamed("id", "id_b")
-                       .withColumnRenamed("sz", "sz_b"), "id_b")
-            .select("id_a", "id_b",
+            .join(sizes.withColumnRenamed("id", a_col)
+                       .withColumnRenamed("sz", "sz_a"), a_col)
+            .join(sizes.withColumnRenamed("id", b_col)
+                       .withColumnRenamed("sz", "sz_b"), b_col)
+            .select(a_col, b_col,
                     F.round(F.col("inter") /
                             (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                            4).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+                            4).alias(score_col))
+            .filter(F.col(score_col) >= threshold))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.8,
+                        max_shingle_freq: int | None = 100) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with Jaccard(shingles) ≥ threshold."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingles(F.col(text_col), n)).alias("sh")))
+    return jaccard_pairs_from_shingles(sh, threshold, max_shingle_freq)
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,

@@ -123,6 +123,18 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
               .select(F.col(id_col).alias("cid"),
                       F.col(vec_col).alias("cvec"))
               .collect())
+    if len(sample) < num_centroids:
+        # thin slice → the corpus is at most ~sample_mod*num_centroids
+        # rows, where the pre-slice full TakeOrdered is cheap anyway
+        # (a mis-sized sample_mod on a big corpus pays that rank once
+        # rather than returning degraded centroids silently)
+        sample = (embeddings.orderBy(F.xxhash64(F.col(id_col)))
+                  .limit(num_centroids)
+                  .select(F.col(id_col).alias("cid"),
+                          F.col(vec_col).alias("cvec"))
+                  .collect())
+    if not sample:
+        raise ValueError("ivf_topk: empty embeddings input")
     # keep the native id value — the API supports non-numeric id_col
     centroids = [(r["cid"], [float(x) for x in r["cvec"]])
                  for r in sample]

@@ -39,16 +39,26 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 20,
     """
     paths = (edges.select("src", "dst").distinct()
              .localCheckpoint())
-    # no up-front count job: the first round's count seeds n.  (Only a
-    # fully pre-closed input pays one redundant round for this; a real
-    # edge list always grows in round 1.)
+    # no up-front count job: the first round's count seeds n.  Round 1
+    # therefore has no explicit width — the join plans its own
+    # exchanges at session width and AQE right-sizes them from runtime
+    # statistics, which is exactly what an unknown-size input needs (a
+    # fixed floor width here would funnel a huge first-round self-join
+    # through too few tasks).  From round 2 on, the counted path size
+    # drives the explicit width as before.
     n = -1
     fixed_width = loop_partitions is not None
     for _ in range(max_rounds):
-        width = (loop_partitions if fixed_width
-                 else max(8, max(n, 0) // 1_000_000))
-        hops = (paths.repartition(width, "dst").alias("a")
-                .join(paths.repartition(width, "src").alias("b"),
+        if fixed_width:
+            width = loop_partitions
+        elif n < 0:
+            width = None            # round 1: planner + AQE decide
+        else:
+            width = max(8, n // 1_000_000)
+        left = paths.repartition(width, "dst") if width else paths
+        right = paths.repartition(width, "src") if width else paths
+        hops = (left.alias("a")
+                .join(right.alias("b"),
                       F.col("a.dst") == F.col("b.src"))
                 .select(F.col("a.src").alias("src"),
                         F.col("b.dst").alias("dst")))

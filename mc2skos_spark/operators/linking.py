@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..core.constants import SKOS
-from ..functions.dedup import shingles
+from ..functions.dedup import jaccard_pairs_from_shingles, shingles
 from .canonicalize import candidate_sameas_edges, mapping_from_edges
 
 
@@ -51,29 +51,14 @@ def label_link_candidates(triples: DataFrame, threshold: float = 0.9,
                        F.col("obj").alias("scheme"))
                .distinct())
 
+    # multi-label subjects repeat shingles across labels → distinct
+    # (id, sh) keeps set semantics before the shared scorer
     sh = (labels.select(F.col("subj").alias("id"),
                         F.explode(shingles(F.col("label"), n)).alias("sh"))
           .distinct())
-    if max_shingle_freq:
-        hot = (sh.groupBy("sh").count()
-               .filter(F.col("count") > max_shingle_freq).select("sh"))
-        sh = sh.join(hot, "sh", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (sh.alias("a").join(sh.alias("b"), "sh")
-             .filter(F.col("a.id") < F.col("b.id"))
-             .groupBy(F.col("a.id").alias("src"),
-                      F.col("b.id").alias("dst"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    pairs = (inter
-             .join(sizes.withColumnRenamed("id", "src")
-                        .withColumnRenamed("sz", "sz_a"), "src")
-             .join(sizes.withColumnRenamed("id", "dst")
-                        .withColumnRenamed("sz", "sz_b"), "dst")
-             .select("src", "dst",
-                     F.round(F.col("inter") /
-                             (F.col("sz_a") + F.col("sz_b")
-                              - F.col("inter")), 4).alias("score"))
-             .filter(F.col("score") >= threshold))
+    pairs = jaccard_pairs_from_shingles(
+        sh, threshold, max_shingle_freq,
+        a_col="src", b_col="dst", score_col="score")
     # alignment is cross-scheme by definition; same-scheme label
     # collisions are the validation pass's merge-candidate report
     return (pairs
@@ -110,8 +95,9 @@ def linked_canonical_mapping(triples: DataFrame,
     entity-linking variant of ``canonical_mapping``: identifier
     equality AND label similarity ≥ link_threshold feed the same
     union-find."""
+    # scored_sameas_edges already applies link_threshold to the label
+    # candidates and identifier edges score 1.0 — no re-filter needed
     edges = (scored_sameas_edges(triples, link_threshold, n,
                                  max_shingle_freq, use_exact_match)
-             .filter(F.col("score") >= link_threshold)
              .select("src", "dst"))
     return mapping_from_edges(edges)
