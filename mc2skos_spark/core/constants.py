@@ -27,3 +27,16 @@ DCTERMS = "http://purl.org/dc/terms/"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 WD = "http://data.ub.uio.no/webdewey-terms#"
 MADS = "http://www.loc.gov/mads/rdf/v1#"
+
+# G2 --expand inverse-edge map, mirroring skosify.infer (skos_related
+# symmetrizes; skos_hierarchical(narrower=True) keeps broader/narrower
+# bidirectional; skos_topConcept syncs topConceptOf/hasTopConcept).
+# Single source of truth for operators/expand.py (DataFrame path) and
+# core/api.py (Spark-free library path).
+SKOS_INVERSES = {
+    SKOS + "related": SKOS + "related",
+    SKOS + "broader": SKOS + "narrower",
+    SKOS + "narrower": SKOS + "broader",
+    SKOS + "topConceptOf": SKOS + "hasTopConcept",
+    SKOS + "hasTopConcept": SKOS + "topConceptOf",
+}

@@ -21,13 +21,9 @@ from ..core import constants as C
 # narrower→broader (authority 5XX $w='h' records emit skos:narrower
 # directly, so the inverse broader edge must be inferred too), and
 # skos_topConcept keeps topConceptOf/hasTopConcept in sync both ways.
-_INVERSES = {
-    C.SKOS + "related": C.SKOS + "related",
-    C.SKOS + "broader": C.SKOS + "narrower",
-    C.SKOS + "narrower": C.SKOS + "broader",
-    C.SKOS + "topConceptOf": C.SKOS + "hasTopConcept",
-    C.SKOS + "hasTopConcept": C.SKOS + "topConceptOf",
-}
+# The map itself lives in core.constants (shared with the Spark-free
+# library surface, core/api.py).
+_INVERSES = C.SKOS_INVERSES
 
 
 def expand_inferred(triples: DataFrame) -> DataFrame:
