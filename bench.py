@@ -108,6 +108,8 @@ def run_benchmark():
         "dedup_minhash_lsh", "dedup_simhash", "sim_cosine_topk",
         "text_quality", "text_langid", "cc_region_cliques",
         "tc_transitive_closure",
+        # round 3: entity linking, label validation, windowed metrics
+        "el_label_links", "g3_label_conflicts", "st_turn_rate_metrics",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization
