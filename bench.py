@@ -278,7 +278,8 @@ def stage_skewed_transcripts(spark, n_records: int, hot_pct: int = 75,
     """UNTIMED: stage a transcripts table where ``hot_pct`` percent of
     conversations (by ``conv_no % 100``) are remapped into ONE
     pathological conv_id (``conv-hot``).  Per-conversation turn
-    contiguity is preserved (``turn_idx = conv_no * 1024 + turn_idx``),
+    contiguity is preserved (``turn_idx = conv_no * stride + turn_idx``
+    with stride = max(turn_idx)+1 derived from the data),
     so reassembly recovers the exact same records — the hot key only
     changes WHERE the fold work lands.  Returns (path, n_turns,
     hot_turns).
@@ -301,12 +302,19 @@ def stage_skewed_transcripts(spark, n_records: int, hot_pct: int = 75,
     if not os.path.exists(marker):
         df = transcripts_dataframe(spark, n_records, seed=seed,
                                    partitions=64)
+        # Data-derived stride: the hot remap interleaves whole
+        # conversations as conv_no*stride+turn_idx, so the stride MUST
+        # exceed every per-conversation turn count or ranges collide and
+        # reassembly would silently recover corrupted records (the
+        # salted-vs-unsalted equality assert can't catch that — both
+        # sides would read the same corrupted input).
+        stride = df.agg(F.max("turn_idx")).first()[0] + 1
         conv_no = F.substring("conv_id", 6, 6).cast("int")
         hot = F.pmod(conv_no, F.lit(100)) < hot_pct
         df = df.select(
             F.when(hot, F.lit("conv-hot")).otherwise(F.col("conv_id"))
              .alias("conv_id"),
-            F.when(hot, conv_no * 1024 + F.col("turn_idx"))
+            F.when(hot, conv_no * stride + F.col("turn_idx"))
              .otherwise(F.col("turn_idx")).cast("int").alias("turn_idx"),
             "role", "text", "tool", "ts")
         df.write.mode("overwrite").parquet(path)

@@ -93,11 +93,18 @@ def main() -> None:
                 "default. The inverse option --exclude_notes has been "
                 "added to exclude notes.", DeprecationWarning)
     if args.list_schemes:
-        # reference parity (mc2skos.py:267-271): registry listing, no
-        # conversion — and no Spark session needed (core is Spark-free)
+        # reference parity (mc2skos.py:261-271): the --uri/--scheme/
+        # --whitespace overrides are applied via set_default_scheme
+        # BEFORE the listing, then the registry is printed — same
+        # ordering here so `--scheme X -l` walks the identical code
+        # path.  No Spark session needed (core is Spark-free).
         from mc2skos_spark.core.vocab import Vocabularies
+        vocabularies = Vocabularies()
+        vocabularies.set_default_scheme(generic=args.base_uri,
+                                        scheme=args.scheme,
+                                        whitespace=args.whitespace)
         print("Schemes:")
-        for voc in Vocabularies():
+        for voc in vocabularies:
             print("- %s" % voc.code)
         return
     if len(args.paths) < 2:

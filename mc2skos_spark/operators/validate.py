@@ -35,13 +35,16 @@ def _pref_labels(triples: DataFrame) -> DataFrame:
 
 
 def duplicate_preflabels(triples: DataFrame) -> DataFrame:
-    """Concepts carrying >1 ``skos:prefLabel`` in one language —
-    skosify's ``preflabel_policy`` situation.  ``(subj, lang,
-    n_labels, labels)`` with labels sorted for determinism."""
+    """Concepts carrying >1 *distinct* ``skos:prefLabel`` in one
+    language — skosify's ``preflabel_policy`` situation.  ``(subj,
+    lang, n_labels, labels)`` with labels sorted for determinism.
+    Counts DISTINCT labels (collect_set), so duplicate identical
+    (subj, label, lang) triple rows in a not-yet-deduplicated table
+    never produce a false warning for a single label."""
     return (_pref_labels(triples)
             .groupBy("subj", "lang")
-            .agg(F.count(F.lit(1)).alias("n_labels"),
-                 F.array_join(F.array_sort(F.collect_list("label")), "|")
+            .agg(F.count_distinct("label").alias("n_labels"),
+                 F.array_join(F.array_sort(F.collect_set("label")), "|")
                  .alias("labels"))
             .filter(F.col("n_labels") > 1))
 
@@ -70,12 +73,15 @@ def overlapping_labels(triples: DataFrame) -> DataFrame:
 def drop_redundant_altlabels(triples: DataFrame) -> DataFrame:
     """skosify's automatic repair for ``label_overlap``: remove every
     ``altLabel`` triple duplicating the concept's own ``prefLabel``;
-    all other triples pass through untouched."""
+    all other triples pass through untouched.  Only *literal*
+    altLabels are candidates for the drop — a URI-valued altLabel
+    whose string happened to equal an offending literal must pass
+    through (only literals can overlap a literal prefLabel)."""
     offending = (overlapping_labels(triples)
                  .select(F.col("subj").alias("o_subj"),
                          F.col("label").alias("o_label"),
                          F.col("lang").alias("o_lang")))
-    alt = F.col("pred") == SKOS + "altLabel"
+    alt = (F.col("pred") == SKOS + "altLabel") & F.col("obj_is_literal")
     kept_alts = triples.filter(alt).join(
         offending,
         (F.col("subj") == F.col("o_subj")) &

@@ -79,6 +79,39 @@ def test_duplicate_preflabels(label_triples):
     assert got == {("D", "en", 2, "delta|delta2")}
 
 
+def test_duplicate_preflabels_ignores_duplicate_rows(spark):
+    """A not-yet-deduplicated triple table may carry the SAME
+    (subj, prefLabel, lang) row twice — that is one label, not a
+    prefLabel-policy violation (the count must be over DISTINCT
+    labels)."""
+    rows = [_t("A", "prefLabel", "alpha", lang="en"),
+            _t("A", "prefLabel", "alpha", lang="en"),
+            _t("B", "prefLabel", "b1", lang="en"),
+            _t("B", "prefLabel", "b2", lang="en"),
+            _t("B", "prefLabel", "b2", lang="en")]
+    df = spark.createDataFrame(rows, schema=schemas.TRIPLES)
+    got = {(r["subj"], r["n_labels"], r["labels"])
+           for r in duplicate_preflabels(df).collect()}
+    assert got == {("B", 2, "b1|b2")}
+
+
+def test_drop_redundant_altlabels_keeps_uri_valued_altlabel(spark):
+    """Only LITERAL altLabels can overlap a literal prefLabel: a
+    URI-valued altLabel whose string equals an offending literal must
+    pass through the repair untouched."""
+    rows = [_t("A", "prefLabel", "alpha", lang="en"),
+            _t("A", "altLabel", "alpha", lang="en"),           # dropped
+            ("A", SKOS + "altLabel", "alpha", False, "en", None, None,
+             "r1")]                                            # kept
+    df = spark.createDataFrame(rows, schema=schemas.TRIPLES)
+    cleaned = drop_redundant_altlabels(df)
+    kept = {(r["obj"], r["obj_is_literal"])
+            for r in cleaned.filter(
+                F.col("pred") == SKOS + "altLabel").collect()}
+    assert kept == {("alpha", False)}
+    assert cleaned.count() == 2
+
+
 def test_shared_preflabels_scoped_to_scheme(label_triples):
     got = {(r["scheme"], r["label"], r["lang"], r["n_concepts"],
             r["concepts"])
