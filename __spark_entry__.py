@@ -337,6 +337,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return triples_to_turtle(triples)
         raise RuntimeError("gnd family missing from reference examples")
 
+    # --- S5 rendered sink: the JSKOS/NDJSON serializer's ACTUAL lines
+    #     for the gnd golden family, end-to-end (transcripts →
+    #     reassembly → extraction → triples_to_jskos).  The oracle is a
+    #     VALUES literal framed from the reference's own golden
+    #     /root/reference/examples/gnd-1020118989.ttl via an INDEPENDENT
+    #     restatement of the JSON-LD context mapping
+    #     (/root/reference/mc2skos/jskos-context.json, applied at
+    #     mc2skos.py:348-358) in tools/gen_oracle_values.py — so the
+    #     driver hash-verifies the rendered JSON (sorted-keys canonical
+    #     form), closing the last output format without a rendered-bytes
+    #     gate.
+    def s5_jskos_docs(spark, sf_dir):
+        from mc2skos_spark.operators.extract import (
+            extract_triples, triples_from_extracted)
+        from mc2skos_spark.plans import schemas
+        from mc2skos_spark.sinks.jskos import triples_to_jskos
+        from mc2skos_spark.sources.examples import golden_record_families
+        from mc2skos_spark.sources.synth import make_transcript_rows
+        from mc2skos_spark.sources.transcripts import reassemble_records
+        _ship(spark)
+        for options, default_scheme, recs in golden_record_families():
+            if default_scheme != "gnd":
+                continue
+            rows = make_transcript_rows(recs, seed=31)
+            df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+            triples = triples_from_extracted(
+                extract_triples(reassemble_records(df), options,
+                                default_scheme))
+            return triples_to_jskos(triples)
+        raise RuntimeError("gnd family missing from reference examples")
+
     # --- streaming completeness gate, batch-expressed: the predicate
     #     that decides exactly-once extraction in the incremental path
     #     (streaming/incremental.py — contiguous 0..max turn range AND
@@ -669,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_region_cliques": cc_region_cliques,
         "kg_golden_triples": kg_golden_triples,
         "s4_turtle_blocks": s4_turtle_blocks,
+        "s5_jskos_docs": s5_jskos_docs,
         "st_completeness_gate": st_completeness_gate,
         "st_turn_rate_metrics": st_turn_rate_metrics,
         "g3_label_conflicts": g3_label_conflicts,

@@ -106,6 +106,94 @@ def s4_turtle_block() -> str:
             " AS t(block)" % values)
 
 
+def s5_jskos_block() -> str:
+    """Expected JSKOS NDJSON lines for the gnd golden family, framed
+    FROM THE REFERENCE GOLDEN .ttl (not from Spark output): parse
+    /root/reference/examples/gnd-*.ttl and apply the JSON-LD frame the
+    reference serializes with (jskos-context.json: @language containers
+    for the label/note families, @set URI containers for the hierarchy
+    terms, scalar dates, unmapped terms passed through under their full
+    URI) — restated here INDEPENDENTLY of sinks/jskos.py, so the driver
+    hash-compare proves the Spark sink frames the reference's triples
+    the way the context mandates, not merely that the sink agrees with
+    itself."""
+    import glob
+    import json
+
+    from mc2skos_spark.core.turtle import parse_turtle_file
+
+    skos = "http://www.w3.org/2004/02/skos/core#"
+    dcterms = "http://purl.org/dc/terms/"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    xsd_boolean = "http://www.w3.org/2001/XMLSchema#boolean"
+    # jskos-context.json term map (the slice the goldens exercise)
+    lang_single = {skos + "prefLabel": "prefLabel"}
+    lang_multi = {skos + k: k for k in
+                  ("altLabel", "hiddenLabel", "scopeNote", "definition",
+                   "example", "historyNote", "editorialNote",
+                   "changeNote", "note")}
+    uri_sets = {rdf + "type": "type", skos + "narrower": "narrower",
+                skos + "broader": "broader", skos + "related": "related",
+                skos + "inScheme": "inScheme",
+                skos + "topConceptOf": "topConceptOf",
+                skos + "hasTopConcept": "topConcepts"}
+    literal_sets = {skos + "notation": "notation",
+                    dcterms + "identifier": "identifier"}
+    scalars = {dcterms + "created": "created",
+               dcterms + "modified": "modified"}
+
+    by_subj: dict[str, list] = {}
+    for path in sorted(glob.glob("/root/reference/examples/gnd-*.ttl")):
+        for subj, pred, obj, is_lit, lang, dtype, pos in \
+                parse_turtle_file(path):
+            by_subj.setdefault(subj, []).append(
+                (pred, obj, is_lit, lang, dtype, pos))
+
+    lines = []
+    for subj in sorted(by_subj):
+        doc: dict = {"uri": subj,
+                     "@context": "https://gbv.github.io/jskos/context.json"}
+        members = []
+        for pred, obj, is_lit, lang, dtype, pos in sorted(
+                by_subj[subj], key=lambda t: (t[0], str(t[1]))):
+            if pred == "http://www.loc.gov/mads/rdf/v1#componentList":
+                members.append((pos or 0, obj))
+            elif pred in scalars:
+                doc[scalars[pred]] = obj
+            elif pred in lang_single:
+                doc.setdefault(lang_single[pred], {})[lang or "und"] = obj
+            elif pred in lang_multi:
+                (doc.setdefault(lang_multi[pred], {})
+                    .setdefault(lang or "und", []).append(obj))
+            elif pred in uri_sets:
+                doc.setdefault(uri_sets[pred], []).append({"uri": obj})
+            elif pred in literal_sets:
+                doc.setdefault(literal_sets[pred], []).append(obj)
+            elif not is_lit:
+                doc.setdefault(pred, []).append({"uri": obj})
+            elif dtype == xsd_boolean:
+                doc[pred] = obj == "true"
+            else:
+                doc[pred] = obj
+        if members:
+            doc["memberList"] = [{"uri": v} for _, v in sorted(members)]
+        for key, val in doc.items():
+            if isinstance(val, list) and val and isinstance(val[0], dict) \
+                    and key != "memberList":
+                doc[key] = sorted(val, key=lambda d: d["uri"])
+            elif isinstance(val, dict):
+                doc[key] = {k: (sorted(v) if isinstance(v, list) else v)
+                            for k, v in sorted(val.items())}
+            elif isinstance(val, list) and key != "memberList":
+                doc[key] = sorted(val)
+        lines.append(json.dumps(doc, sort_keys=True, ensure_ascii=False))
+    values = ",\n".join("    (%s)" % lit(s) for s in sorted(lines))
+    print("s5_jskos_docs: %d concept lines (from reference goldens)"
+          % len(lines))
+    return ("SELECT CAST(line AS VARCHAR) AS line FROM (VALUES\n%s\n)"
+            " AS t(line)" % values)
+
+
 def kg_golden_block() -> str:
     from mc2skos_spark.sources.examples import golden_triples_union
     rows = sorted(golden_triples_union({"rvk"}),
@@ -146,6 +234,7 @@ def main():
     spark.stop()
     blocks["kg_golden_triples"] = kg_golden_block()
     blocks["s4_turtle_blocks"] = s4_turtle_block()
+    blocks["s5_jskos_docs"] = s5_jskos_block()
 
     with open(OUT, "w") as fp:
         fp.write('"""GENERATED by tools/gen_oracle_values.py — do not '
