@@ -8,7 +8,7 @@ engine, so a reference user can switch command-for-command:
         [--components] [--exclude_notes] [--skip-classification] \\
         [--skip-authority] [--scheme gnd] [--uri TEMPLATE] \\
         [--whitespace STR] [--include extra.ttl] [--expand] \\
-        [--transitive] [--skosify] [-o turtle|jskos|triples] \\
+        [--transitive] [--skosify [CFG]] [-o turtle|jskos|triples] \\
         [--notes] [-l|--list-schemes] [--version] [-v]
 
 This is the small-file convenience mode: records are distributed for
@@ -69,12 +69,19 @@ def main() -> None:
                         help="SKOS inference post-pass")
     parser.add_argument("--transitive", action="store_true",
                         help="materialize skos:broaderTransitive")
-    parser.add_argument("--skosify", action="store_true",
+    parser.add_argument("--skosify", nargs="?", const=True, default=None,
+                        metavar="CFG",
                         help="validation pass (cycles, label conflicts"
                              " — logged to stderr + stats) and the"
                              " automatic repair skosify applies:"
                              " drop altLabels duplicating a concept's"
-                             " own prefLabel")
+                             " own prefLabel.  With a skosify CONFIG"
+                             " FILE argument (reference parity,"
+                             " mc2skos.py:244-245): [options] keys"
+                             " narrower/transitive/break_cycles/"
+                             " preflabel_policy are mapped onto the"
+                             " engine's post-pass operators; unknown"
+                             " keys warn and are ignored")
     parser.add_argument("-l", "--list-schemes", dest="list_schemes",
                         action="store_true",
                         help="list supported vocabulary schemes and exit")
@@ -186,13 +193,28 @@ def convert(spark, infiles, outfile, outformat=None, include=(),
     if transitive:
         triples = triples.unionByName(broader_transitive(triples))
     n_validation_warnings = 0
+    skosify_cfg = None
     if skosify:
         # reference parity: skosify runs after expand
         # (/root/reference/mc2skos/mc2skos.py:192-201); warnings are
         # reported, the one automatic repair (redundant altLabels)
-        # is applied
+        # is applied.  A string value is a skosify CONFIG FILE
+        # (mc2skos.py:244-245): its [options] keys map onto the
+        # engine's post-pass operators (core/skosify_config.py).
         from mc2skos_spark.operators.validate import (
             drop_redundant_altlabels, validation_warnings)
+        if isinstance(skosify, str):
+            from mc2skos_spark.core.skosify_config import (
+                parse_skosify_config)
+            from mc2skos_spark.operators.expand import expand_hierarchical
+            skosify_cfg = parse_skosify_config(skosify)
+            for key in skosify_cfg["unsupported"]:
+                print("skosify: unsupported config key ignored: %s"
+                      % key, file=sys.stderr)
+            if skosify_cfg["narrower"]:
+                triples = expand_hierarchical(triples)
+            if skosify_cfg["transitive"] and not transitive:
+                triples = triples.unionByName(broader_transitive(triples))
         for row in validation_warnings(triples).toLocalIterator():
             print("skosify: %s: %s" % (row["record_id"], row["reason"]),
                   file=sys.stderr)
@@ -234,6 +256,9 @@ def convert(spark, infiles, outfile, outformat=None, include=(),
              "subjects": n, "quarantined": quarantined}
     if skosify:
         stats["validation_warnings"] = n_validation_warnings
+    if skosify_cfg is not None:
+        stats["skosify_config"] = {
+            k: v for k, v in skosify_cfg.items() if k != "unsupported"}
     return stats
 
 

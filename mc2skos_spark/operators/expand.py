@@ -28,11 +28,24 @@ _INVERSES = C.SKOS_INVERSES
 
 def expand_inferred(triples: DataFrame) -> DataFrame:
     """Return triples ∪ inferred inverse edges, deduplicated."""
+    return _expand(triples, _INVERSES)
+
+
+def expand_hierarchical(triples: DataFrame) -> DataFrame:
+    """The hierarchical slice only — broader <-> narrower inverses
+    (skosify.infer.skos_hierarchical, the ``narrower=True`` key in a
+    skosify config file) without touching related/topConcept."""
+    hier = {p: q for p, q in _INVERSES.items()
+            if p.endswith("#broader") or p.endswith("#narrower")}
+    return _expand(triples, hier)
+
+
+def _expand(triples: DataFrame, inverses: dict) -> DataFrame:
     mapping = F.create_map(
-        *[F.lit(x) for pair in _INVERSES.items() for x in pair])
+        *[F.lit(x) for pair in inverses.items() for x in pair])
     inverses = (
         triples
-        .filter(F.col("pred").isin(list(_INVERSES)) &
+        .filter(F.col("pred").isin(list(inverses)) &
                 ~F.col("obj_is_literal"))
         .select(
             F.col("obj").alias("subj"),
