@@ -560,6 +560,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (minhash_similarity(sigs, cands)
                 .filter(F.col("est_jaccard") >= 0.9))
 
+    def dedup_incremental_minhash(spark, sf_dir):
+        # The production 100 TB dedup shape: corpus signatures persisted
+        # ONCE through the Icebergish catalog (banded index tables),
+        # each arriving batch signs only itself and equi-joins the
+        # PERSISTED banded buckets — no corpus recompute, and the
+        # commit appends only the batch's files (catalog.append).
+        # Here: docs < 400 are the ingested corpus, 400-499 the
+        # arriving batch; output = every near-dup pair touching the
+        # batch (cross-batch + batch-internal), same signing params as
+        # dedup_minhash_lsh so the result is exactly that query's
+        # pairs restricted to the batch.
+        import tempfile
+        from mc2skos_spark.functions.incremental import (
+            create_minhash_index, incremental_minhash_pairs)
+        from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        corpus = docs.filter(F.col("doc_id") < 400)
+        batch = docs.filter(F.col("doc_id") >= 400)
+        catalog = IcebergishCatalog(
+            tempfile.mkdtemp(prefix="mc2skos_incr_"), spark)
+        create_minhash_index(catalog, "docs_minhash", corpus,
+                             "doc_id", "text", n=2, num_hashes=16,
+                             bands=4)
+        return incremental_minhash_pairs(catalog, "docs_minhash", batch,
+                                         "doc_id", "text", threshold=0.9)
+
     def dedup_simhash(spark, sf_dir):
         # Verified at the scale-realistic radius k=3 (16-bit pigeonhole
         # blocks, 65k values per band — see the band-cardinality bound
@@ -713,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_near_clusters": dedup_near_clusters,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_incremental_minhash": dedup_incremental_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "sim_cosine_topk": sim_cosine_topk,

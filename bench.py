@@ -110,6 +110,9 @@ def run_benchmark():
         "tc_transitive_closure",
         # round 3: entity linking, label validation, windowed metrics
         "el_label_links", "g3_label_conflicts", "st_turn_rate_metrics",
+        # round 4: batch-vs-persisted-index dedup (includes the index
+        # write, so it times the full production loop per batch)
+        "dedup_incremental_minhash",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization

@@ -113,10 +113,15 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return sh.select("id", sig.alias("sig"))
 
 
-def minhash_lsh_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
-    """Band the signatures and emit co-bucketed candidate pairs."""
+def minhash_banded(signatures: DataFrame, bands: int) -> DataFrame:
+    """(id, sig) → (id, band, bucket): the banded LSH index rows.
+
+    Factored out of the self-join candidate path so an incremental
+    batch can be banded IDENTICALLY to a persisted corpus index and
+    equi-joined against it without recomputing the corpus side
+    (functions/incremental.py)."""
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
-    banded = signatures.select(
+    return signatures.select(
         "id",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -124,6 +129,11 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
                 ",", F.transform(
                     F.slice("sig", b * rows_per_band + 1, rows_per_band),
                     lambda v: v.cast("string")))))).alias("band", "bucket"))
+
+
+def minhash_lsh_candidates(signatures: DataFrame, bands: int = 8) -> DataFrame:
+    """Band the signatures and emit co-bucketed candidate pairs."""
+    banded = minhash_banded(signatures, bands)
     return (banded.alias("a")
             .join(banded.alias("b"), ["band", "bucket"])
             .filter(F.col("a.id") < F.col("b.id"))

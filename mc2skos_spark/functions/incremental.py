@@ -1,0 +1,126 @@
+"""Incremental MinHash dedup against a persisted signature index.
+
+The production 100 TB shape: the corpus's MinHash signatures and their
+banded LSH buckets are computed ONCE and persisted through the catalog
+(``sinks/icebergish.py`` — same call surface as an Iceberg table); each
+arriving batch signs only its own documents, equi-joins its banded
+buckets against the *persisted* index (corpus side never recomputed,
+never rewritten — ``catalog.append`` adds only the batch's files), and
+emits near-duplicate pairs
+
+* batch × corpus — new docs duplicating something already ingested, and
+* batch × batch — duplicates inside the arriving batch itself,
+
+then commits the batch's signatures/buckets into the index so the next
+batch sees them.  Candidate generation stays an equi-join on
+``(band, bucket)`` (linear in batch size + bucket cohabitants, never
+all-pairs over the corpus), and the pair scoring joins each side's
+signatures by id — both sides shuffle only candidate-touched rows.
+
+Signing parameters (``n``, ``num_hashes``, ``bands``) are recorded in
+the index manifest's properties at creation and re-read per batch, so a
+batch can never be signed with different parameters than the corpus it
+joins against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sinks.icebergish import IcebergishCatalog
+from .dedup import minhash_banded, minhash_signatures
+
+#: table-name suffixes under one logical index name
+SIG_SUFFIX = "_sigs"
+BUCKET_SUFFIX = "_buckets"
+
+
+def create_minhash_index(catalog: IcebergishCatalog, name: str,
+                         df: DataFrame, id_col: str, text_col: str,
+                         n: int = 3, num_hashes: int = 32,
+                         bands: int = 8) -> dict:
+    """Sign the seed corpus and commit the two index tables:
+    ``<name>_sigs (id, sig)`` and ``<name>_buckets (id, band, bucket)``.
+    Returns the buckets manifest."""
+    props = {"minhash_n": n, "minhash_num_hashes": num_hashes,
+             "minhash_bands": bands}
+    sigs = minhash_signatures(df, id_col, text_col, n=n,
+                              num_hashes=num_hashes)
+    catalog.write(name + SIG_SUFFIX, sigs, lineage_key="id",
+                  properties=props)
+    banded = minhash_banded(catalog.read(name + SIG_SUFFIX), bands)
+    return catalog.write(name + BUCKET_SUFFIX, banded, lineage_key="id",
+                         properties=props)
+
+
+def index_params(catalog: IcebergishCatalog, name: str) -> dict:
+    manifest = catalog.current_manifest(name + BUCKET_SUFFIX)
+    if manifest is None:
+        raise FileNotFoundError("no committed minhash index %r" % name)
+    p = manifest["properties"]
+    return {"n": p["minhash_n"], "num_hashes": p["minhash_num_hashes"],
+            "bands": p["minhash_bands"]}
+
+
+def incremental_minhash_pairs(catalog: IcebergishCatalog, name: str,
+                              batch: DataFrame, id_col: str,
+                              text_col: str,
+                              threshold: float = 0.9,
+                              commit: bool = True
+                              ) -> DataFrame:
+    """Near-duplicate pairs for one arriving batch vs the persisted
+    index (plus batch-internal pairs), ``(id_a, id_b, est_jaccard)``
+    with ``id_a < id_b``; ids must be globally unique across batches.
+
+    ``commit=True`` appends the batch's signatures and buckets to the
+    index (new snapshot referencing the prior files — the corpus is not
+    rewritten) AFTER materializing the pair result, so a kill before
+    the append leaves the index at the previous snapshot and the batch
+    can simply be re-run (same idempotence contract as the pipeline
+    stages).
+    """
+    params = index_params(catalog, name)
+    corpus_sigs = catalog.read(name + SIG_SUFFIX)
+    corpus_buckets = catalog.read(name + BUCKET_SUFFIX)
+
+    new_sigs = minhash_signatures(batch, id_col, text_col, n=params["n"],
+                                  num_hashes=params["num_hashes"])
+    # the batch side feeds the banded join, two signature lookups and
+    # (optionally) the index append: one lazy lineage cut, batch-sized
+    new_sigs = new_sigs.localCheckpoint(eager=False)
+    new_buckets = (minhash_banded(new_sigs, params["bands"])
+                   .localCheckpoint(eager=False))
+
+    # batch × (corpus ∪ batch): dedup against everything already
+    # ingested AND inside the arriving batch — one equi-join, the
+    # right side unions the PERSISTED corpus buckets (scan, no
+    # recompute) with the batch's own
+    right = corpus_buckets.unionByName(new_buckets)
+    cand = (new_buckets.alias("a")
+            .join(right.alias("b"), ["band", "bucket"])
+            .filter(F.col("a.id") != F.col("b.id"))
+            .select(F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                    F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"))
+            .distinct())
+
+    all_sigs = corpus_sigs.unionByName(new_sigs)
+    pairs = (cand
+             .join(all_sigs.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sig", "sig_a"), "id_a")
+             .join(all_sigs.withColumnRenamed("id", "id_b")
+                   .withColumnRenamed("sig", "sig_b"), "id_b")
+             .select("id_a", "id_b",
+                     F.round(
+                         F.size(F.filter(
+                             F.zip_with("sig_a", "sig_b",
+                                        lambda x, y: x == y),
+                             lambda eq: eq)) / F.size("sig_a"),
+                         4).alias("est_jaccard"))
+             .filter(F.col("est_jaccard") >= threshold))
+
+    if commit:
+        pairs = pairs.localCheckpoint()  # materialize BEFORE the commit
+        catalog.append(name + SIG_SUFFIX, new_sigs, lineage_key="id")
+        catalog.append(name + BUCKET_SUFFIX, new_buckets,
+                       lineage_key="id")
+    return pairs

@@ -86,6 +86,45 @@ class IcebergishCatalog:
         ``properties``: caller metadata recorded in the manifest (e.g.
         the pipeline's config fingerprint that gates resume).
         """
+        return self._write_snapshot(table, df, partition_by, lineage_key,
+                                    properties, base=None)
+
+    def append(self, table: str, df: DataFrame,
+               lineage_key: str | None = None,
+               properties: dict | None = None) -> dict:
+        """Append ``df`` as a new snapshot that REFERENCES the current
+        snapshot's data files plus the newly written ones — real
+        Iceberg append semantics: only the batch's files hit disk, the
+        corpus is never rewritten (the 100 TB shape for incremental
+        signature indexes).  Lineage part ids continue from the prior
+        snapshot; falls back to a plain ``write`` when the table does
+        not exist yet.  The commit is still one atomic manifest rename,
+        so a mid-append kill leaves the previous snapshot intact."""
+        current = self.current_manifest(table)
+        if current is None:
+            return self._write_snapshot(table, df, None, lineage_key,
+                                        properties, base=None)
+        if [f["name"] for f in current["schema"]["fields"]] != \
+                list(df.columns):
+            raise ValueError("append schema mismatch for table %r"
+                             % table)
+        if current["partition_by"]:
+            # directory-partitioned values live in dir names, and a
+            # multi-root read cannot re-infer them reliably — a real
+            # Iceberg catalog appends into the same partition spec; the
+            # shim keeps appends to unpartitioned tables only (signature
+            # indexes etc.), loudly.
+            raise ValueError("append to a partitioned table is not "
+                             "supported by the Icebergish shim (%r)"
+                             % table)
+        return self._write_snapshot(
+            table, df, None, lineage_key, properties, base=current)
+
+    def _write_snapshot(self, table: str, df: DataFrame,
+                        partition_by: list[str] | None,
+                        lineage_key: str | None,
+                        properties: dict | None,
+                        base: dict | None) -> dict:
         tdir = self._table_dir(table)
         os.makedirs(tdir, exist_ok=True)
         current = self.current_manifest(table)
@@ -113,26 +152,32 @@ class IcebergishCatalog:
                  F.max(key).cast("string").alias("mx"))
             .collect(),
             key=lambda r: r["file"])
-        lineage = [
-            {"part_id": i,
+        base_lineage = list(base["lineage"]) if base else []
+        base_dirs = (base.get("dirs", [base["dir"]]) if base else [])
+        lineage = base_lineage + [
+            {"part_id": len(base_lineage) + i,
              "file": os.path.basename(r["file"]),
+             "dir": os.path.basename(snap_dir),
              "input_min": r["mn"], "input_max": r["mx"],
              "row_count": r["cnt"]}
             for i, r in enumerate(stats)
         ]
         row_count = sum(p["row_count"] for p in lineage)
         counts = [p["row_count"] for p in lineage] or [0]
+        merged_props = dict(base["properties"]) if base else {}
+        merged_props.update(properties or {})
         manifest = {
             "table": table,
             "schema": df.schema.jsonValue(),
             "snapshot_id": snapshot_id,
             "dir": os.path.basename(snap_dir),
+            "dirs": base_dirs + [os.path.basename(snap_dir)],
             "row_count": row_count,
             "partition_by": partition_by or [],
             "skew": {"partitions": len(counts),
                      "max_rows": max(counts), "min_rows": min(counts),
                      "mean_rows": row_count / max(len(counts), 1)},
-            "properties": dict(properties or {}),
+            "properties": merged_props,
             "lineage": lineage,
         }
         tmp = self._manifest_path(table, snapshot_id) + ".tmp"
@@ -149,9 +194,10 @@ class IcebergishCatalog:
             raise FileNotFoundError("no committed snapshot for table %r"
                                     % table)
         from pyspark.sql import types as T
+        dirs = manifest.get("dirs", [manifest["dir"]])
         return self.spark.read.schema(
             T.StructType.fromJson(manifest["schema"])).parquet(
-            os.path.join(self._table_dir(table), manifest["dir"]))
+            *[os.path.join(self._table_dir(table), d) for d in dirs])
 
     def lineage(self, table: str | None = None) -> DataFrame:
         """All committed lineage rows as a queryable DataFrame

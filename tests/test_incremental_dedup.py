@@ -1,0 +1,180 @@
+"""Incremental MinHash dedup against a persisted signature index
+(functions/incremental.py) + the Icebergish append semantics it rides
+on: batch 2 must read batch 1's index from the manifest (no corpus
+recompute, no corpus rewrite), and the whole thing must equal the
+from-scratch full-corpus answer."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mc2skos_spark.functions.dedup import (minhash_lsh_candidates,
+                                           minhash_signatures,
+                                           minhash_similarity)
+from mc2skos_spark.functions.incremental import (
+    BUCKET_SUFFIX, SIG_SUFFIX, create_minhash_index,
+    incremental_minhash_pairs, index_params)
+from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+
+pytestmark = pytest.mark.spark
+
+PARAMS = dict(n=2, num_hashes=16, bands=4)
+
+
+def _docs(spark, ids_texts):
+    return spark.createDataFrame(ids_texts, "doc_id long, text string")
+
+
+@pytest.fixture()
+def corpus_and_batch(spark):
+    base = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine"),
+        (3, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+        (4, "spark catalyst tungsten arrow shuffle broadcast join"),
+    ]
+    # batch: an exact dup of doc 1 (cross-batch), two near-identical
+    # new docs (batch-internal pair), one novel doc
+    batch = [
+        (11, "alpha beta gamma delta epsilon zeta eta theta"),
+        (12, "red orange yellow green blue indigo violet purple "
+             "crimson teal maroon olive navy aqua silver gold bronze"),
+        (13, "red orange yellow green blue indigo violet purple "
+             "crimson teal maroon olive navy aqua silver gold bronze x"),
+        (14, "completely unrelated text about something else entirely"),
+    ]
+    return _docs(spark, base), _docs(spark, batch)
+
+
+# ------------------------------------------------------- catalog append
+
+def test_append_references_old_files(spark, tmp_path):
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    cat.write("t", _docs(spark, [(1, "a"), (2, "b")]), lineage_key="doc_id")
+    m0 = cat.current_manifest("t")
+    cat.append("t", _docs(spark, [(3, "c")]), lineage_key="doc_id")
+    m1 = cat.current_manifest("t")
+    assert m1["snapshot_id"] == m0["snapshot_id"] + 1
+    # the new snapshot REFERENCES the old dir — no rewrite
+    assert m1["dirs"] == [m0["dir"], m1["dir"]]
+    assert m1["row_count"] == 3
+    # lineage part ids continue across the append
+    assert [p["part_id"] for p in m1["lineage"]] == \
+        list(range(len(m1["lineage"])))
+    got = {(r["doc_id"], r["text"]) for r in cat.read("t").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_append_schema_and_partition_guards(spark, tmp_path):
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    cat.write("t", _docs(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        cat.append("t", spark.createDataFrame([(1,)], "x long"))
+    cat.write("p", _docs(spark, [(1, "a"), (2, "b")]),
+              partition_by=["doc_id"])
+    with pytest.raises(ValueError, match="partitioned"):
+        cat.append("p", _docs(spark, [(3, "c")]))
+    # append to a missing table degrades to a plain write
+    m = cat.append("fresh", _docs(spark, [(9, "z")]))
+    assert m["snapshot_id"] == 0 and cat.read("fresh").count() == 1
+
+
+def test_append_kill_before_commit_keeps_previous_snapshot(spark,
+                                                           tmp_path):
+    """A snapshot dir written without its manifest (the mid-append
+    kill) is invisible: readers still resolve the previous commit."""
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    cat.write("t", _docs(spark, [(1, "a")]))
+    m0 = cat.current_manifest("t")
+    # simulate the kill: data lands, manifest rename never happens
+    stray = os.path.join(str(tmp_path / "wh"), "t", "snap-000001")
+    _docs(spark, [(2, "b")]).write.parquet(stray)
+    assert cat.current_manifest("t")["snapshot_id"] == m0["snapshot_id"]
+    assert cat.read("t").count() == 1
+    # the re-run append commits snapshot 2 (ids are monotonic) and the
+    # stray dir stays invisible garbage
+    cat.append("t", _docs(spark, [(2, "b")]))
+    assert cat.read("t").count() == 2
+
+
+# --------------------------------------------------- incremental dedup
+
+def test_incremental_pairs_and_commit(spark, tmp_path, corpus_and_batch):
+    corpus, batch = corpus_and_batch
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    create_minhash_index(cat, "idx", corpus, "doc_id", "text", **PARAMS)
+    assert index_params(cat, "idx") == \
+        {"n": 2, "num_hashes": 16, "bands": 4}
+
+    # batch 2 reads batch 1's index FROM THE MANIFEST: a fresh catalog
+    # object over the same warehouse (new "session", nothing cached)
+    cat2 = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in incremental_minhash_pairs(
+                 cat2, "idx", batch, "doc_id", "text",
+                 threshold=0.9).collect()}
+    assert (1, 11) in pairs          # cross-batch exact dup
+    assert (12, 13) in pairs         # batch-internal near dup
+    assert not any(14 in p for p in pairs)   # novel doc pairs nothing
+    # corpus-internal pairs are NOT re-emitted by the batch run
+    assert all(a > 10 or b > 10 for a, b in pairs)
+
+    # the commit appended the batch: the index now covers both batches
+    m = cat2.current_manifest("idx" + SIG_SUFFIX)
+    assert m["snapshot_id"] == 1 and len(m["dirs"]) == 2
+    assert cat2.read("idx" + SIG_SUFFIX).count() == 8  # 4 + 4 docs
+    assert cat2.read("idx" + BUCKET_SUFFIX).count() == 8 * PARAMS["bands"]
+
+
+def test_incremental_no_commit_is_rerunnable(spark, tmp_path,
+                                             corpus_and_batch):
+    """commit=False (the killed-before-append shape): the index is
+    untouched and re-running the batch gives identical pairs."""
+    corpus, batch = corpus_and_batch
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    create_minhash_index(cat, "idx", corpus, "doc_id", "text", **PARAMS)
+    s0 = cat.current_manifest("idx" + SIG_SUFFIX)["snapshot_id"]
+    run1 = {tuple(r) for r in incremental_minhash_pairs(
+        cat, "idx", batch, "doc_id", "text", threshold=0.9,
+        commit=False).collect()}
+    assert cat.current_manifest("idx" + SIG_SUFFIX)["snapshot_id"] == s0
+    run2 = {tuple(r) for r in incremental_minhash_pairs(
+        cat, "idx", batch, "doc_id", "text", threshold=0.9,
+        commit=False).collect()}
+    assert run1 == run2 and run1
+
+
+def test_incremental_equals_full_corpus(spark, tmp_path,
+                                        corpus_and_batch):
+    """Index(batch1) + incremental(batch2) must reproduce exactly the
+    from-scratch full-corpus pair set: batch-1-internal pairs from the
+    index-side self-join, every pair touching batch 2 from the
+    incremental join."""
+    corpus, batch = corpus_and_batch
+    full = corpus.unionByName(batch)
+    sigs = minhash_signatures(full, "doc_id", "text",
+                              n=PARAMS["n"],
+                              num_hashes=PARAMS["num_hashes"])
+    expected = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_similarity(
+            sigs, minhash_lsh_candidates(sigs, bands=PARAMS["bands"]))
+        .filter(F.col("est_jaccard") >= 0.9).collect()}
+
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    create_minhash_index(cat, "idx", corpus, "doc_id", "text", **PARAMS)
+    corpus_sigs = cat.read("idx" + SIG_SUFFIX)
+    corpus_internal = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_similarity(
+            corpus_sigs,
+            minhash_lsh_candidates(corpus_sigs, bands=PARAMS["bands"]))
+        .filter(F.col("est_jaccard") >= 0.9).collect()}
+    incremental = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in incremental_minhash_pairs(
+            cat, "idx", batch, "doc_id", "text",
+            threshold=0.9).collect()}
+    assert corpus_internal | incremental == expected
+    assert corpus_internal.isdisjoint(incremental)

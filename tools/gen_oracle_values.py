@@ -24,6 +24,8 @@ OUT = os.path.join(REPO, "mc2skos_spark", "plans", "oracle_values.py")
 SPECS = {
     "dedup_minhash_lsh": [("id_a", "BIGINT"), ("id_b", "BIGINT"),
                           ("est_jaccard", "DOUBLE")],
+    "dedup_incremental_minhash": [("id_a", "BIGINT"), ("id_b", "BIGINT"),
+                                  ("est_jaccard", "DOUBLE")],
     "dedup_simhash": [("id_a", "BIGINT"), ("id_b", "BIGINT"),
                       ("hamming", "INT")],
     "text_fingerprint": [("doc_id", "BIGINT"), ("fp", "BIGINT")],
