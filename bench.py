@@ -267,7 +267,8 @@ def assemble_baseline_md():
     """BENCH/BASELINE.md = concat of the part files that exist, so
     --scaling and --skew can each refresh their own section."""
     parts = []
-    for name in ("BENCH/_scaling.md", "BENCH/_skew.md"):
+    for name in ("BENCH/_scaling.md", "BENCH/_skew.md",
+                 "BENCH/_skewjoin.md"):
         if os.path.exists(name):
             with open(name) as fp:
                 parts.append(fp.read().rstrip() + "\n")
@@ -426,12 +427,185 @@ def run_skew():
                       "n_turns": n_turns}))
 
 
+def run_skew_join():
+    """Skew evidence #2: the canonicalization candidate self-join
+    (operators/canonicalize.py:candidate_sameas_edges) with a planted
+    hot identifier — ONE control number shared by 30% of records,
+    spread across two URI authorities — timed with AQE skew-join
+    splitting ON vs OFF on identical input, identical outputs asserted.
+    Broadcast joins are disabled for the measurement: at 100 TB the
+    identifier projection of the triple table does not broadcast, so
+    the production plan is the sort-merge self-join this measures.
+    Writes BENCH/_skewjoin.md → BENCH/BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from mc2skos_spark.operators.canonicalize import candidate_sameas_edges
+    from mc2skos_spark.plans.session import build_session
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count()
+    n_rows = int(os.environ.get("SPARK_GRAFT_SKEWJOIN_ROWS", "20000"))
+    hot_pct = 30
+    spark = build_session(app_name="mc2skos-skewjoin",
+                          master="local[%d]" % cpus,
+                          shuffle_partitions=max(cpus, 16))
+    # the 100 TB plan shape: no broadcast fallback for the self-join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    # Identifier triples: 30% of records carry ONE control number
+    # ('0000000'), alternating between two authority hosts (two hot
+    # (ident, auth) groups — a cross-authority collision must NOT
+    # join, which candidate_sameas_edges guarantees by keying on
+    # (ident, auth)); the rest spread over ~n/10 cold identifiers.
+    ident_pred = "http://purl.org/dc/terms/identifier"
+    i = F.col("id")
+    hot = F.pmod(i, F.lit(100)) < hot_pct
+    auth_no = F.when(hot, F.pmod(i, F.lit(2))).otherwise(F.lit(0))
+    triples = spark.range(n_rows).repartition(max(cpus, 16)).select(
+        F.format_string("http://auth%d.example.org/c%07d", auth_no, i)
+         .alias("subj"),
+        F.lit(ident_pred).alias("pred"),
+        F.when(hot, F.lit("0000000"))
+         .otherwise(F.format_string("id%06d",
+                                    F.pmod(i, F.lit(n_rows // 10))))
+         .alias("obj"),
+        F.lit(True).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("int").alias("component_pos"),
+        F.format_string("r%07d", i).alias("record_id"),
+    ).localCheckpoint()
+
+    # Two byte-keyed AQE knobs must be scaled to bench bytes (at
+    # production scale the identifier projection is GBs/partition and
+    # the 1 MB / 256 MB defaults behave):
+    # * coalescePartitions.minPartitionSize (default 1 MB) would merge
+    #   this small-bytes / quadratic-COMPUTE join stage down to ONE
+    #   task in BOTH variants — lowered in common so the comparison
+    #   isolates the skew-split effect;
+    # * the skew detector keys on COMPRESSED input shuffle bytes, and
+    #   a hot partition of one repeated identifier compresses ~10x, so
+    #   the threshold drops accordingly.
+    common = {
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+    }
+    variants = {
+        "aqe_skew_off": dict(
+            common, **{"spark.sql.adaptive.skewJoin.enabled": "false"}),
+        "aqe_skew_on": dict(common, **{
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "8k",
+        }),
+    }
+
+    def set_conf(conf):
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+
+    def reset_conf():
+        for conf in variants.values():
+            for k in conf:
+                spark.conf.unset(k)
+
+    def fingerprint():
+        row = candidate_sameas_edges(triples).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h")).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    # warm-up, then min-of-3 interleaved (hypervisor steal hits both
+    # variants alike)
+    candidate_sameas_edges(triples).write.format("noop") \
+        .mode("overwrite").save()
+    timings: dict[str, list[float]] = {k: [] for k in variants}
+    finger: dict[str, tuple[int, int]] = {}
+    for _ in range(3):
+        for label, conf in variants.items():
+            set_conf(conf)
+            t0 = time.monotonic()
+            candidate_sameas_edges(triples).write.format("noop") \
+                .mode("overwrite").save()
+            timings[label].append(round(time.monotonic() - t0, 3))
+            reset_conf()
+    for label, conf in variants.items():
+        set_conf(conf)
+        finger[label] = fingerprint()
+        reset_conf()
+    assert finger["aqe_skew_off"] == finger["aqe_skew_on"], finger
+    n_pairs, _ = finger["aqe_skew_off"]
+    spark.stop()
+
+    best = {k: min(v) for k, v in timings.items()}
+    speedup = best["aqe_skew_off"] / best["aqe_skew_on"]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/_skewjoin.md", "w") as fp:
+        fp.write(
+            "# BENCH — skew evidence #2 (canonicalization self-join, "
+            "AQE skew-join)\n\n"
+            "Pathological input: %d identifier triples with ONE control "
+            "number\nshared by %d%% of records across two authority "
+            "hosts (two hot\n(ident, auth) groups of ~%d rows; "
+            "cross-authority digits do NOT join\n— candidate_sameas_"
+            "edges keys on (ident, auth)).  The self-join\nexpands to "
+            "%d candidate pairs; broadcast disabled (the 100 TB\n"
+            "identifier projection is sort-merge-joined).  local[%d], "
+            "min of 3\ninterleaved runs, identical outputs asserted "
+            "(pair count + XOR-fold\nof pair xxhash64):\n\n"
+            "| variant | wall sec (min of 3) | all runs |\n|---|---|---|\n"
+            "| AQE skew-join OFF | %.2f | %s |\n"
+            "| AQE skew-join ON (thresholds scaled to bench bytes) "
+            "| %.2f | %s |\n\n"
+            "**AQE skew-split speedup on the skewed input = %.2fx** "
+            "(the ON join\nstage runs ~48 tasks — the hot partitions "
+            "split into chunk pairs —\nvs 32 with the last one "
+            "grinding the whole h^2 expansion).\n\n"
+            "Notes for 100 TB:\n\n"
+            "* TWO byte-keyed AQE knobs had to be scaled to bench "
+            "bytes.  AQE\n  coalescing's `minPartitionSize` (default "
+            "1 MB) merges a small-bytes /\n  quadratic-compute join "
+            "stage to ONE task — at bench bytes it\n  serialized "
+            "BOTH variants until lowered; at production scale\n  "
+            "identifier partitions are GBs and the default is "
+            "harmless.  The skew\n  detector keys on COMPRESSED input "
+            "partition bytes\n  (`skewedPartitionThresholdInBytes`, "
+            "default 256 MB) and a hot\n  partition of one repeated "
+            "identifier compresses ~10x, so the\n  threshold was "
+            "dropped to 8k to demonstrate the mechanism — the\n  "
+            "speedup measures the same split behavior the defaults "
+            "give at scale.\n"
+            "* **Explicit salting is still needed beyond AQE for one "
+            "shape**: a hot\n  key whose input partition stays under "
+            "the byte threshold but whose\n  join OUTPUT explodes "
+            "quadratically (h rows in → h² pairs out) is\n  invisible "
+            "to the detector.  The engine's mitigation is upstream:\n"
+            "  per-record in-UDF dedup and the (ident, auth) key keep "
+            "h small, and\n  a group exceeding a sanity bound should "
+            "be quarantined as a\n  degenerate identifier (an "
+            "identifier shared by millions of records\n  carries no "
+            "identity signal) rather than joined — the same "
+            "stop-key\n  policy the shingle joins apply "
+            "(max_shingle_freq), implemented as the\n  "
+            "`max_ident_freq` cap on candidate_sameas_edges.\n"
+            % (n_rows, hot_pct, n_rows * hot_pct // 100 // 2, n_pairs,
+               cpus,
+               best["aqe_skew_off"], timings["aqe_skew_off"],
+               best["aqe_skew_on"], timings["aqe_skew_on"], speedup))
+    assemble_baseline_md()
+    print(json.dumps({"metric": "skewjoin_aqe_speedup",
+                      "value": round(speedup, 3), "unit": "ratio",
+                      "timings": timings, "pairs": n_pairs}))
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         idx = sys.argv.index("--scaling-worker")
         scaling_worker(int(sys.argv[idx + 1]), sys.argv[idx + 2])
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--skew-join" in sys.argv:
+        run_skew_join()
     elif "--skew" in sys.argv:
         run_skew()
     else:

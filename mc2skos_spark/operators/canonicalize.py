@@ -34,7 +34,8 @@ SAMEAS_PREDS = (C.OWL + "sameAs", C.SKOS + "exactMatch")
 
 
 def candidate_sameas_edges(triples: DataFrame,
-                           use_exact_match: bool = False) -> DataFrame:
+                           use_exact_match: bool = False,
+                           max_ident_freq: int | None = None) -> DataFrame:
     """(src, dst) candidate identity edges between concept URIs.
 
     The identifier literal is the record's 001 control number, which is
@@ -43,6 +44,18 @@ def candidate_sameas_edges(triples: DataFrame,
     (identifier, URI authority): same agency host (e.g. dewey.info
     across the e22/e23 editions) merges, a GND/NALT digit collision
     does not.
+
+    ``max_ident_freq``: stop-key cap for the self-join (the
+    ``max_shingle_freq`` policy applied to identity edges).  An
+    (identifier, authority) group of h rows expands to h² candidate
+    pairs, and the expansion is invisible to AQE's byte-keyed skew
+    detector (see BENCH/_skewjoin.md) — a group above the cap is a
+    degenerate identifier (a control number shared by thousands of
+    records carries no identity signal, it is a data-quality defect)
+    and is dropped from candidate generation entirely; route the
+    dropped keys to the quarantine channel upstream if a report is
+    wanted.  Default None keeps every group (the reference-parity
+    corpora have single-digit group sizes).
     """
     authority = F.substring_index(F.col("subj"), "/", 3)
     ids = (triples
@@ -50,6 +63,11 @@ def candidate_sameas_edges(triples: DataFrame,
                    F.col("obj_is_literal"))
            .select(F.col("obj").alias("ident"),
                    authority.alias("auth"), F.col("subj")))
+    if max_ident_freq:
+        hot = (ids.groupBy("ident", "auth").count()
+               .filter(F.col("count") > max_ident_freq)
+               .select("ident", "auth"))
+        ids = ids.join(hot, ["ident", "auth"], "left_anti")
     # Self-join on (identifier, authority); keep src<dst to halve edges.
     left = ids.alias("l")
     right = ids.alias("r")
