@@ -61,6 +61,12 @@ def jaccard_pairs_from_shingles(sh: DataFrame, threshold: float,
         hot = (sh.groupBy("sh").count()
                .filter(F.col("count") > max_shingle_freq).select("sh"))
         sh = sh.join(hot, "sh", "left_anti")
+    # the capped shingle table feeds FOUR consumers (both sides of the
+    # pair self-join + both size lookups): without a lineage cut the
+    # whole shingle explode + stop-shingle anti-join subtree is
+    # recomputed per consumer (seen in the captured el_label_links
+    # plan, docs/PLANS.md) — materialize it once, lazily
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (sh.alias("a").join(sh.alias("b"), "sh")
              .filter(F.col("a.id") < F.col("b.id"))

@@ -78,3 +78,107 @@ def test_sharding_roundtrip_property(xmls, seed):
         got.extend(m.group(0)
                    for m in re.finditer(RECORD_SPAN_PATTERN, payload))
     assert sorted(got) == sorted(xml for _, xml in records)
+
+
+# --------------------------------------------------------------------
+# Full transcript-graft round-trip (round-4 ask): ANY valid MARC record
+# set → make_transcript_rows → reassemble_records (Spark) →
+# extract/triple fan-out must equal the direct Spark-free
+# core.api.process_records result — random record contents AND random
+# turn splits, not just the fixed-seed fixtures.
+
+import pytest as _pytest
+from hypothesis import HealthCheck
+
+_text = st.text(
+    alphabet=st.characters(whitelist_categories=("L", "N"),
+                           whitelist_characters=" .,-:()'"),
+    min_size=1, max_size=40).map(lambda s: s.strip()).filter(bool)
+
+
+@st.composite
+def _classification_record(draw, idx):
+    from xml.sax.saxutils import escape
+    notation = "%03d.%02d" % (draw(st.integers(0, 999)),
+                              draw(st.integers(0, 99)))
+    caption = escape(draw(_text))
+    topic = escape(draw(_text))
+    return (
+        '<record xmlns="http://www.loc.gov/MARC21/slim">'
+        '<leader>00000nw  a2200000n  4500</leader>'
+        '<controlfield tag="001">hyp%08d</controlfield>'
+        '<controlfield tag="005">20150910004647.0</controlfield>'
+        '<controlfield tag="008">091203aaaaaaaa</controlfield>'
+        '<datafield tag="040" ind1=" " ind2=" ">'
+        '<subfield code="b">nob</subfield></datafield>'
+        '<datafield tag="084" ind1="0" ind2=" ">'
+        '<subfield code="a">ddc</subfield>'
+        '<subfield code="c">23no</subfield></datafield>'
+        '<datafield tag="153" ind1=" " ind2=" ">'
+        '<subfield code="a">%s</subfield>'
+        '<subfield code="e">%s</subfield>'
+        '<subfield code="j">%s</subfield></datafield>'
+        '<datafield tag="680" ind1="1" ind2=" ">'
+        '<subfield code="i">Her:</subfield>'
+        '<subfield code="t">%s</subfield></datafield>'
+        '</record>'
+    ) % (idx, notation, notation[:3], caption, topic)
+
+
+@st.composite
+def _authority_record(draw, idx):
+    from xml.sax.saxutils import escape
+    heading = escape(draw(_text))
+    alt = escape(draw(_text))
+    return (
+        '<record xmlns="http://www.loc.gov/MARC21/slim">'
+        '<leader>00000nz  a2200000n  4500</leader>'
+        '<controlfield tag="001">sh%07d</controlfield>'
+        '<controlfield tag="005">20170814095021.0</controlfield>'
+        '<controlfield tag="008">120224n|aana               a aaa     '
+        '</controlfield>'
+        '<datafield tag="040" ind1=" " ind2=" ">'
+        '<subfield code="b">eng</subfield></datafield>'
+        '<datafield tag="150" ind1=" " ind2=" ">'
+        '<subfield code="a">%s</subfield></datafield>'
+        '<datafield tag="450" ind1=" " ind2=" ">'
+        '<subfield code="a">%s</subfield></datafield>'
+        '</record>'
+    ) % (idx, heading, alt)
+
+
+@st.composite
+def _record_set(draw):
+    n = draw(st.integers(1, 5))
+    xmls = []
+    for i in range(n):
+        if draw(st.booleans()):
+            xmls.append(draw(_classification_record(i)))
+        else:
+            xmls.append(draw(_authority_record(i)))
+    return xmls
+
+
+@_pytest.mark.spark
+@given(_record_set(), st.integers(0, 2 ** 20))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_graft_roundtrip_equals_library_property(spark, xmls, seed):
+    from mc2skos_spark.core.api import process_records
+    from mc2skos_spark.operators.extract import (extract_triples,
+                                                 triples_from_extracted)
+    from mc2skos_spark.plans import schemas
+    from mc2skos_spark.sources.transcripts import reassemble_records
+
+    options = {"include_altlabels": True}
+    expected = set(process_records(xmls, options))
+
+    records = [("r%d" % i, xml) for i, xml in enumerate(xmls)]
+    rows = make_transcript_rows(records, seed=seed)
+    df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["obj_is_literal"],
+         r["obj_lang"], r["obj_datatype"], r["component_pos"])
+        for r in triples_from_extracted(
+            extract_triples(reassemble_records(df), options)).collect()}
+    assert got == expected
