@@ -62,6 +62,31 @@ def index_params(catalog: IcebergishCatalog, name: str) -> dict:
             "bands": p["minhash_bands"]}
 
 
+def append_batch_to_index(catalog: IcebergishCatalog, name: str,
+                          batch: DataFrame, id_col: str, text_col: str,
+                          batch_id: int | None = None) -> None:
+    """Append one batch's signatures + buckets to the index, guarded
+    per table by ``last_batch_id`` so a foreachBatch REPLAY of an
+    already-applied batch is a no-op (exactly-once per table even when
+    a kill lands between the two appends).  Signing parameters come
+    from the index manifest — a batch can never be signed differently
+    from the corpus it joins."""
+    params = index_params(catalog, name)
+    new_sigs = minhash_signatures(batch, id_col, text_col, n=params["n"],
+                                  num_hashes=params["num_hashes"]
+                                  ).localCheckpoint(eager=False)
+    new_buckets = minhash_banded(new_sigs, params["bands"])
+    props = {} if batch_id is None else {"last_batch_id": batch_id}
+    for suffix, df in ((SIG_SUFFIX, new_sigs), (BUCKET_SUFFIX, new_buckets)):
+        manifest = catalog.current_manifest(name + suffix)
+        last = (manifest or {}).get("properties", {}) \
+            .get("last_batch_id", -1)
+        if batch_id is not None and last >= batch_id:
+            continue  # replay of an applied batch: leave the snapshot
+        catalog.append(name + suffix, df, lineage_key="id",
+                       properties=props)
+
+
 def incremental_minhash_pairs(catalog: IcebergishCatalog, name: str,
                               batch: DataFrame, id_col: str,
                               text_col: str,

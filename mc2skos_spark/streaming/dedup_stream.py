@@ -1,0 +1,101 @@
+"""Streaming near-duplicate detection against the persisted MinHash
+index — the production shape for a document stream at 100 TB.
+
+``readStream`` over a documents directory → ``foreachBatch`` where each
+micro-batch:
+
+1. signs ONLY its own documents and equi-joins the *persisted* banded
+   index (``functions/incremental.py`` — corpus never recomputed, never
+   rewritten);
+2. commits the batch's near-dup pairs as a versioned snapshot
+   (``dedup_pairs_batch_N`` — replay overwrites identical content);
+3. appends the batch's signatures/buckets into the index
+   (``append_batch_to_index``, guarded per table by ``last_batch_id``).
+
+Replay idempotence (the same contract as ``IncrementalExtractor``):
+the pairs snapshot is written BEFORE the index appends, pair
+computation reads only pre-batch index state, and each append skips
+itself when its table already carries this batch id — so a kill at any
+point replays to byte-identical state.  The first batch bootstraps an
+empty index (same code path; batch-internal pairs still emitted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.incremental import (BUCKET_SUFFIX, append_batch_to_index,
+                                     create_minhash_index,
+                                     incremental_minhash_pairs)
+from ..sinks.icebergish import IcebergishCatalog
+
+PAIRS_TABLE = "dedup_pairs_batch_%06d"
+
+
+class StreamingDeduper:
+    """foreachBatch handler: batch vs persisted-index near-dup pairs."""
+
+    def __init__(self, warehouse: str, name: str = "docs_minhash",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 threshold: float = 0.9, n: int = 3,
+                 num_hashes: int = 32, bands: int = 8):
+        self.warehouse = warehouse
+        self.name = name
+        self.id_col = id_col
+        self.text_col = text_col
+        self.threshold = threshold
+        self.params = {"n": n, "num_hashes": num_hashes, "bands": bands}
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        catalog = IcebergishCatalog(self.warehouse, batch.sparkSession)
+        buckets = catalog.current_manifest(self.name + BUCKET_SUFFIX)
+        if buckets is None:
+            # bootstrap an EMPTY index so batch 0 runs the same
+            # incremental path as every later batch
+            create_minhash_index(catalog, self.name, batch.limit(0),
+                                 self.id_col, self.text_col,
+                                 **self.params)
+        elif buckets["properties"].get("last_batch_id", -1) >= batch_id:
+            return  # full replay of an applied batch
+        pairs = incremental_minhash_pairs(
+            catalog, self.name, batch, self.id_col, self.text_col,
+            threshold=self.threshold, commit=False).localCheckpoint()
+        catalog.write(PAIRS_TABLE % batch_id, pairs, lineage_key="id_a")
+        append_batch_to_index(catalog, self.name, batch, self.id_col,
+                              self.text_col, batch_id=batch_id)
+
+
+def stream_documents(spark: SparkSession, input_dir: str, warehouse: str,
+                     checkpoint_dir: str, schema: str | None = None,
+                     available_now: bool = True,
+                     max_files_per_trigger: int = 1,
+                     **dedup_kwargs):
+    """Start (and by default drain) a streaming dedup over a documents
+    directory.  ``schema`` defaults to the driver documents shape."""
+    deduper = StreamingDeduper(warehouse, **dedup_kwargs)
+    source = (spark.readStream
+              .schema(schema or "doc_id long, text string")
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+    writer = (source.writeStream
+              .foreachBatch(deduper.process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()
+
+
+def streamed_pairs(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Union of all committed per-batch pair snapshots."""
+    catalog = IcebergishCatalog(warehouse, spark)
+    tables = catalog.tables("dedup_pairs_batch_")
+    out = None
+    for t in tables:
+        df = catalog.read(t)
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise FileNotFoundError("no streamed pair snapshots in %s"
+                                % warehouse)
+    return out

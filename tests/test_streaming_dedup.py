@@ -1,0 +1,92 @@
+"""Streaming near-dup detection vs the persisted MinHash index
+(streaming/dedup_stream.py): micro-batches sign only themselves, join
+the persisted index, and the union of per-batch pair snapshots equals
+the from-scratch full-corpus answer; replays are no-ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mc2skos_spark.functions.dedup import (minhash_lsh_candidates,
+                                           minhash_signatures,
+                                           minhash_similarity)
+from mc2skos_spark.functions.incremental import BUCKET_SUFFIX, SIG_SUFFIX
+from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+from mc2skos_spark.streaming.dedup_stream import (StreamingDeduper,
+                                                  stream_documents,
+                                                  streamed_pairs)
+
+pytestmark = pytest.mark.spark
+
+PARAMS = dict(n=2, num_hashes=16, bands=4)
+
+BATCH1 = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "one two three four five six seven eight nine"),
+    (3, "spark catalyst tungsten arrow shuffle broadcast join"),
+]
+BATCH2 = [
+    (11, "alpha beta gamma delta epsilon zeta eta theta"),   # dup of 1
+    (12, "red orange yellow green blue indigo violet purple "
+         "crimson teal maroon olive navy aqua silver gold bronze"),
+    (13, "red orange yellow green blue indigo violet purple "
+         "crimson teal maroon olive navy aqua silver gold bronze x"),
+    (14, "completely unrelated text about something else entirely"),
+]
+
+
+def _expected_full(spark):
+    full = spark.createDataFrame(BATCH1 + BATCH2,
+                                 "doc_id long, text string")
+    sigs = minhash_signatures(full, "doc_id", "text", n=PARAMS["n"],
+                              num_hashes=PARAMS["num_hashes"])
+    return {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in minhash_similarity(
+            sigs, minhash_lsh_candidates(sigs, bands=PARAMS["bands"]))
+        .filter(F.col("est_jaccard") >= 0.9).collect()}
+
+
+def test_stream_dedup_end_to_end(spark, tmp_path):
+    src = tmp_path / "docs_in"
+    # two parquet files => two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame(BATCH1, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(BATCH2, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f2"))
+
+    wh = str(tmp_path / "wh")
+    stream_documents(spark, str(src) + "/*", wh,
+                     str(tmp_path / "ckpt"), threshold=0.9, **PARAMS)
+
+    got = {(r["id_a"], r["id_b"], r["est_jaccard"])
+           for r in streamed_pairs(spark, wh).collect()}
+    assert got == _expected_full(spark)
+    assert got  # the planted dups guarantee non-empty
+
+    # the index now covers every streamed document
+    cat = IcebergishCatalog(wh, spark)
+    assert cat.read("docs_minhash" + SIG_SUFFIX).count() == 7
+    assert cat.read("docs_minhash" + BUCKET_SUFFIX).count() == \
+        7 * PARAMS["bands"]
+
+
+def test_stream_dedup_replay_is_noop(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    deduper = StreamingDeduper(wh, threshold=0.9, **PARAMS)
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    deduper.process_batch(b1, 0)
+    deduper.process_batch(b2, 1)
+    cat = IcebergishCatalog(wh, spark)
+    sig_snap = cat.current_manifest("docs_minhash" + SIG_SUFFIX)
+    pairs_before = {tuple(r) for r in
+                    streamed_pairs(spark, wh).collect()}
+    # replay of an already-applied batch: no index growth, same pairs
+    deduper.process_batch(b2, 1)
+    assert cat.current_manifest(
+        "docs_minhash" + SIG_SUFFIX)["snapshot_id"] == \
+        sig_snap["snapshot_id"]
+    assert cat.read("docs_minhash" + SIG_SUFFIX).count() == 7
+    assert {tuple(r) for r in
+            streamed_pairs(spark, wh).collect()} == pairs_before
+    assert pairs_before == _expected_full(spark)
