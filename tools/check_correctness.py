@@ -58,12 +58,22 @@ def main():
     sf_dir = args.sf_dir
 
     # VALUES oracles are literal dumps at sf0.01: at any other SF those
-    # queries run rows-only (see module docstring)
+    # queries use a second-scale pinned module when one was generated
+    # (SF_VALUES_MODULES), else run rows-only (see module docstring)
     rows_only = set()
+    sf_overrides: dict[str, str] = {}
     if os.path.normpath(sf_dir) != os.path.normpath(VALUES_SF_DIR):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from gen_oracle_values import SPECS
-        rows_only = set(SPECS)
+        from gen_oracle_values import SF_VALUES_MODULES, SPECS
+        module = SF_VALUES_MODULES.get(os.path.normpath(sf_dir))
+        if module:
+            try:
+                import importlib
+                sf_overrides = importlib.import_module(
+                    "mc2skos_spark.plans." + module).VALUES_SQL
+            except ImportError:
+                pass
+        rows_only = set(SPECS) - set(sf_overrides)
 
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
@@ -77,7 +87,7 @@ def main():
                         % (t, path))
 
     queries = entry.queries()
-    oracles = entry.oracle_sql()
+    oracles = dict(entry.oracle_sql(), **sf_overrides)
     only = set(args.names)
     unknown = only - set(queries)
     if unknown:

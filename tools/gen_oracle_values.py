@@ -11,6 +11,7 @@ implementations (or the driver testdata) change.
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 
@@ -19,6 +20,14 @@ sys.path.insert(0, REPO)
 
 SF_DIR = "/root/testdata/sf0.01"
 OUT = os.path.join(REPO, "mc2skos_spark", "plans", "oracle_values.py")
+
+#: second-scale pins: sf dir → generated module (used by
+#: tools/check_correctness.py --sf-dir to keep VALUE comparison instead
+#: of dropping to rows-only).  Regenerate with
+#: ``python tools/gen_oracle_values.py --sf-dir /root/testdata/sf0.1``.
+SF_VALUES_MODULES = {
+    "/root/testdata/sf0.1": "oracle_values_sf0_1",
+}
 
 # query -> (column, duckdb type) in output order
 SPECS = {
@@ -216,6 +225,20 @@ def main():
 
     import __spark_entry__ as entry
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=SF_DIR,
+                    help="dump VALUES at this scale factor; a non-"
+                         "default dir writes the second-scale module "
+                         "from SF_VALUES_MODULES (SPECS queries only)")
+    args = ap.parse_args()
+    primary = os.path.normpath(args.sf_dir) == os.path.normpath(SF_DIR)
+    if primary:
+        out = OUT
+    else:
+        module = SF_VALUES_MODULES[os.path.normpath(args.sf_dir)]
+        out = os.path.join(REPO, "mc2skos_spark", "plans",
+                           module + ".py")
+
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.ui.enabled", "false")
@@ -223,7 +246,7 @@ def main():
     queries = entry.queries()
     blocks = {}
     for name, spec in SPECS.items():
-        rows = queries[name](spark, SF_DIR).collect()
+        rows = queries[name](spark, args.sf_dir).collect()
         cols = [c for c, _ in spec]
         tuples = sorted(tuple(r[c] for c in cols) for r in rows)
         values = ",\n".join("    (%s)" % ", ".join(lit(v) for v in row)
@@ -234,23 +257,26 @@ def main():
                         % (casts, values, ", ".join(cols)))
         print("%s: %d rows" % (name, len(tuples)))
     spark.stop()
-    blocks["kg_golden_triples"] = kg_golden_block()
-    blocks["s4_turtle_blocks"] = s4_turtle_block()
-    blocks["s5_jskos_docs"] = s5_jskos_block()
+    if primary:
+        # the reference-golden oracles are sf-independent; they live
+        # only in the primary module the driver consumes
+        blocks["kg_golden_triples"] = kg_golden_block()
+        blocks["s4_turtle_blocks"] = s4_turtle_block()
+        blocks["s5_jskos_docs"] = s5_jskos_block()
 
-    with open(OUT, "w") as fp:
+    with open(out, "w") as fp:
         fp.write('"""GENERATED by tools/gen_oracle_values.py — do not '
                  'edit by hand.\n\nVALUES-literal DuckDB oracles for the '
-                 'xxhash64-dependent queries at sf0.01\n(deterministic '
-                 'seeded outputs; see the generator for rationale)."""\n\n'
-                 "VALUES_SQL = {\n")
+                 'xxhash64-dependent queries at %s\n(deterministic '
+                 'seeded outputs; see the generator for rationale)."""'
+                 '\n\nVALUES_SQL = {\n' % args.sf_dir)
         for name, sql in blocks.items():
             # %r (not a triple-quoted template): a backslash inside a
             # golden string value must survive the generated module's
             # OWN python-literal decoding
             fp.write("    %r: %r,\n" % (name, sql))
         fp.write("}\n")
-    print("wrote", OUT)
+    print("wrote", out)
 
 
 if __name__ == "__main__":
