@@ -267,8 +267,8 @@ def assemble_baseline_md():
     """BENCH/BASELINE.md = concat of the part files that exist, so
     --scaling and --skew can each refresh their own section."""
     parts = []
-    for name in ("BENCH/_scaling.md", "BENCH/_skew.md",
-                 "BENCH/_skewjoin.md"):
+    for name in ("BENCH/_scaling.md", "BENCH/_scaling_history.md",
+                 "BENCH/_skew.md", "BENCH/_skewjoin.md"):
         if os.path.exists(name):
             with open(name) as fp:
                 parts.append(fp.read().rstrip() + "\n")

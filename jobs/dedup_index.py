@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the persisted MinHash dedup index.
+
+The production dedup loop at 100 TB: build the index once over the
+corpus, then feed each arriving batch (or a document stream) against it
+— only the batch is ever signed, the corpus side is a parquet scan of
+the committed banded buckets, and commits append only the batch's
+files (functions/incremental.py, streaming/dedup_stream.py).
+
+    # one-time: sign the corpus and commit the index tables
+    spark-submit --py-files mc2skos_spark.zip jobs/dedup_index.py \\
+        create --input corpus.parquet --warehouse /wh --name docs_minhash
+
+    # per batch: near-dup pairs vs everything ingested so far,
+    # then the batch joins the index
+    spark-submit ... jobs/dedup_index.py ingest --input batch.parquet \\
+        --warehouse /wh --name docs_minhash --pairs-out /out/pairs
+
+    # continuous: Structured Streaming over a landing directory
+    spark-submit ... jobs/dedup_index.py stream --input /landing \\
+        --warehouse /wh --checkpoint /ckpt --name docs_minhash
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Persisted MinHash dedup index: create / ingest / "
+                    "stream")
+    parser.add_argument("mode", choices=["create", "ingest", "stream"])
+    parser.add_argument("--input", required=True,
+                        help="documents parquet path (stream: directory)")
+    parser.add_argument("--warehouse", required=True,
+                        help="Icebergish catalog root")
+    parser.add_argument("--name", default="docs_minhash")
+    parser.add_argument("--id-col", default="doc_id")
+    parser.add_argument("--text-col", default="text")
+    parser.add_argument("--n", type=int, default=3,
+                        help="shingle width (create only; ingest reads "
+                             "the committed params)")
+    parser.add_argument("--num-hashes", type=int, default=32)
+    parser.add_argument("--bands", type=int, default=8)
+    parser.add_argument("--threshold", type=float, default=0.9)
+    parser.add_argument("--pairs-out", default=None,
+                        help="ingest: also write the pair result as "
+                             "parquet here")
+    parser.add_argument("--no-commit", action="store_true",
+                        help="ingest: report pairs without appending "
+                             "the batch to the index (dry run)")
+    parser.add_argument("--checkpoint", default=None,
+                        help="stream: checkpoint directory (required)")
+    args = parser.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(
+        "mc2skos-dedup-%s" % args.mode).getOrCreate()
+    from mc2skos_spark.plans.shiplib import ensure_shipped
+    ensure_shipped(spark)
+    from mc2skos_spark.functions.incremental import (
+        BUCKET_SUFFIX, create_minhash_index, incremental_minhash_pairs)
+    from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+
+    catalog = IcebergishCatalog(args.warehouse, spark)
+    stats: dict = {"mode": args.mode, "name": args.name,
+                   "warehouse": args.warehouse}
+
+    if args.mode == "create":
+        manifest = create_minhash_index(
+            catalog, args.name, spark.read.parquet(args.input),
+            args.id_col, args.text_col, n=args.n,
+            num_hashes=args.num_hashes, bands=args.bands)
+        stats["indexed_rows"] = manifest["row_count"]
+        stats["params"] = {k: v for k, v in manifest["properties"].items()
+                           if k.startswith("minhash_")}
+    elif args.mode == "ingest":
+        pairs = incremental_minhash_pairs(
+            catalog, args.name, spark.read.parquet(args.input),
+            args.id_col, args.text_col, threshold=args.threshold,
+            commit=not args.no_commit)
+        if args.pairs_out:
+            pairs.write.mode("overwrite").parquet(args.pairs_out)
+            pairs = spark.read.parquet(args.pairs_out)
+            stats["pairs_out"] = args.pairs_out
+        stats["pairs"] = pairs.count()
+        stats["committed"] = not args.no_commit
+        stats["index_rows"] = catalog.current_manifest(
+            args.name + BUCKET_SUFFIX)["row_count"]
+    else:  # stream
+        if not args.checkpoint:
+            parser.error("stream mode requires --checkpoint")
+        from mc2skos_spark.streaming.dedup_stream import (stream_documents,
+                                                          streamed_pairs)
+        stream_documents(
+            spark, args.input, args.warehouse, args.checkpoint,
+            schema="%s long, %s string" % (args.id_col, args.text_col),
+            name=args.name, id_col=args.id_col, text_col=args.text_col,
+            threshold=args.threshold, n=args.n,
+            num_hashes=args.num_hashes, bands=args.bands)
+        stats["pairs"] = streamed_pairs(spark, args.warehouse).count()
+        stats["index_rows"] = catalog.current_manifest(
+            args.name + BUCKET_SUFFIX)["row_count"]
+
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,13 @@ def main() -> None:
     parser.add_argument("--block-size", type=int, default=None,
                         help="two-phase reassembly block size for "
                              "pathologically long conversations")
+    parser.add_argument("--max-ident-freq", type=int, default=None,
+                        help="degenerate-identifier stop-key cap for "
+                             "the canonicalization self-join (an "
+                             "(identifier, authority) group above the "
+                             "cap carries no identity signal and is "
+                             "dropped from candidate generation — see "
+                             "BENCH/_skewjoin.md)")
     parser.add_argument("--turtle-out", default=None,
                         help="also write an ordered Turtle rendering")
     args = parser.parse_args()
@@ -104,6 +111,7 @@ def main() -> None:
                           canonicalize=not args.no_canonicalize,
                           block_size=args.block_size,
                           validate=args.validate,
+                          max_ident_freq=args.max_ident_freq,
                           force=args.force)
     triples = pipeline.run(transcripts)
     if args.turtle_out:

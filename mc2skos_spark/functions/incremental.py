@@ -116,6 +116,16 @@ def incremental_minhash_pairs(catalog: IcebergishCatalog, name: str,
     new_buckets = (minhash_banded(new_sigs, params["bands"])
                    .localCheckpoint(eager=False))
 
+    # Replay robustness: if a prior half-applied run already appended
+    # this batch's rows to ONE of the index tables (kill between the
+    # two appends), the corpus side would carry the batch ids and the
+    # scoring join would emit duplicate rows.  Anti-join the batch ids
+    # off the corpus side — broadcast (the id column of one batch),
+    # so it stays a map-side filter over the corpus scan.
+    new_ids = F.broadcast(new_sigs.select("id"))
+    corpus_sigs = corpus_sigs.join(new_ids, "id", "left_anti")
+    corpus_buckets = corpus_buckets.join(new_ids, "id", "left_anti")
+
     # batch × (corpus ∪ batch): dedup against everything already
     # ingested AND inside the arriving batch — one equi-join, the
     # right side unions the PERSISTED corpus buckets (scan, no

@@ -201,10 +201,14 @@ def mapping_from_edges(edges: DataFrame) -> DataFrame:
 
 
 def canonical_mapping(triples: DataFrame,
-                      use_exact_match: bool = False) -> DataFrame:
-    """(uri, canonical_uri) for every URI in a non-trivial component."""
+                      use_exact_match: bool = False,
+                      max_ident_freq: int | None = None) -> DataFrame:
+    """(uri, canonical_uri) for every URI in a non-trivial component.
+    ``max_ident_freq`` is the degenerate-identifier stop-key cap (see
+    ``candidate_sameas_edges``) — pass a bound at corpus scale."""
     return mapping_from_edges(
-        candidate_sameas_edges(triples, use_exact_match))
+        candidate_sameas_edges(triples, use_exact_match,
+                               max_ident_freq=max_ident_freq))
 
 
 def rewrite_canonical(triples: DataFrame, mapping: DataFrame) -> DataFrame:

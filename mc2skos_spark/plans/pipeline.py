@@ -48,6 +48,7 @@ class KgPipeline:
                  canonicalize: bool = True,
                  block_size: int | None = None,
                  validate: bool = False,
+                 max_ident_freq: int | None = None,
                  force: bool = False):
         self.spark = spark
         self.catalog = IcebergishCatalog(warehouse, spark)
@@ -58,6 +59,7 @@ class KgPipeline:
         self.canonicalize = canonicalize
         self.block_size = block_size
         self.validate = validate
+        self.max_ident_freq = max_ident_freq
         self.force = force
         self.stage_log: list[tuple[str, str]] = []  # (stage, ran|resumed)
         self.config_hash = hashlib.sha256(json.dumps({
@@ -65,7 +67,7 @@ class KgPipeline:
             "default_scheme": default_scheme,
             "expand": expand, "transitive": transitive,
             "canonicalize": canonicalize, "block_size": block_size,
-            "validate": validate,
+            "validate": validate, "max_ident_freq": max_ident_freq,
         }, sort_keys=True).encode()).hexdigest()[:16]
 
     def _stage(self, name: str, build, partition_by=None,
@@ -109,8 +111,10 @@ class KgPipeline:
         if self.canonicalize:
             triples = self._stage(
                 "triples_canonical",
-                lambda: rewrite_canonical(triples,
-                                          canonical_mapping(triples)),
+                lambda: rewrite_canonical(
+                    triples,
+                    canonical_mapping(
+                        triples, max_ident_freq=self.max_ident_freq)),
                 lineage_key="subj")
 
         if self.expand:

@@ -1,0 +1,54 @@
+"""Deployment surface for the persisted dedup index: jobs/dedup_index.py
+create + ingest as real subprocess invocations (own Spark session, no
+--py-files — shiplib auto-ships), verifying the JSON stats line and the
+cross-invocation persistence: ingest reads the index the create
+process committed."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.spark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=240):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "dedup_index.py")]
+        + args, capture_output=True, text=True, timeout=timeout)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_create_then_ingest_cli(spark, tmp_path):
+    corpus = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+              (2, "one two three four five six seven eight nine")]
+    batch = [(11, "alpha beta gamma delta epsilon zeta eta theta"),
+             (12, "totally novel text with no duplicate anywhere here")]
+    spark.createDataFrame(corpus, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "corpus"))
+    spark.createDataFrame(batch, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "batch"))
+
+    wh = str(tmp_path / "wh")
+    created = _run(["create", "--input", str(tmp_path / "corpus"),
+                    "--warehouse", wh, "--n", "2",
+                    "--num-hashes", "16", "--bands", "4"])
+    assert created["indexed_rows"] == 2
+    assert created["params"]["minhash_bands"] == 4
+
+    ingested = _run(["ingest", "--input", str(tmp_path / "batch"),
+                     "--warehouse", wh,
+                     "--pairs-out", str(tmp_path / "pairs")])
+    assert ingested["pairs"] == 1          # 11 duplicates corpus doc 1
+    assert ingested["committed"] is True
+    assert ingested["index_rows"] == 4 * 4  # (2+2 docs) x 4 bands
+
+    rows = {(r["id_a"], r["id_b"])
+            for r in spark.read.parquet(
+                str(tmp_path / "pairs")).collect()}
+    assert rows == {(1, 11)}

@@ -70,6 +70,42 @@ def test_stream_dedup_end_to_end(spark, tmp_path):
         7 * PARAMS["bands"]
 
 
+def test_stream_dedup_replay_after_half_applied_commit(spark, tmp_path):
+    """The nastiest kill point: batch applied to the sigs table but NOT
+    the buckets table.  The replay must (a) recompute byte-identical
+    pairs (the corpus side anti-joins the batch ids, so the stale sig
+    copies cannot double the scoring rows) and (b) append only the
+    missing table."""
+    wh = str(tmp_path / "wh")
+    deduper = StreamingDeduper(wh, threshold=0.9, **PARAMS)
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    deduper.process_batch(b1, 0)
+
+    # simulate: batch 1's sigs appended, then the kill — buckets (and
+    # the pairs snapshot) never happened
+    cat = IcebergishCatalog(wh, spark)
+    from mc2skos_spark.functions.dedup import minhash_signatures
+    sigs2 = minhash_signatures(b2, "doc_id", "text", n=PARAMS["n"],
+                               num_hashes=PARAMS["num_hashes"])
+    cat.append("docs_minhash" + SIG_SUFFIX, sigs2, lineage_key="id",
+               properties={"last_batch_id": 1})
+    assert cat.read("docs_minhash" + SIG_SUFFIX).count() == 7
+    assert cat.read("docs_minhash" + BUCKET_SUFFIX).count() == \
+        3 * PARAMS["bands"]  # buckets still pre-batch
+
+    deduper.process_batch(b2, 1)  # the replay
+    got = {(r["id_a"], r["id_b"], r["est_jaccard"])
+           for r in streamed_pairs(spark, wh).collect()}
+    assert got == _expected_full(spark)
+    # no duplicate rows slipped through the stale sig copies
+    assert streamed_pairs(spark, wh).count() == len(got)
+    # sigs were NOT appended again; buckets were completed
+    assert cat.read("docs_minhash" + SIG_SUFFIX).count() == 7
+    assert cat.read("docs_minhash" + BUCKET_SUFFIX).count() == \
+        7 * PARAMS["bands"]
+
+
 def test_stream_dedup_replay_is_noop(spark, tmp_path):
     wh = str(tmp_path / "wh")
     deduper = StreamingDeduper(wh, threshold=0.9, **PARAMS)
