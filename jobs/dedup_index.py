@@ -68,7 +68,8 @@ def main() -> None:
     from mc2skos_spark.plans.shiplib import ensure_shipped
     ensure_shipped(spark)
     from mc2skos_spark.functions.incremental import (
-        BUCKET_SUFFIX, create_minhash_index, incremental_minhash_pairs)
+        BUCKET_SUFFIX, SIG_SUFFIX, create_minhash_index,
+        incremental_minhash_pairs)
     from mc2skos_spark.sinks.icebergish import IcebergishCatalog
 
     catalog = IcebergishCatalog(args.warehouse, spark)
@@ -80,7 +81,9 @@ def main() -> None:
             catalog, args.name, spark.read.parquet(args.input),
             args.id_col, args.text_col, n=args.n,
             num_hashes=args.num_hashes, bands=args.bands)
-        stats["indexed_rows"] = manifest["row_count"]
+        stats["indexed_docs"] = catalog.current_manifest(
+            args.name + SIG_SUFFIX)["row_count"]
+        stats["bucket_rows"] = manifest["row_count"]
         stats["params"] = {k: v for k, v in manifest["properties"].items()
                            if k.startswith("minhash_")}
     elif args.mode == "ingest":

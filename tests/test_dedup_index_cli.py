@@ -38,7 +38,8 @@ def test_create_then_ingest_cli(spark, tmp_path):
     created = _run(["create", "--input", str(tmp_path / "corpus"),
                     "--warehouse", wh, "--n", "2",
                     "--num-hashes", "16", "--bands", "4"])
-    assert created["indexed_rows"] == 2
+    assert created["indexed_docs"] == 2
+    assert created["bucket_rows"] == 2 * 4
     assert created["params"]["minhash_bands"] == 4
 
     ingested = _run(["ingest", "--input", str(tmp_path / "batch"),
