@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch (cross-batch + batch-internal), same signing params as
         # dedup_minhash_lsh so the result is exactly that query's
         # pairs restricted to the batch.
+        import shutil
         import tempfile
         from mc2skos_spark.functions.incremental import (
             create_minhash_index, incremental_minhash_pairs)
@@ -578,13 +579,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
         corpus = docs.filter(F.col("doc_id") < 400)
         batch = docs.filter(F.col("doc_id") >= 400)
-        catalog = IcebergishCatalog(
-            tempfile.mkdtemp(prefix="mc2skos_incr_"), spark)
-        create_minhash_index(catalog, "docs_minhash", corpus,
-                             "doc_id", "text", n=2, num_hashes=16,
-                             bands=4)
-        return incremental_minhash_pairs(catalog, "docs_minhash", batch,
-                                         "doc_id", "text", threshold=0.9)
+        wh = tempfile.mkdtemp(prefix="mc2skos_incr_")
+        try:
+            catalog = IcebergishCatalog(wh, spark)
+            create_minhash_index(catalog, "docs_minhash", corpus,
+                                 "doc_id", "text", n=2, num_hashes=16,
+                                 bands=4)
+            # commit=True materializes the pairs via localCheckpoint,
+            # so the warehouse can be deleted before the driver
+            # collects — repeated bench/sweep runs leave no /tmp litter
+            return incremental_minhash_pairs(
+                catalog, "docs_minhash", batch, "doc_id", "text",
+                threshold=0.9)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
 
     def dedup_simhash(spark, sf_dir):
         # Verified at the scale-realistic radius k=3 (16-bit pigeonhole

@@ -91,6 +91,17 @@ def main() -> None:
                         help="more verbose output (INFO-level Spark log)")
     args = parser.parse_args()
 
+    # nargs='?' makes `--skosify in.xml out.ttl` eat the first
+    # positional as the "config path" — if the consumed token is
+    # plainly an input/output RDF file and not an INI config, give it
+    # back to the positionals and treat --skosify as the bare boolean
+    # (the pre-cfg behavior).  A real skosify config never carries
+    # these extensions.
+    if isinstance(args.skosify, str) and args.skosify.lower().endswith(
+            (".xml", ".marcxml", ".ttl", ".jskos", ".ndjson", ".json")):
+        args.paths.insert(0, args.skosify)
+        args.skosify = True
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo not in sys.path:
         sys.path.insert(0, repo)

@@ -53,6 +53,12 @@ def main() -> None:
     parser.add_argument("--no-commit", action="store_true",
                         help="ingest: report pairs without appending "
                              "the batch to the index (dry run)")
+    parser.add_argument("--batch-id", type=int, default=None,
+                        help="ingest: monotonically increasing batch "
+                             "number; makes the commit replay-safe — "
+                             "a retried ingest of an already-committed "
+                             "batch id skips the append instead of "
+                             "double-ingesting the signatures")
     parser.add_argument("--checkpoint", default=None,
                         help="stream: checkpoint directory (required)")
     args = parser.parse_args()
@@ -90,7 +96,7 @@ def main() -> None:
         pairs = incremental_minhash_pairs(
             catalog, args.name, spark.read.parquet(args.input),
             args.id_col, args.text_col, threshold=args.threshold,
-            commit=not args.no_commit)
+            commit=not args.no_commit, batch_id=args.batch_id)
         if args.pairs_out:
             pairs.write.mode("overwrite").parquet(args.pairs_out)
             pairs = spark.read.parquet(args.pairs_out)
@@ -110,9 +116,12 @@ def main() -> None:
             name=args.name, id_col=args.id_col, text_col=args.text_col,
             threshold=args.threshold, n=args.n,
             num_hashes=args.num_hashes, bands=args.bands)
-        stats["pairs"] = streamed_pairs(spark, args.warehouse).count()
-        stats["index_rows"] = catalog.current_manifest(
-            args.name + BUCKET_SUFFIX)["row_count"]
+        try:
+            stats["pairs"] = streamed_pairs(spark, args.warehouse).count()
+        except FileNotFoundError:
+            stats["pairs"] = 0  # legitimate empty run: zero batches
+        buckets = catalog.current_manifest(args.name + BUCKET_SUFFIX)
+        stats["index_rows"] = buckets["row_count"] if buckets else 0
 
     print(json.dumps(stats))
     spark.stop()

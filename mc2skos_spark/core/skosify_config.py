@@ -59,7 +59,12 @@ def parse_skosify_config(path: str) -> dict:
     """
     cp = configparser.ConfigParser()
     with open(path, encoding="utf-8") as fp:
-        cp.read_file(fp)
+        try:
+            cp.read_file(fp)
+        except configparser.Error as exc:
+            raise ValueError(
+                "--skosify expects a skosify INI config file; %r is "
+                "not one (%s)" % (path, exc)) from exc
 
     out: dict = dict(OPTION_DEFAULTS)
     unsupported: list[str] = []

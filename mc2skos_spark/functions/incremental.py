@@ -14,8 +14,10 @@ emits near-duplicate pairs
 then commits the batch's signatures/buckets into the index so the next
 batch sees them.  Candidate generation stays an equi-join on
 ``(band, bucket)`` (linear in batch size + bucket cohabitants, never
-all-pairs over the corpus), and the pair scoring joins each side's
-signatures by id — both sides shuffle only candidate-touched rows.
+all-pairs over the corpus), and the pair scoring is the SAME
+``minhash_similarity`` join the from-scratch path uses — the module's
+exact-equality contract with ``dedup_minhash_lsh`` holds by
+construction, not by parallel re-implementation.
 
 Signing parameters (``n``, ``num_hashes``, ``bands``) are recorded in
 the index manifest's properties at creation and re-read per batch, so a
@@ -28,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..sinks.icebergish import IcebergishCatalog
-from .dedup import minhash_banded, minhash_signatures
+from .dedup import minhash_banded, minhash_signatures, minhash_similarity
 
 #: table-name suffixes under one logical index name
 SIG_SUFFIX = "_sigs"
@@ -62,20 +64,40 @@ def index_params(catalog: IcebergishCatalog, name: str) -> dict:
             "bands": p["minhash_bands"]}
 
 
-def append_batch_to_index(catalog: IcebergishCatalog, name: str,
-                          batch: DataFrame, id_col: str, text_col: str,
-                          batch_id: int | None = None) -> None:
-    """Append one batch's signatures + buckets to the index, guarded
-    per table by ``last_batch_id`` so a foreachBatch REPLAY of an
-    already-applied batch is a no-op (exactly-once per table even when
-    a kill lands between the two appends).  Signing parameters come
-    from the index manifest — a batch can never be signed differently
-    from the corpus it joins."""
+def batch_index_rows(catalog: IcebergishCatalog, name: str,
+                     batch: DataFrame, id_col: str, text_col: str
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Sign ONE batch with the index's committed parameters:
+    ``(sigs, buckets)``, both lazily checkpointed so every consumer
+    (candidate join, similarity lookups, the index appends) shares one
+    materialization — the batch is shingled and hashed exactly once."""
     params = index_params(catalog, name)
-    new_sigs = minhash_signatures(batch, id_col, text_col, n=params["n"],
-                                  num_hashes=params["num_hashes"]
-                                  ).localCheckpoint(eager=False)
-    new_buckets = minhash_banded(new_sigs, params["bands"])
+    sigs = minhash_signatures(batch, id_col, text_col, n=params["n"],
+                              num_hashes=params["num_hashes"]
+                              ).localCheckpoint(eager=False)
+    buckets = (minhash_banded(sigs, params["bands"])
+               .localCheckpoint(eager=False))
+    return sigs, buckets
+
+
+def append_batch_to_index(catalog: IcebergishCatalog, name: str,
+                          batch: DataFrame | None = None,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          batch_id: int | None = None,
+                          precomputed: tuple[DataFrame, DataFrame] |
+                          None = None) -> None:
+    """Append one batch's signatures + buckets to the index, guarded
+    per table by ``last_batch_id`` so a REPLAY of an already-applied
+    batch id is a no-op (exactly-once per table even when a kill lands
+    between the two appends).  Pass ``precomputed`` (from
+    ``batch_index_rows``) to reuse signatures already computed for the
+    pair join instead of signing the batch again."""
+    if precomputed is None:
+        if batch is None:
+            raise ValueError("either batch or precomputed is required")
+        precomputed = batch_index_rows(catalog, name, batch,
+                                       id_col, text_col)
+    new_sigs, new_buckets = precomputed
     props = {} if batch_id is None else {"last_batch_id": batch_id}
     for suffix, df in ((SIG_SUFFIX, new_sigs), (BUCKET_SUFFIX, new_buckets)):
         manifest = catalog.current_manifest(name + suffix)
@@ -91,8 +113,10 @@ def incremental_minhash_pairs(catalog: IcebergishCatalog, name: str,
                               batch: DataFrame, id_col: str,
                               text_col: str,
                               threshold: float = 0.9,
-                              commit: bool = True
-                              ) -> DataFrame:
+                              commit: bool = True,
+                              batch_id: int | None = None,
+                              precomputed: tuple[DataFrame, DataFrame] |
+                              None = None) -> DataFrame:
     """Near-duplicate pairs for one arriving batch vs the persisted
     index (plus batch-internal pairs), ``(id_a, id_b, est_jaccard)``
     with ``id_a < id_b``; ids must be globally unique across batches.
@@ -102,19 +126,17 @@ def incremental_minhash_pairs(catalog: IcebergishCatalog, name: str,
     rewritten) AFTER materializing the pair result, so a kill before
     the append leaves the index at the previous snapshot and the batch
     can simply be re-run (same idempotence contract as the pipeline
-    stages).
+    stages).  Pass ``batch_id`` to make the commit replay-safe: a rerun
+    of an already-committed batch id skips the append instead of
+    double-ingesting the signatures (the guard an external retrying
+    orchestrator needs).
     """
-    params = index_params(catalog, name)
+    if precomputed is None:
+        precomputed = batch_index_rows(catalog, name, batch,
+                                       id_col, text_col)
+    new_sigs, new_buckets = precomputed
     corpus_sigs = catalog.read(name + SIG_SUFFIX)
     corpus_buckets = catalog.read(name + BUCKET_SUFFIX)
-
-    new_sigs = minhash_signatures(batch, id_col, text_col, n=params["n"],
-                                  num_hashes=params["num_hashes"])
-    # the batch side feeds the banded join, two signature lookups and
-    # (optionally) the index append: one lazy lineage cut, batch-sized
-    new_sigs = new_sigs.localCheckpoint(eager=False)
-    new_buckets = (minhash_banded(new_sigs, params["bands"])
-                   .localCheckpoint(eager=False))
 
     # Replay robustness: if a prior half-applied run already appended
     # this batch's rows to ONE of the index tables (kill between the
@@ -138,24 +160,13 @@ def incremental_minhash_pairs(catalog: IcebergishCatalog, name: str,
                     F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"))
             .distinct())
 
+    # the SAME scorer as the from-scratch LSH path (functions/dedup.py)
     all_sigs = corpus_sigs.unionByName(new_sigs)
-    pairs = (cand
-             .join(all_sigs.withColumnRenamed("id", "id_a")
-                   .withColumnRenamed("sig", "sig_a"), "id_a")
-             .join(all_sigs.withColumnRenamed("id", "id_b")
-                   .withColumnRenamed("sig", "sig_b"), "id_b")
-             .select("id_a", "id_b",
-                     F.round(
-                         F.size(F.filter(
-                             F.zip_with("sig_a", "sig_b",
-                                        lambda x, y: x == y),
-                             lambda eq: eq)) / F.size("sig_a"),
-                         4).alias("est_jaccard"))
+    pairs = (minhash_similarity(all_sigs, cand)
              .filter(F.col("est_jaccard") >= threshold))
 
     if commit:
         pairs = pairs.localCheckpoint()  # materialize BEFORE the commit
-        catalog.append(name + SIG_SUFFIX, new_sigs, lineage_key="id")
-        catalog.append(name + BUCKET_SUFFIX, new_buckets,
-                       lineage_key="id")
+        append_batch_to_index(catalog, name, batch_id=batch_id,
+                              precomputed=precomputed)
     return pairs

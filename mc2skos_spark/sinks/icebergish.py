@@ -104,10 +104,17 @@ class IcebergishCatalog:
         if current is None:
             return self._write_snapshot(table, df, None, lineage_key,
                                         properties, base=None)
-        if [f["name"] for f in current["schema"]["fields"]] != \
-                list(df.columns):
-            raise ValueError("append schema mismatch for table %r"
-                             % table)
+        # names AND types: a name-only check would commit e.g. an
+        # int-typed id into a long-typed table and only fail (or
+        # silently coerce) at a much later read
+        committed = [(f["name"], f["type"])
+                     for f in current["schema"]["fields"]]
+        incoming = [(f["name"], f["type"])
+                    for f in df.schema.jsonValue()["fields"]]
+        if committed != incoming:
+            raise ValueError(
+                "append schema mismatch for table %r: committed %s "
+                "vs incoming %s" % (table, committed, incoming))
         if current["partition_by"]:
             # directory-partitioned values live in dir names, and a
             # multi-root read cannot re-infer them reliably — a real

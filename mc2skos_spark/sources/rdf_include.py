@@ -44,7 +44,15 @@ def _concept_rows(doc: dict, path: str) -> list[tuple]:
     ``sinks.jskos._concept_object``, driven by the same context maps)."""
     from ..sinks import jskos as J
 
-    subj = doc["uri"]
+    # JSKOS keys concepts by "uri"; generic JSON-LD uses "@id" — accept
+    # both, and fail with a diagnosis (not a KeyError) on anything else
+    subj = doc.get("uri") or doc.get("@id")
+    if not subj:
+        raise ValueError(
+            "JSKOS include %r: concept object without 'uri'/'@id' key "
+            "(arbitrary JSON-LD framings beyond the JSKOS context are "
+            "not supported offline — convert the file to Turtle or "
+            "JSKOS first): %.120r" % (path, doc))
     inv_lang_single = {v: k for k, v in J._LANGUAGE_SINGLE.items()}
     inv_lang_multi = {v: k for k, v in J._LANGUAGE_MULTI.items()}
     inv_uri_sets = {v: k for k, v in J._URI_SETS.items()}
@@ -55,12 +63,20 @@ def _concept_rows(doc: dict, path: str) -> list[tuple]:
     def add(pred, obj, is_lit, lang=None, dtype=None, pos=None):
         rows.append((subj, pred, obj, is_lit, lang, dtype, pos, path))
 
+    def uri_of(v, key):
+        if isinstance(v, dict) and ("uri" in v or "@id" in v):
+            return v.get("uri") or v.get("@id")
+        raise ValueError(
+            "JSKOS include %r: %r value is not a {'uri': …} object: "
+            "%.80r" % (path, key, v))
+
     for key, val in doc.items():
-        if key in ("uri", "@context"):
+        if key in ("uri", "@id", "@context"):
             continue
         if key == "memberList":
             for pos, member in enumerate(val):
-                add(J._MEMBER_LIST, member["uri"], False, pos=pos)
+                add(J._MEMBER_LIST, uri_of(member, key), False,
+                    pos=pos)
         elif key in inv_scalars:
             for v in (val if isinstance(val, list) else [val]):
                 add(inv_scalars[key], v, True,
@@ -76,13 +92,13 @@ def _concept_rows(doc: dict, path: str) -> list[tuple]:
                         lang=None if lang == "und" else lang)
         elif key in inv_uri_sets:
             for v in val:
-                add(inv_uri_sets[key], v["uri"], False)
+                add(inv_uri_sets[key], uri_of(v, key), False)
         elif key in inv_literal_sets:
             for v in val:
                 add(inv_literal_sets[key], v, True)
         elif isinstance(val, list) and val and isinstance(val[0], dict):
             for v in val:  # unmapped URI-valued predicate
-                add(key, v["uri"], False)
+                add(key, uri_of(v, key), False)
         elif isinstance(val, bool):
             add(key, "true" if val else "false", True,
                 dtype=C.XSD + "boolean")
@@ -129,6 +145,9 @@ def include_triples(triples: DataFrame, spark: SparkSession,
     if jsk:
         js = read_jskos_triples(spark, jsk)
         extra = js if extra is None else extra.unionByName(js)
+    # obj_is_literal IS part of triple identity: a literal "http://x"
+    # and the URI <http://x> under one predicate are distinct triples
     return (triples.unionByName(extra)
-            .dropDuplicates(["subj", "pred", "obj", "obj_lang",
-                             "obj_datatype", "component_pos"]))
+            .dropDuplicates(["subj", "pred", "obj", "obj_is_literal",
+                             "obj_lang", "obj_datatype",
+                             "component_pos"]))

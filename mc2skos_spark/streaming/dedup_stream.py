@@ -24,7 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.incremental import (BUCKET_SUFFIX, append_batch_to_index,
+from pyspark.sql import functions as F
+
+from ..functions.incremental import (BUCKET_SUFFIX, SIG_SUFFIX,
+                                     append_batch_to_index,
+                                     batch_index_rows,
                                      create_minhash_index,
                                      incremental_minhash_pairs)
 from ..sinks.icebergish import IcebergishCatalog
@@ -56,13 +60,38 @@ class StreamingDeduper:
                                  self.id_col, self.text_col,
                                  **self.params)
         elif buckets["properties"].get("last_batch_id", -1) >= batch_id:
-            return  # full replay of an applied batch
+            # either a genuine foreachBatch replay of an applied batch
+            # (skip silently) — or a FRESH stream checkpoint pointed at
+            # an old warehouse, where Spark restarts batch ids at 0 and
+            # skipping would silently drop brand-new data.  A replay
+            # redelivers the same documents, so every id is already in
+            # the index; a checkpoint reset delivers ids the index has
+            # never seen (ids are globally unique by contract) — one
+            # broadcast anti-join distinguishes the two.
+            missing = (batch.select(F.col(self.id_col).alias("id"))
+                       .join(catalog.read(self.name + SIG_SUFFIX)
+                             .select("id"), "id", "left_anti")
+                       .limit(1).count())
+            if missing:
+                raise RuntimeError(
+                    "dedup stream checkpoint/warehouse mismatch: batch "
+                    "%d carries ids the index (last_batch_id=%s) has "
+                    "never seen — the stream checkpoint was reset "
+                    "against an existing warehouse.  Restart with the "
+                    "original checkpoint, or a fresh warehouse."
+                    % (batch_id,
+                       buckets["properties"].get("last_batch_id")))
+            return
+        # sign the batch ONCE; pair join and index append share it
+        pre = batch_index_rows(catalog, self.name, batch,
+                               self.id_col, self.text_col)
         pairs = incremental_minhash_pairs(
             catalog, self.name, batch, self.id_col, self.text_col,
-            threshold=self.threshold, commit=False).localCheckpoint()
+            threshold=self.threshold, commit=False,
+            precomputed=pre).localCheckpoint()
         catalog.write(PAIRS_TABLE % batch_id, pairs, lineage_key="id_a")
-        append_batch_to_index(catalog, self.name, batch, self.id_col,
-                              self.text_col, batch_id=batch_id)
+        append_batch_to_index(catalog, self.name, batch_id=batch_id,
+                              precomputed=pre)
 
 
 def stream_documents(spark: SparkSession, input_dir: str, warehouse: str,

@@ -178,3 +178,24 @@ def test_incremental_equals_full_corpus(spark, tmp_path,
             threshold=0.9).collect()}
     assert corpus_internal | incremental == expected
     assert corpus_internal.isdisjoint(incremental)
+
+
+def test_batch_id_makes_commit_replay_safe(spark, tmp_path,
+                                           corpus_and_batch):
+    """commit=True with a batch_id: a retried run of the same batch id
+    recomputes identical pairs but does NOT double-ingest the
+    signatures (the orchestrator-retry guard)."""
+    corpus, batch = corpus_and_batch
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    create_minhash_index(cat, "idx", corpus, "doc_id", "text", **PARAMS)
+    run1 = {tuple(r) for r in incremental_minhash_pairs(
+        cat, "idx", batch, "doc_id", "text", threshold=0.9,
+        batch_id=5).collect()}
+    snap = cat.current_manifest("idx" + SIG_SUFFIX)["snapshot_id"]
+    run2 = {tuple(r) for r in incremental_minhash_pairs(
+        cat, "idx", batch, "doc_id", "text", threshold=0.9,
+        batch_id=5).collect()}
+    assert run1 == run2 and run1
+    assert cat.current_manifest(
+        "idx" + SIG_SUFFIX)["snapshot_id"] == snap
+    assert cat.read("idx" + SIG_SUFFIX).count() == 8  # not 12

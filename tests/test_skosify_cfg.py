@@ -82,3 +82,34 @@ def test_convert_skosify_cfg_toggles_off(spark, tmp_path):
     convert(spark, [os.path.join(EXAMPLES, "bk-54.65.xml")],
             plain_out, altlabels=True)
     assert produced == set(parse_turtle_file(plain_out))
+
+
+@pytest.mark.spark
+def test_cli_bare_skosify_before_positionals(tmp_path):
+    """Regression: nargs='?' must not eat the first positional —
+    `convert.py --skosify in.xml out.ttl` is the pre-cfg invocation and
+    must keep working (the consumed token is given back when it is
+    plainly an RDF/XML file, and --skosify degrades to the boolean)."""
+    import json
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "out.ttl")
+    run = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "convert.py"),
+         "--skosify",
+         os.path.join(EXAMPLES, "gnd-1020118989.xml"), out,
+         "--scheme", "gnd"],
+        capture_output=True, text=True, timeout=300)
+    assert run.returncode == 0, run.stderr[-1500:]
+    stats = json.loads(run.stdout.strip().splitlines()[-1])
+    assert stats["subjects"] >= 1
+    assert stats["validation_warnings"] == 0      # boolean mode ran
+    assert "skosify_config" not in stats          # no cfg was parsed
+
+
+def test_parse_non_ini_file_is_a_clear_error(tmp_path):
+    p = tmp_path / "records.xml"
+    p.write_text("<record>not an ini</record>")
+    with pytest.raises(ValueError, match="skosify INI config"):
+        parse_skosify_config(str(p))

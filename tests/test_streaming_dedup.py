@@ -126,3 +126,24 @@ def test_stream_dedup_replay_is_noop(spark, tmp_path):
     assert {tuple(r) for r in
             streamed_pairs(spark, wh).collect()} == pairs_before
     assert pairs_before == _expected_full(spark)
+
+
+def test_stream_checkpoint_reset_raises_not_skips(spark, tmp_path):
+    """A fresh stream checkpoint against an old warehouse restarts
+    batch ids at 0; silently skipping would drop brand-new documents.
+    The handler distinguishes a genuine replay (all ids already
+    indexed) from the reset (never-seen ids) and fails loudly."""
+    wh = str(tmp_path / "wh")
+    deduper = StreamingDeduper(wh, threshold=0.9, **PARAMS)
+    b1 = spark.createDataFrame(BATCH1, "doc_id long, text string")
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    deduper.process_batch(b1, 0)
+    deduper.process_batch(b2, 1)
+    # genuine replay of batch 1: silent no-op
+    deduper.process_batch(b2, 1)
+    # checkpoint reset: batch id 0 again but with NEW documents
+    fresh = spark.createDataFrame(
+        [(99, "never seen before text entirely new")],
+        "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="checkpoint/warehouse"):
+        deduper.process_batch(fresh, 0)
