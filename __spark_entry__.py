@@ -594,6 +594,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(wh, ignore_errors=True)
 
+    def dedup_incremental_keepers(spark, sf_dir):
+        # The incremental dedup DECISION: keeper assignment for an
+        # arriving batch against the persisted cluster state — pairs
+        # from the persisted-index join, then a union-find over (batch
+        # pairs + corpus-doc→keeper routing edges), append-only keeper
+        # + remap commits (cluster merges never rewrite history).
+        # Same split as dedup_incremental_minhash; output = (id,
+        # keeper_id) for every batch doc.
+        import shutil
+        import tempfile
+        from mc2skos_spark.functions.incremental import (
+            create_minhash_index, incremental_keeper_assign)
+        from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        corpus = docs.filter(F.col("doc_id") < 400)
+        batch = docs.filter(F.col("doc_id") >= 400)
+        wh = tempfile.mkdtemp(prefix="mc2skos_incrk_")
+        try:
+            catalog = IcebergishCatalog(wh, spark)
+            create_minhash_index(catalog, "docs_minhash",
+                                 corpus.limit(0), "doc_id", "text",
+                                 n=2, num_hashes=16, bands=4)
+            incremental_keeper_assign(catalog, "docs_minhash", corpus,
+                                      "doc_id", "text", threshold=0.9,
+                                      batch_id=0)
+            return incremental_keeper_assign(
+                catalog, "docs_minhash", batch, "doc_id", "text",
+                threshold=0.9, batch_id=1)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
     def dedup_simhash(spark, sf_dir):
         # Verified at the scale-realistic radius k=3 (16-bit pigeonhole
         # blocks, 65k values per band — see the band-cardinality bound
@@ -748,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_clusters": dedup_near_clusters,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_incremental_minhash": dedup_incremental_minhash,
+        "dedup_incremental_keepers": dedup_incremental_keepers,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "sim_cosine_topk": sim_cosine_topk,

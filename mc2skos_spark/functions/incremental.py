@@ -35,6 +35,8 @@ from .dedup import minhash_banded, minhash_signatures, minhash_similarity
 #: table-name suffixes under one logical index name
 SIG_SUFFIX = "_sigs"
 BUCKET_SUFFIX = "_buckets"
+KEEPER_SUFFIX = "_keepers"
+REMAP_SUFFIX = "_keeper_remap"
 
 
 def create_minhash_index(catalog: IcebergishCatalog, name: str,
@@ -98,15 +100,22 @@ def append_batch_to_index(catalog: IcebergishCatalog, name: str,
         precomputed = batch_index_rows(catalog, name, batch,
                                        id_col, text_col)
     new_sigs, new_buckets = precomputed
-    props = {} if batch_id is None else {"last_batch_id": batch_id}
     for suffix, df in ((SIG_SUFFIX, new_sigs), (BUCKET_SUFFIX, new_buckets)):
-        manifest = catalog.current_manifest(name + suffix)
-        last = (manifest or {}).get("properties", {}) \
-            .get("last_batch_id", -1)
-        if batch_id is not None and last >= batch_id:
-            continue  # replay of an applied batch: leave the snapshot
-        catalog.append(name + suffix, df, lineage_key="id",
-                       properties=props)
+        _guarded_append(catalog, name + suffix, df, "id", batch_id)
+
+
+def _guarded_append(catalog: IcebergishCatalog, table: str,
+                    df: DataFrame, lineage_key: str,
+                    batch_id: int | None) -> None:
+    """Append unless this table already carries ``batch_id`` — the
+    exactly-once-per-table guard every append-only incremental table
+    shares (index, keepers, remaps)."""
+    manifest = catalog.current_manifest(table)
+    last = (manifest or {}).get("properties", {}).get("last_batch_id", -1)
+    if batch_id is not None and last >= batch_id:
+        return  # replay of an applied batch: leave the snapshot
+    props = {} if batch_id is None else {"last_batch_id": batch_id}
+    catalog.append(table, df, lineage_key=lineage_key, properties=props)
 
 
 def incremental_minhash_pairs(catalog: IcebergishCatalog, name: str,
@@ -170,3 +179,134 @@ def incremental_minhash_pairs(catalog: IcebergishCatalog, name: str,
         append_batch_to_index(catalog, name, batch_id=batch_id,
                               precomputed=precomputed)
     return pairs
+
+
+# ----------------------------------------------------- keeper decision
+
+def resolve_remap(remap: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Follow keeper-remap chains to their final target: ``(old, new)``
+    rows where a later batch may have remapped ``new`` again →
+    ``(old, final)``.  Pointer jumping over the (tiny — one row per
+    historical cluster merge) remap table: O(log chain length) rounds,
+    each one self-join."""
+    resolved = remap.select("old", "new").localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        nxt = (resolved.alias("a")
+               .join(resolved.select(F.col("old").alias("new"),
+                                     F.col("new").alias("hop"))
+                     .alias("b"), "new", "left")
+               .select("old", F.coalesce("hop", "new").alias("new"),
+                       F.col("hop").isNotNull().alias("chg"))
+               .localCheckpoint())
+        changed = nxt.filter("chg").limit(1).count()
+        resolved = nxt.select("old", "new")
+        if changed == 0:
+            break
+    return resolved
+
+
+def current_keepers(catalog: IcebergishCatalog, name: str) -> DataFrame:
+    """The resolved ``(id, keeper_id)`` assignment for every ingested
+    document: the appended per-batch assignments with all historical
+    cluster-merge remaps applied."""
+    keepers = catalog.read(name + KEEPER_SUFFIX)
+    if not catalog.exists(name + REMAP_SUFFIX):
+        return keepers
+    remap = resolve_remap(catalog.read(name + REMAP_SUFFIX))
+    return (keepers
+            .join(F.broadcast(remap.withColumnRenamed("old", "keeper_id")),
+                  "keeper_id", "left")
+            .select("id", F.coalesce("new", "keeper_id")
+                    .alias("keeper_id")))
+
+
+def keeper_updates(pairs: DataFrame, assigned: DataFrame,
+                   batch_ids: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The pure graph step of the incremental dedup DECISION.
+
+    ``pairs``: this batch's near-dup pairs (id_a, id_b) — batch×corpus
+    and batch×batch.  ``assigned``: the RESOLVED existing (id,
+    keeper_id) assignment.  ``batch_ids``: (id) of the arriving docs.
+
+    Returns ``(batch_assign, remap)``:
+
+    * ``batch_assign`` — (id, keeper_id) for every batch doc
+      (singletons keep themselves);
+    * ``remap`` — (old, new) for every EXISTING cluster whose keeper
+      changed because the batch linked it to a smaller id or merged it
+      with another cluster.  Downstream readers apply remaps instead of
+      rewriting the historical assignment rows (append-only at scale).
+
+    Correctness leans on the keeper invariant *keeper = min id of its
+    cluster*: an old cluster is represented in the component graph by
+    its keeper vertex alone (every edge to a corpus doc is routed
+    through its keeper), so the component minimum equals the minimum
+    over ALL members, touched or not.
+    """
+    from ..operators.canonicalize import connected_components
+
+    touched = (pairs.select(F.col("id_a").alias("id"))
+               .unionByName(pairs.select(F.col("id_b").alias("id")))
+               .distinct()
+               .join(assigned, "id"))  # corpus ids in pairs + keepers
+    # route every corpus endpoint through its cluster keeper
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionByName(touched.select(F.col("id").alias("src"),
+                                         F.col("keeper_id").alias("dst"))))
+    comp = connected_components(edges)  # comp = min vertex
+    batch_assign = (batch_ids
+                    .join(comp.withColumnRenamed("vertex", "id"),
+                          "id", "left")
+                    .select("id", F.coalesce("comp", F.col("id"))
+                            .alias("keeper_id")))
+    old_keepers = touched.select(F.col("keeper_id").alias("old")).distinct()
+    remap = (old_keepers
+             .join(comp.withColumnRenamed("vertex", "old"), "old")
+             .filter(F.col("comp") != F.col("old"))
+             .select("old", F.col("comp").alias("new"))
+             .distinct())
+    return batch_assign, remap
+
+
+def incremental_keeper_assign(catalog: IcebergishCatalog, name: str,
+                              batch: DataFrame, id_col: str,
+                              text_col: str, threshold: float = 0.9,
+                              batch_id: int | None = None,
+                              commit: bool = True) -> DataFrame:
+    """The full incremental dedup DECISION for one batch: near-dup
+    pairs vs the persisted index (``incremental_minhash_pairs``) →
+    keeper assignment for the batch against the persisted cluster
+    state → append-only commit of the batch's assignments, any cluster
+    remaps, and the batch's signatures.
+
+    Returns the batch's ``(id, keeper_id)`` rows (keep ``id ==
+    keeper_id`` downstream).  After N batches,
+    ``current_keepers(catalog, name)`` over the appended state equals
+    the from-scratch ``near_dup_keepers`` over the full corpus —
+    including cross-batch merges of previously-separate clusters
+    (pytest-asserted).
+    """
+    pre = batch_index_rows(catalog, name, batch, id_col, text_col)
+    pairs = incremental_minhash_pairs(
+        catalog, name, batch, id_col, text_col, threshold=threshold,
+        commit=False, precomputed=pre).localCheckpoint()
+    if catalog.exists(name + KEEPER_SUFFIX):
+        assigned = current_keepers(catalog, name)
+    else:
+        assigned = batch.sparkSession.createDataFrame(
+            [], "id long, keeper_id long")
+    batch_assign, remap = keeper_updates(
+        pairs, assigned,
+        batch.select(F.col(id_col).alias("id")))
+    batch_assign = batch_assign.localCheckpoint()
+    remap = remap.localCheckpoint()
+    if commit:
+        _guarded_append(catalog, name + KEEPER_SUFFIX, batch_assign,
+                        "id", batch_id)
+        if remap.count() or catalog.exists(name + REMAP_SUFFIX):
+            _guarded_append(catalog, name + REMAP_SUFFIX, remap,
+                            "old", batch_id)
+        append_batch_to_index(catalog, name, batch_id=batch_id,
+                              precomputed=pre)
+    return batch_assign

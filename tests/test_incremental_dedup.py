@@ -199,3 +199,81 @@ def test_batch_id_makes_commit_replay_safe(spark, tmp_path,
     assert cat.current_manifest(
         "idx" + SIG_SUFFIX)["snapshot_id"] == snap
     assert cat.read("idx" + SIG_SUFFIX).count() == 8  # not 12
+
+
+# ------------------------------------------------ keeper decision layer
+
+def test_keeper_updates_merges_existing_clusters(spark):
+    """The graph step alone: a batch doc linking TWO existing clusters
+    merges them — batch assignment takes the global min, and both old
+    keepers get remap rows (append-only; no historical rewrite)."""
+    from mc2skos_spark.functions.incremental import keeper_updates
+    assigned = spark.createDataFrame(
+        [(1, 1), (5, 1), (3, 3), (7, 3), (9, 9)],
+        "id long, keeper_id long")
+    pairs = spark.createDataFrame([(5, 20), (7, 20), (21, 22)],
+                                  "id_a long, id_b long")
+    batch_ids = spark.createDataFrame([(20,), (21,), (22,), (23,)],
+                                      "id long")
+    batch_assign, remap = keeper_updates(pairs, assigned, batch_ids)
+    got = {(r["id"], r["keeper_id"]) for r in batch_assign.collect()}
+    # 20 joins the merged {1,5}+{3,7} component → keeper 1;
+    # 21/22 form a batch-internal cluster; 23 is a singleton
+    assert got == {(20, 1), (21, 21), (22, 21), (23, 23)}
+    remaps = {(r["old"], r["new"]) for r in remap.collect()}
+    assert remaps == {(3, 1)}  # cluster 3 merged into 1; 1 unchanged
+
+
+def test_keeper_remap_chain_resolution(spark):
+    """old→mid appended at batch N, mid→new at batch N+1: resolution
+    follows the chain to the final keeper."""
+    from mc2skos_spark.functions.incremental import resolve_remap
+    remap = spark.createDataFrame([(9, 5), (5, 1), (7, 5)],
+                                  "old long, new long")
+    got = {(r["old"], r["new"]) for r in resolve_remap(remap).collect()}
+    assert got == {(9, 1), (5, 1), (7, 1)}
+
+
+def test_incremental_keepers_equal_from_scratch(spark, tmp_path,
+                                                corpus_and_batch):
+    """Sequential incremental_keeper_assign over two batches: the
+    resolved persisted state equals near_dup_keepers over the full
+    corpus with the full pair set."""
+    from mc2skos_spark.functions.dedup import near_dup_keepers
+    from mc2skos_spark.functions.incremental import (
+        create_minhash_index, current_keepers, incremental_keeper_assign)
+    corpus, batch = corpus_and_batch
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    # empty seed: batch 1 and batch 2 both flow through the SAME
+    # incremental path (the streaming bootstrap shape)
+    create_minhash_index(cat, "idx", corpus.limit(0), "doc_id", "text",
+                         **PARAMS)
+    incremental_keeper_assign(cat, "idx", corpus, "doc_id", "text",
+                              threshold=0.9, batch_id=0)
+    a2 = {(r["id"], r["keeper_id"])
+          for r in incremental_keeper_assign(
+              cat, "idx", batch, "doc_id", "text", threshold=0.9,
+              batch_id=1).collect()}
+    assert (11, 1) in a2 and (12, 12) in a2 and (13, 12) in a2 \
+        and (14, 14) in a2
+
+    full = corpus.unionByName(batch)
+    sigs = minhash_signatures(full, "doc_id", "text", n=PARAMS["n"],
+                              num_hashes=PARAMS["num_hashes"])
+    full_pairs = minhash_similarity(
+        sigs, minhash_lsh_candidates(sigs, bands=PARAMS["bands"])) \
+        .filter(F.col("est_jaccard") >= 0.9)
+    expected = {(r["id"], r["keeper_id"])
+                for r in near_dup_keepers(full, full_pairs).collect()}
+    got = {(r["id"], r["keeper_id"])
+           for r in current_keepers(cat, "idx").collect()}
+    assert got == expected
+
+    # replay of batch 1: assignments recomputed identically, state
+    # untouched (guarded appends)
+    snap = cat.current_manifest("idx_keepers")["snapshot_id"]
+    incremental_keeper_assign(cat, "idx", batch, "doc_id", "text",
+                              threshold=0.9, batch_id=1)
+    assert cat.current_manifest("idx_keepers")["snapshot_id"] == snap
+    assert {(r["id"], r["keeper_id"])
+            for r in current_keepers(cat, "idx").collect()} == expected

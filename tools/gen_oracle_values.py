@@ -35,6 +35,8 @@ SPECS = {
                           ("est_jaccard", "DOUBLE")],
     "dedup_incremental_minhash": [("id_a", "BIGINT"), ("id_b", "BIGINT"),
                                   ("est_jaccard", "DOUBLE")],
+    "dedup_incremental_keepers": [("id", "BIGINT"),
+                                  ("keeper_id", "BIGINT")],
     "dedup_simhash": [("id_a", "BIGINT"), ("id_b", "BIGINT"),
                       ("hamming", "INT")],
     "text_fingerprint": [("doc_id", "BIGINT"), ("fp", "BIGINT")],
