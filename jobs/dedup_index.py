@@ -61,6 +61,11 @@ def main() -> None:
                              "double-ingesting the signatures")
     parser.add_argument("--checkpoint", default=None,
                         help="stream: checkpoint directory (required)")
+    parser.add_argument("--assign-keepers", action="store_true",
+                        help="ingest/stream: also maintain the "
+                             "append-only keeper/remap cluster state "
+                             "(the dedup DECISION, not just pair "
+                             "detection)")
     args = parser.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -93,15 +98,26 @@ def main() -> None:
         stats["params"] = {k: v for k, v in manifest["properties"].items()
                            if k.startswith("minhash_")}
     elif args.mode == "ingest":
-        pairs = incremental_minhash_pairs(
-            catalog, args.name, spark.read.parquet(args.input),
-            args.id_col, args.text_col, threshold=args.threshold,
-            commit=not args.no_commit, batch_id=args.batch_id)
-        if args.pairs_out:
-            pairs.write.mode("overwrite").parquet(args.pairs_out)
-            pairs = spark.read.parquet(args.pairs_out)
-            stats["pairs_out"] = args.pairs_out
-        stats["pairs"] = pairs.count()
+        if args.assign_keepers:
+            from mc2skos_spark.functions.incremental import (
+                incremental_keeper_assign)
+            assign = incremental_keeper_assign(
+                catalog, args.name, spark.read.parquet(args.input),
+                args.id_col, args.text_col, threshold=args.threshold,
+                commit=not args.no_commit, batch_id=args.batch_id)
+            stats["batch_docs"] = assign.count()
+            stats["batch_dups"] = assign.filter(
+                "id != keeper_id").count()
+        else:
+            pairs = incremental_minhash_pairs(
+                catalog, args.name, spark.read.parquet(args.input),
+                args.id_col, args.text_col, threshold=args.threshold,
+                commit=not args.no_commit, batch_id=args.batch_id)
+            if args.pairs_out:
+                pairs.write.mode("overwrite").parquet(args.pairs_out)
+                pairs = spark.read.parquet(args.pairs_out)
+                stats["pairs_out"] = args.pairs_out
+            stats["pairs"] = pairs.count()
         stats["committed"] = not args.no_commit
         stats["index_rows"] = catalog.current_manifest(
             args.name + BUCKET_SUFFIX)["row_count"]
@@ -115,7 +131,8 @@ def main() -> None:
             schema="%s long, %s string" % (args.id_col, args.text_col),
             name=args.name, id_col=args.id_col, text_col=args.text_col,
             threshold=args.threshold, n=args.n,
-            num_hashes=args.num_hashes, bands=args.bands)
+            num_hashes=args.num_hashes, bands=args.bands,
+            assign_keepers=args.assign_keepers)
         try:
             stats["pairs"] = streamed_pairs(spark, args.warehouse).count()
         except FileNotFoundError:

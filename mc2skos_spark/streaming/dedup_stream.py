@@ -42,13 +42,18 @@ class StreamingDeduper:
     def __init__(self, warehouse: str, name: str = "docs_minhash",
                  id_col: str = "doc_id", text_col: str = "text",
                  threshold: float = 0.9, n: int = 3,
-                 num_hashes: int = 32, bands: int = 8):
+                 num_hashes: int = 32, bands: int = 8,
+                 assign_keepers: bool = False):
         self.warehouse = warehouse
         self.name = name
         self.id_col = id_col
         self.text_col = text_col
         self.threshold = threshold
         self.params = {"n": n, "num_hashes": num_hashes, "bands": bands}
+        #: also maintain the append-only keeper/remap cluster state per
+        #: batch (incremental_keeper_assign) — the full dedup DECISION
+        #: on the stream, not just pair detection
+        self.assign_keepers = assign_keepers
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         catalog = IcebergishCatalog(self.warehouse, batch.sparkSession)
@@ -81,6 +86,15 @@ class StreamingDeduper:
                     "original checkpoint, or a fresh warehouse."
                     % (batch_id,
                        buckets["properties"].get("last_batch_id")))
+            return
+        if self.assign_keepers:
+            # pairs + keeper/remap/index commits in one guarded step;
+            # the per-batch pair snapshot is not separately materialized
+            # on this path (the keeper state is the product)
+            from ..functions.incremental import incremental_keeper_assign
+            incremental_keeper_assign(
+                catalog, self.name, batch, self.id_col, self.text_col,
+                threshold=self.threshold, batch_id=batch_id)
             return
         # sign the batch ONCE; pair join and index append share it
         pre = batch_index_rows(catalog, self.name, batch,

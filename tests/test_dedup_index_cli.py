@@ -53,3 +53,26 @@ def test_create_then_ingest_cli(spark, tmp_path):
             for r in spark.read.parquet(
                 str(tmp_path / "pairs")).collect()}
     assert rows == {(1, 11)}
+
+
+def test_ingest_with_keepers_cli(spark, tmp_path):
+    corpus = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    batch = [(11, "alpha beta gamma delta epsilon zeta eta theta"),
+             (12, "totally novel text with no duplicate anywhere here")]
+    spark.createDataFrame(corpus, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "corpus"))
+    spark.createDataFrame(batch, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "batch"))
+    wh = str(tmp_path / "wh")
+    _run(["create", "--input", str(tmp_path / "corpus"),
+          "--warehouse", wh, "--n", "2", "--num-hashes", "16",
+          "--bands", "4"])
+    # seed the keeper state for the corpus, then the real batch
+    _run(["ingest", "--input", str(tmp_path / "corpus"),
+          "--warehouse", wh, "--assign-keepers", "--batch-id", "0",
+          "--no-commit"])  # corpus already indexed by create
+    got = _run(["ingest", "--input", str(tmp_path / "batch"),
+                "--warehouse", wh, "--assign-keepers",
+                "--batch-id", "1"])
+    assert got["batch_docs"] == 2
+    assert got["batch_dups"] == 1  # 11 collapses onto corpus doc 1

@@ -147,3 +147,35 @@ def test_stream_checkpoint_reset_raises_not_skips(spark, tmp_path):
         "doc_id long, text string")
     with pytest.raises(RuntimeError, match="checkpoint/warehouse"):
         deduper.process_batch(fresh, 0)
+
+
+def test_stream_with_keeper_assignment(spark, tmp_path):
+    """assign_keepers=True: the stream maintains the append-only
+    cluster state; the resolved keepers after draining equal the
+    from-scratch near_dup_keepers over everything streamed."""
+    from mc2skos_spark.functions.dedup import near_dup_keepers
+    from mc2skos_spark.functions.incremental import current_keepers
+    src = tmp_path / "docs_in"
+    spark.createDataFrame(BATCH1, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(BATCH2, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f2"))
+    wh = str(tmp_path / "wh")
+    stream_documents(spark, str(src) + "/*", wh,
+                     str(tmp_path / "ckpt"), threshold=0.9,
+                     assign_keepers=True, **PARAMS)
+
+    full = spark.createDataFrame(BATCH1 + BATCH2,
+                                 "doc_id long, text string")
+    sigs = minhash_signatures(full, "doc_id", "text", n=PARAMS["n"],
+                              num_hashes=PARAMS["num_hashes"])
+    pairs = minhash_similarity(
+        sigs, minhash_lsh_candidates(sigs, bands=PARAMS["bands"])) \
+        .filter(F.col("est_jaccard") >= 0.9)
+    expected = {(r["id"], r["keeper_id"])
+                for r in near_dup_keepers(full, pairs).collect()}
+    cat = IcebergishCatalog(wh, spark)
+    got = {(r["id"], r["keeper_id"])
+           for r in current_keepers(cat, "docs_minhash").collect()}
+    assert got == expected
+    assert (11, 1) in got  # the cross-batch dup collapsed
