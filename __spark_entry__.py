@@ -735,6 +735,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.select("doc_id",
                            langid_guess(F.col("text")).alias("lang_guess"))
 
+    def text_repetition(spark, sf_dir):
+        from mc2skos_spark.functions.textstats import (dup_token_fraction,
+                                                       top_ngram_fraction)
+        docs = _t(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            dup_token_fraction(F.col("text")).alias("dup_token_frac"),
+            top_ngram_fraction(F.col("text"), 2).alias("top_bigram_frac"))
+
+    def contamination_ngram(spark, sf_dir):
+        from mc2skos_spark.functions.contamination import \
+            benchmark_contamination
+        docs = _t(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        train = docs.filter(F.col("doc_id") % 50 != 0)
+        return benchmark_contamination(train, bench, n=5, min_hits=2)
+
     def text_fingerprint(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.select("doc_id",
@@ -790,6 +807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": text_bpe_tokens,
         "text_quality": text_quality,
         "text_langid": text_langid,
+        "text_repetition": text_repetition,
+        "contamination_ngram": contamination_ngram,
         "text_fingerprint": text_fingerprint,
         "text_rolling_fingerprint": text_rolling_fingerprint,
     }
@@ -1167,6 +1186,61 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "text_quality": quality,
         "text_langid": langid,
+        # Gopher-style intra-document repetition signals.  The oracle
+        # materializes bigram counts relationally; the Spark side is a
+        # zero-shuffle array_sort + max-run fold — same multiplicities.
+        "text_repetition": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            grams AS (
+                SELECT doc_id, tk[i + 1] || ' ' || tk[i + 2] AS bg
+                FROM toks, unnest(range(greatest(len(tk) - 1, 1))) AS u(i)
+                WHERE len(tk) >= 2),
+            top AS (
+                SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM (
+                    SELECT doc_id, bg, count(*) AS c
+                    FROM grams GROUP BY 1, 2)
+                GROUP BY 1)
+            SELECT t.doc_id,
+                   CASE WHEN len(tk) > 0
+                        THEN floor((1.0 - len(list_distinct(tk)) * 1.0
+                                    / len(tk)) * 10000) / 10000
+                        ELSE 0.0 END AS dup_token_frac,
+                   coalesce(floor(mx * 1.0 / tot * 10000) / 10000, 0.0)
+                       AS top_bigram_frac
+            FROM toks t LEFT JOIN top USING (doc_id)""",
+        # benchmark contamination: distinct 5-gram shingles shared with
+        # the benchmark slice (doc_id % 50 = 0); the Spark plan
+        # broadcasts the benchmark shingle set
+        "contamination_ngram": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       tk[i + 1] || ' ' || tk[i + 2] || ' ' ||
+                       tk[i + 3] || ' ' || tk[i + 4] || ' ' ||
+                       tk[i + 5] AS sh
+                FROM toks, unnest(range(greatest(len(tk) - 4, 1))) AS u(i)
+                WHERE len(tk) >= 5),
+            bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+            hits AS (
+                SELECT s.doc_id, count(*) AS bench_shingles
+                FROM sh s JOIN bench USING (sh)
+                WHERE s.doc_id % 50 != 0
+                GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(h.bench_shingles, 0) AS bench_shingles,
+                   coalesce(h.bench_shingles, 0) >= 2 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 50 != 0""",
         "mm_media_features": """
             SELECT doc_id AS media_id,
                    CASE cast(doc_id % 3 AS int)

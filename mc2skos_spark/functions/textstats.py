@@ -122,6 +122,62 @@ def rolling_fingerprint(text_col) -> Column:
         F.lit(0).cast("long"), step)
 
 
+def word_ngrams(col, n: int) -> Column:
+    """ALL word n-grams (non-distinct, order-preserving) of the
+    lowercased text; fewer than ``n`` tokens → empty array.  The
+    multiset counterpart of ``dedup.shingles`` (which distincts)."""
+    toks = tokens(F.lower(col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    full = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(F.size(toks) >= n, full) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def _max_run(sorted_arr) -> Column:
+    """Length of the longest run of equal adjacent elements in a SORTED
+    array — i.e. the multiplicity of the most frequent element.  One
+    linear ``aggregate`` fold per row: no explode, no shuffle."""
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"), F.lit(0).alias("best"))
+
+    def step(acc, t):
+        run = F.when(acc["prev"].isNotNull() & (t == acc["prev"]),
+                     acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(t.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def dup_token_fraction(col) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 - distinct/total), floor-truncated to 4 decimals; 0.0 for empty
+    text.  The Gopher-style 'duplicate line fraction' family of intra-
+    document repetition signals, applied at token granularity."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    frac = 1.0 - (F.size(F.array_distinct(toks)) * F.lit(1.0) / n)
+    return F.when(n > 0, F.floor(frac * 10000).cast("double") / 10000) \
+            .otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(col, n: int = 2) -> Column:
+    """Fraction of all word n-grams taken up by the single most frequent
+    n-gram (Gopher's 'top-2-gram fraction' repetition filter), floor-
+    truncated to 4 decimals; 0.0 when the doc has no n-grams.
+
+    Zero-shuffle per-row plan: sort the n-gram array, then the most
+    frequent n-gram's count is the longest equal-adjacent run — one
+    linear fold, no explode + groupBy (which at 100 TB would shuffle
+    every n-gram of every document)."""
+    grams = F.array_sort(word_ngrams(col, n))
+    frac = _max_run(grams) * F.lit(1.0) / F.size(grams)
+    return F.when(F.size(grams) > 0,
+                  F.floor(frac * 10000).cast("double") / 10000) \
+            .otherwise(F.lit(0.0))
+
+
 def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per document with all derived text features."""
     col = F.col(text_col)

@@ -222,6 +222,48 @@ def test_fingerprint_order_sensitivity(spark):
     assert by_id[1][1] != by_id[2][1]     # rolling: order matters
 
 
+def test_repetition_signals(spark):
+    """Gopher-style intra-doc repetition: dup-token fraction and
+    top-bigram fraction, both floor-truncated to 4 decimals and 0.0 on
+    degenerate (empty / single-token) docs."""
+    from mc2skos_spark.functions.textstats import (dup_token_fraction,
+                                                   top_ngram_fraction)
+    df = spark.createDataFrame(
+        [(1, "a a a a"),          # 1 distinct of 4 → 0.75; bigrams all "a a" → 1.0
+         (2, "a b c d"),          # all distinct → 0.0; 3 distinct bigrams → 1/3
+         (3, ""),                 # no tokens → both 0.0
+         (4, "word"),             # single token: no bigrams → 0.0
+         (5, "x y x y x")],       # 2 of 5 distinct → 0.6; "x y" 2 of 4 → 0.5
+        ["id", "txt"])
+    rows = df.select(
+        "id", dup_token_fraction(F.col("txt")).alias("dup"),
+        top_ngram_fraction(F.col("txt"), 2).alias("top2")).collect()
+    got = {r["id"]: (r["dup"], r["top2"]) for r in rows}
+    assert got[1] == (0.75, 1.0)
+    assert got[2] == (0.0, 0.3333)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.0, 0.0)
+    assert got[5] == (0.6, 0.5)
+
+
+def test_benchmark_contamination(spark):
+    """A verbatim copy of a benchmark doc is flagged; disjoint docs
+    report 0 shared shingles and keep their row (left join)."""
+    from mc2skos_spark.functions.contamination import \
+        benchmark_contamination
+    bench = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 q5 q6 q7")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(1, "q1 q2 q3 q4 q5 q6 q7"),     # copy: 3 distinct 5-grams shared
+         (2, "z1 z2 z3 z4 z5 z6 z7"),     # disjoint
+         (3, "short text")],              # <5 tokens: no shingles at all
+        ["doc_id", "text"])
+    rows = benchmark_contamination(train, bench, n=5, min_hits=2).collect()
+    got = {r["doc_id"]: (r["bench_shingles"], r["contaminated"])
+           for r in rows}
+    assert got == {1: (3, True), 2: (0, False), 3: (0, False)}
+
+
 def test_bpe_ish_token_count(spark):
     from mc2skos_spark.functions.textstats import bpe_ish_token_count
     df = spark.createDataFrame([(1, "Hello, world! v2.0 (beta)")], ["id", "t"])
