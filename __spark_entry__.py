@@ -664,6 +664,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return embedding_near_dup_pairs(aug, threshold=0.9, num_planes=8,
                                         dim=64, multiprobe=3)
 
+    def dedup_semantic(spark, sf_dir):
+        # SemDeDup: cluster-partitioned semantic dedup decision.  Same
+        # planted jittered copies as dedup_embedding_cosine; centroids
+        # come from the SQL-mirrorable arithmetic slice, so the DuckDB
+        # oracle recomputes assignment + within-cluster pairs + the
+        # recursive keeper decision end-to-end (no VALUES pin).
+        from mc2skos_spark.functions.dedup import semantic_dedup_keepers
+        emb = _t(spark, sf_dir, "embeddings")
+        base = emb.select("vec_id", F.col("embedding")
+                          .cast("array<double>").alias("embedding"))
+        planted = (base.filter(F.col("vec_id") < 100)
+                   .select((F.col("vec_id") + 100000).alias("vec_id"),
+                           F.zip_with("embedding", F.reverse("embedding"),
+                                      lambda x, y: x + F.lit(0.15) * y)
+                            .alias("embedding")))
+        aug = base.unionByName(planted)
+        return semantic_dedup_keepers(aug, num_centroids=16,
+                                      threshold=0.97, centroid_mod=8)
+
     # --- similarity search
     def sim_cosine_topk(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
@@ -799,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_keepers": dedup_incremental_keepers,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_semantic": dedup_semantic,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
@@ -1068,6 +1088,49 @@ def oracle_sql() -> dict[str, str]:
             FROM aug a JOIN aug b ON a.vec_id < b.vec_id
             WHERE floor(list_cosine_similarity(a.v, b.v) * 10000)
                   >= 9000""",
+        # SemDeDup end-to-end in SQL: same planted copies, arithmetic
+        # centroid slice, correlated-argmax assignment (ties → larger
+        # cid, matching Spark's array_max on (s, cid) structs), within-
+        # cluster pair scan, recursive min-label keeper
+        "dedup_semantic": """
+            WITH RECURSIVE base AS (
+                SELECT vec_id, cast(embedding AS double[]) AS v
+                FROM embeddings),
+            planted AS (
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(list_zip(v, list_reverse(v)),
+                                      x -> x[1] + 0.15::DOUBLE * x[2]) AS v
+                FROM base WHERE vec_id < 100),
+            aug AS (SELECT vec_id, v FROM base
+                    UNION ALL SELECT vec_id, v FROM planted),
+            cent AS (
+                SELECT vec_id AS cid, v AS cv FROM aug
+                WHERE vec_id % 8 = 0 ORDER BY vec_id LIMIT 16),
+            assigned AS (
+                SELECT a.vec_id, a.v,
+                       (SELECT c.cid FROM cent c
+                        ORDER BY list_cosine_similarity(a.v, c.cv) DESC,
+                                 c.cid DESC
+                        LIMIT 1) AS centroid
+                FROM aug a),
+            spairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM assigned a JOIN assigned b
+                     ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+                WHERE floor(list_cosine_similarity(a.v, b.v) * 10000)
+                      >= 9700),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM spairs
+                      UNION ALL SELECT id_b, id_a FROM spairs),
+            reach AS (
+                SELECT src AS id, dst AS peer FROM edges
+                UNION
+                SELECT reach.id, edges.dst
+                FROM reach JOIN edges ON reach.peer = edges.src)
+            SELECT a.vec_id AS id,
+                   coalesce(least(a.vec_id, r.mn), a.vec_id) AS keeper_id
+            FROM aug a
+            LEFT JOIN (SELECT id, min(peer) AS mn FROM reach GROUP BY id) r
+                   ON r.id = a.vec_id""",
         "st_completeness_gate": """
             WITH turns AS (
                 SELECT user_id AS conv_id,

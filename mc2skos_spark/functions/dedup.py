@@ -275,6 +275,61 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
 
+def semantic_dedup_pairs(embeddings: DataFrame, num_centroids: int = 16,
+                         threshold: float = 0.97, centroid_mod: int = 8,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space around K
+    deterministic centroids, then search for cosine-near pairs WITHIN
+    each cluster only — the all-pairs O(n²) drops to O(n²/K) and,
+    crucially for Spark, the candidate join becomes an equi-join on the
+    cluster id instead of a cross product.
+
+    Scale: K grows with the corpus (pick K ≈ n / target_cluster_size,
+    e.g. 50k clusters for 100M docs as in the paper) so per-cluster
+    candidate sets stay bounded and the join key has enough cardinality
+    to spread across executors; AQE's skew-join split covers residual
+    hot clusters.  Centroid assignment is one linear map-side
+    expression (:func:`~.similarity.centroid_assign`).
+
+    Returns ``(id_a, id_b, centroid, cosine)`` with cosine
+    floor-truncated to 4 decimals, ``id_a < id_b``, cosine ≥ threshold.
+    """
+    from .similarity import arithmetic_centroids, centroid_assign, cosine
+
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    cents = arithmetic_centroids(base, num_centroids, centroid_mod,
+                                 id_col, "_v")
+    assigned = base.withColumn("_c", centroid_assign(F.col("_v"), cents))
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col("_v").alias("_va"), "_c")
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col("_v").alias("_vb"), "_c")
+    thr = int(round(threshold * 10000))
+    scored = (a.join(b, ["_c"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", F.col("_c").alias("centroid"),
+                      F.floor(cosine(F.col("_va"), F.col("_vb"))
+                              * 10000).alias("_c4")))
+    return (scored.filter(F.col("_c4") >= thr)
+            .select("id_a", "id_b", "centroid",
+                    (F.col("_c4").cast("double") / 10000).alias("cosine")))
+
+
+def semantic_dedup_keepers(embeddings: DataFrame, num_centroids: int = 16,
+                           threshold: float = 0.97, centroid_mod: int = 8,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """The full SemDeDup decision: semantic pairs → connected components
+    → min-id keeper per duplicate group; every input row gets a
+    ``(id, keeper_id)`` verdict (unpaired rows keep themselves)."""
+    pairs = semantic_dedup_pairs(embeddings, num_centroids, threshold,
+                                 centroid_mod, id_col, vec_col)
+    return near_dup_keepers(embeddings, pairs, id_col=id_col)
+
+
 def near_dup_keepers(df: DataFrame, pairs: DataFrame,
                      id_col: str = "doc_id") -> DataFrame:
     """Candidate pairs → per-document keeper assignment: the step that

@@ -99,6 +99,46 @@ def lsh_bucketed_topk(embeddings: DataFrame, query_vec: list[float],
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def centroid_assign(vec_col, centroids: list[tuple]) -> "F.Column":
+    """Nearest-centroid id (by cosine; ties → larger cid) for a vector
+    column, as ONE linear expression.
+
+    argmax via ``array_max`` over (score, cid) structs: the expression
+    tree stays LINEAR in num_centroids.  (A chained
+    ``when(score > best).otherwise(best)`` references the accumulated
+    tree twice per centroid — 2^k nodes, OOM at plan build for k=16.)
+    """
+    entries = F.array(*[
+        F.struct(cosine(vec_col, F.array(*[F.lit(x) for x in cvec]))
+                  .alias("s"),
+                 F.lit(cid).alias("cid"))
+        for cid, cvec in centroids])
+    return F.array_max(entries)["cid"]
+
+
+def arithmetic_centroids(embeddings: DataFrame, num_centroids: int,
+                         centroid_mod: int = 8,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> list[tuple]:
+    """Deterministic centroid pick that an ANSI-SQL oracle can mirror:
+    the ``num_centroids`` smallest ids of the arithmetic slice
+    ``id % centroid_mod == 0``.  Like the xxhash slice in
+    :func:`ivf_topk`, the rank happens WITHIN the slice only (a
+    metadata-scale TakeOrdered after a cheap filter scan, never a
+    full-corpus sort); unlike it, the slice predicate is plain modulo,
+    so DuckDB reproduces the exact same centroids."""
+    rows = (embeddings
+            .filter(F.col(id_col) % centroid_mod == 0)
+            .orderBy(id_col)
+            .limit(num_centroids)
+            .select(F.col(id_col).alias("cid"),
+                    F.col(vec_col).alias("cvec"))
+            .collect())
+    if not rows:
+        raise ValueError("arithmetic_centroids: empty centroid slice")
+    return [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
+
+
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              num_centroids: int = 16, nprobe: int = 4,
              sample_mod: int = 8,
@@ -148,16 +188,8 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     probe = sorted(centroids, key=lambda c: -cos_py(c[1], query_vec))[:nprobe]
     probe_ids = [cid for cid, _ in probe]
 
-    # argmax via array_max over (score, cid) structs: the expression
-    # tree stays LINEAR in num_centroids.  (A chained
-    # when(score > best).otherwise(best) references the accumulated
-    # tree twice per centroid — 2^k nodes, OOM at plan build for k=16.)
-    entries = F.array(*[
-        F.struct(cosine(F.col(vec_col).cast("array<double>"),
-                        F.array(*[F.lit(x) for x in cvec])).alias("s"),
-                 F.lit(cid).alias("cid"))
-        for cid, cvec in centroids])
-    assigned = embeddings.withColumn("centroid",
-                                     F.array_max(entries)["cid"])
+    assigned = embeddings.withColumn(
+        "centroid",
+        centroid_assign(F.col(vec_col).cast("array<double>"), centroids))
     candidates = assigned.filter(F.col("centroid").isin(probe_ids))
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)

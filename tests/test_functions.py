@@ -222,6 +222,25 @@ def test_fingerprint_order_sensitivity(spark):
     assert by_id[1][1] != by_id[2][1]     # rolling: order matters
 
 
+def test_semantic_dedup_keepers(spark):
+    """SemDeDup: within-cluster near-dups collapse to the min-id
+    keeper; vectors with no near neighbor keep themselves."""
+    from mc2skos_spark.functions.dedup import semantic_dedup_keepers
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]),     # centroid of cluster A
+            (1, [0.0, 1.0, 0.0, 0.0]),     # centroid of cluster B
+            (2, [0.99, 0.1, 0.0, 0.0]),    # near-dup of 0 (cos ~.995)
+            (3, [0.0, 0.99, 0.14, 0.0]),   # near-dup of 1 (cos ~.990)
+            (5, [0.0, 0.0, 1.0, 0.0])]     # loner
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>")
+    got = {r["id"]: r["keeper_id"]
+           for r in semantic_dedup_keepers(
+               emb, num_centroids=2, threshold=0.97,
+               centroid_mod=1).collect()}
+    assert got == {0: 0, 2: 0, 1: 1, 3: 1, 5: 5}
+
+
 def test_repetition_signals(spark):
     """Gopher-style intra-doc repetition: dup-token fraction and
     top-bigram fraction, both floor-truncated to 4 decimals and 0.0 on
