@@ -113,6 +113,9 @@ def run_benchmark():
         # round 4: batch-vs-persisted-index dedup (includes the index
         # write, so it times the full production loop per batch)
         "dedup_incremental_minhash",
+        # round 4b: repetition signals (zero-shuffle fold), benchmark
+        # contamination (broadcast shingle probe), SemDeDup keepers
+        "text_repetition", "contamination_ngram", "dedup_semantic",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization
