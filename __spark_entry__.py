@@ -771,6 +771,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         train = docs.filter(F.col("doc_id") % 50 != 0)
         return benchmark_contamination(train, bench, n=5, min_hits=2)
 
+    def text_pii_scrub(spark, sf_dir):
+        # PII audit + redaction.  The synthetic corpus is PII-free, so
+        # the query plants deterministic spans (email / ipv4 / phone)
+        # into every 7th doc; the oracle mirrors the plant and the
+        # whole scrub chain in RE2.
+        from mc2skos_spark.functions.pii import pii_profile
+        docs = _t(spark, sf_dir, "documents")
+        pii = F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+        seeded = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, pii)
+             .otherwise(F.col("text")).alias("text"))
+        return pii_profile(seeded)
+
     def text_fingerprint(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.select("doc_id",
@@ -829,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_repetition": text_repetition,
         "contamination_ngram": contamination_ngram,
+        "text_pii_scrub": text_pii_scrub,
         "text_fingerprint": text_fingerprint,
         "text_rolling_fingerprint": text_rolling_fingerprint,
     }
@@ -1276,6 +1297,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(floor(mx * 1.0 / tot * 10000) / 10000, 0.0)
                        AS top_bigram_frac
             FROM toks t LEFT JOIN top USING (doc_id)""",
+        # PII audit + scrub: same plant, counts via regexp_extract_all
+        # length, redaction via the same three patterns nested in
+        # PII_PATTERNS order with the 'g' flag (DuckDB replaces first
+        # match only by default)
+        "text_pii_scrub": """
+            WITH seeded AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || ' contact user'
+                                 || cast(doc_id AS varchar)
+                                 || '@example.com from 10.0.'
+                                 || cast(doc_id % 256 AS varchar)
+                                 || '.7 call 555-123-'
+                                 || lpad(cast(doc_id % 10000 AS varchar),
+                                         4, '0')
+                            ELSE text END AS text
+                FROM documents)
+            SELECT doc_id,
+                   cast(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                        )) AS int) AS n_email,
+                   cast(len(regexp_extract_all(text,
+                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS int)
+                       AS n_ipv4,
+                   cast(len(regexp_extract_all(text,
+                        '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS int) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '[EMAIL]', 'g'),
+                        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'),
+                        '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g')
+                       AS scrubbed
+            FROM seeded""",
         # benchmark contamination: distinct 5-gram shingles shared with
         # the benchmark slice (doc_id % 50 = 0); the Spark plan
         # broadcasts the benchmark shingle set

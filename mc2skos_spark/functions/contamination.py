@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import shingles
+from .dedup import hashed_shingles
 
 
 def benchmark_contamination(docs: DataFrame, bench: DataFrame,
@@ -31,14 +31,18 @@ def benchmark_contamination(docs: DataFrame, bench: DataFrame,
 
     Returns ``(id_col, bench_shingles, contaminated)`` with one row per
     input training doc (docs with no overlap report 0 / false).
-    ``shingles`` distincts per doc, so the post-join count(*) is the
-    number of DISTINCT shared shingles per doc.
+    Shingles are hashed token tuples (:func:`~.dedup.hashed_shingles`):
+    no shingle strings are ever materialized, the probe joins on longs,
+    and the per-doc distinct already happened in the shingle array, so
+    the post-join count(*) is the number of DISTINCT shared shingles.
     """
     bsh = (bench
-           .select(F.explode(shingles(F.col(text_col), n)).alias("sh"))
+           .select(F.explode(hashed_shingles(F.col(text_col), n))
+                   .alias("sh"))
            .distinct())
     tsh = docs.select(F.col(id_col),
-                      F.explode(shingles(F.col(text_col), n)).alias("sh"))
+                      F.explode(hashed_shingles(F.col(text_col), n))
+                      .alias("sh"))
     hits = (tsh.join(F.broadcast(bsh), "sh")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("bench_shingles")))

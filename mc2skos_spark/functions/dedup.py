@@ -29,13 +29,51 @@ def shingles(col, n: int = 3):
     Texts with fewer than ``n`` tokens produce an *empty* array (no
     degenerate single-token / empty-string shingle): a pair of short
     docs must not score jaccard=1.0 on garbage shingles.
+
+    The token array is bound to a lambda variable (via
+    ``textstats._once``) so the tokenization runs once per row, not
+    once per reference — Catalyst does not CSE across HOF bodies.
     """
+    from .textstats import _once
+
     toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    full = F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
-    return F.when(F.size(toks) >= n, full) \
-            .otherwise(F.array().cast("array<string>"))
+
+    def shingles_of(tk):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+        full = F.array_distinct(
+            F.transform(idx,
+                        lambda i: F.array_join(F.slice(tk, i + 1, n), " ")))
+        return F.when(F.size(tk) >= n, full) \
+                .otherwise(F.array().cast("array<string>"))
+
+    return _once(toks, shingles_of, F.array().cast("array<string>"))
+
+
+def hashed_shingles(col, n: int = 3):
+    """Distinct word n-gram shingles as 64-bit hashes: same semantics
+    as :func:`shingles` but the distinct/join key is a long — the hash
+    is taken over the token TUPLE (variadic ``xxhash64``), so no
+    intermediate shingle string is ever built, the per-doc distinct
+    runs on fixed-width longs, and downstream equi-joins exchange 8
+    bytes per key instead of the shingle text.  Tokens cannot contain
+    whitespace (they come from a whitespace split), so tuple identity
+    ≡ joined-string identity; a 64-bit cross-doc collision admits one
+    spurious candidate pair for re-rank, never a missed one.
+    """
+    from .textstats import _once
+
+    toks = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+    def shingles_of(tk):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+        full = F.array_distinct(
+            F.transform(idx,
+                        lambda i: F.xxhash64(*[F.element_at(tk, i + 1 + j)
+                                               for j in range(n)])))
+        return F.when(F.size(tk) >= n, full) \
+                .otherwise(F.array().cast("array<long>"))
+
+    return _once(toks, shingles_of, F.array().cast("array<long>"))
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -295,23 +333,41 @@ def semantic_dedup_pairs(embeddings: DataFrame, num_centroids: int = 16,
 
     Returns ``(id_a, id_b, centroid, cosine)`` with cosine
     floor-truncated to 4 decimals, ``id_a < id_b``, cosine ≥ threshold.
+
+    Cosine cost discipline: every vector is unit-normalized ONCE
+    (norm bound per row), centroids are normalized driver-side, so
+    assignment is K dot products and each candidate pair exactly one —
+    no per-pair norm recomputation.  The assigned table is
+    lineage-cut (lazy ``localCheckpoint``) because both sides of the
+    self-join consume it.
     """
-    from .similarity import arithmetic_centroids, centroid_assign, cosine
+    from .similarity import (_dot, arithmetic_centroids,
+                             centroid_assign_normalized, unit_vector)
 
     base = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     cents = arithmetic_centroids(base, num_centroids, centroid_mod,
                                  id_col, "_v")
-    assigned = base.withColumn("_c", centroid_assign(F.col("_v"), cents))
+
+    def unit(vec):
+        nrm = sum(x * x for x in vec) ** 0.5
+        return [x / nrm for x in vec] if nrm else vec
+
+    ucents = [(cid, unit(cvec)) for cid, cvec in cents]
+    assigned = (base
+                .select(F.col(id_col), unit_vector(F.col("_v")).alias("_vn"))
+                .withColumn("_c", centroid_assign_normalized(
+                    F.col("_vn"), ucents))
+                .localCheckpoint(eager=False))
     a = assigned.select(F.col(id_col).alias("id_a"),
-                        F.col("_v").alias("_va"), "_c")
+                        F.col("_vn").alias("_vna"), "_c")
     b = assigned.select(F.col(id_col).alias("id_b"),
-                        F.col("_v").alias("_vb"), "_c")
+                        F.col("_vn").alias("_vnb"), "_c")
     thr = int(round(threshold * 10000))
     scored = (a.join(b, ["_c"])
               .filter(F.col("id_a") < F.col("id_b"))
               .select("id_a", "id_b", F.col("_c").alias("centroid"),
-                      F.floor(cosine(F.col("_va"), F.col("_vb"))
+                      F.floor(_dot(F.col("_vna"), F.col("_vnb"))
                               * 10000).alias("_c4")))
     return (scored.filter(F.col("_c4") >= thr)
             .select("id_a", "id_b", "centroid",

@@ -99,6 +99,33 @@ def lsh_bucketed_topk(embeddings: DataFrame, query_vec: list[float],
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
+def unit_vector(vec_col) -> "F.Column":
+    """Unit-normalized copy of a double-array column (zero vector →
+    zeros).  The norm is bound to a lambda variable so it is computed
+    ONCE per row — a plain ``transform(v, x -> x / _norm(v))`` would
+    re-evaluate the norm subtree per element (Catalyst does not CSE
+    into HOF lambda bodies).  Pre-normalizing once per row turns every
+    downstream cosine into a single dot product."""
+    return F.aggregate(
+        F.array(_norm(vec_col)), F.array().cast("array<double>"),
+        lambda acc, nrm: F.transform(
+            vec_col, lambda x: F.coalesce(F.try_divide(x, nrm),
+                                          F.lit(0.0))))
+
+
+def centroid_assign_normalized(unit_vec_col,
+                               unit_centroids: list[tuple]) -> "F.Column":
+    """Nearest-centroid id for a PRE-NORMALIZED vector column against
+    pre-normalized centroids: cosine degenerates to one dot product per
+    centroid (ties → larger cid, same as :func:`centroid_assign`)."""
+    entries = F.array(*[
+        F.struct(_dot(unit_vec_col,
+                      F.array(*[F.lit(x) for x in cvec])).alias("s"),
+                 F.lit(cid).alias("cid"))
+        for cid, cvec in unit_centroids])
+    return F.array_max(entries)["cid"]
+
+
 def centroid_assign(vec_col, centroids: list[tuple]) -> "F.Column":
     """Nearest-centroid id (by cosine; ties → larger cid) for a vector
     column, as ONE linear expression.

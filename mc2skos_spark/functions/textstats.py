@@ -122,23 +122,38 @@ def rolling_fingerprint(text_col) -> Column:
         F.lit(0).cast("long"), step)
 
 
+def _once(expr, fn, init):
+    """Evaluate ``expr`` exactly once and feed it to ``fn``.
+
+    A repeated Column subtree re-evaluates per reference (Catalyst does
+    not CSE across higher-order functions), so folding over the
+    single-element array ``[expr]`` binds it to a lambda variable —
+    the same trick :func:`langid_guess` uses for its argmax.  ``init``
+    must carry ``fn``'s result type.
+    """
+    return F.aggregate(F.array(expr), init, lambda acc, x: fn(x))
+
+
 def word_ngrams(col, n: int) -> Column:
     """ALL word n-grams (non-distinct, order-preserving) of the
     lowercased text; fewer than ``n`` tokens → empty array.  The
-    multiset counterpart of ``dedup.shingles`` (which distincts)."""
-    toks = tokens(F.lower(col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    full = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return F.when(F.size(toks) >= n, full) \
-            .otherwise(F.array().cast("array<string>"))
+    multiset counterpart of ``dedup.shingles`` (which distincts).
+    The token array is bound once (three references otherwise)."""
+    def grams_of(tk):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+        full = F.transform(
+            idx, lambda i: F.array_join(F.slice(tk, i + 1, n), " "))
+        return F.when(F.size(tk) >= n, full) \
+                .otherwise(F.array().cast("array<string>"))
+    return _once(tokens(F.lower(col)), grams_of,
+                 F.array().cast("array<string>"))
 
 
 def _max_run(sorted_arr) -> Column:
     """Length of the longest run of equal adjacent elements in a SORTED
-    array — i.e. the multiplicity of the most frequent element.  One
-    linear ``aggregate`` fold per row: no explode, no shuffle."""
-    init = F.struct(F.lit(None).cast("string").alias("prev"),
+    long array — i.e. the multiplicity of the most frequent element.
+    One linear ``aggregate`` fold per row: no explode, no shuffle."""
+    init = F.struct(F.lit(None).cast("long").alias("prev"),
                     F.lit(0).alias("run"), F.lit(0).alias("best"))
 
     def step(acc, t):
@@ -154,12 +169,21 @@ def dup_token_fraction(col) -> Column:
     """Fraction of tokens that are repeats of an earlier token
     (1 - distinct/total), floor-truncated to 4 decimals; 0.0 for empty
     text.  The Gopher-style 'duplicate line fraction' family of intra-
-    document repetition signals, applied at token granularity."""
-    toks = tokens(F.lower(col))
-    n = F.size(toks)
-    frac = 1.0 - (F.size(F.array_distinct(toks)) * F.lit(1.0) / n)
-    return F.when(n > 0, F.floor(frac * 10000).cast("double") / 10000) \
-            .otherwise(F.lit(0.0))
+    document repetition signals, applied at token granularity.
+
+    Tokens are hashed to longs before the distinct (cheap set ops; a
+    64-bit in-document collision is ~k²/2⁶⁵ — never observable) and the
+    hashed array is bound once via :func:`_once`."""
+    hashed = F.transform(tokens(F.lower(col)), lambda t: F.xxhash64(t))
+
+    def frac_of(th):
+        n = F.size(th)
+        frac = 1.0 - (F.size(F.array_distinct(th)) * F.lit(1.0) / n)
+        return F.when(n > 0,
+                      F.floor(frac * 10000).cast("double") / 10000) \
+                .otherwise(F.lit(0.0))
+
+    return _once(hashed, frac_of, F.lit(0.0))
 
 
 def top_ngram_fraction(col, n: int = 2) -> Column:
@@ -167,15 +191,22 @@ def top_ngram_fraction(col, n: int = 2) -> Column:
     n-gram (Gopher's 'top-2-gram fraction' repetition filter), floor-
     truncated to 4 decimals; 0.0 when the doc has no n-grams.
 
-    Zero-shuffle per-row plan: sort the n-gram array, then the most
-    frequent n-gram's count is the longest equal-adjacent run — one
-    linear fold, no explode + groupBy (which at 100 TB would shuffle
-    every n-gram of every document)."""
-    grams = F.array_sort(word_ngrams(col, n))
-    frac = _max_run(grams) * F.lit(1.0) / F.size(grams)
-    return F.when(F.size(grams) > 0,
-                  F.floor(frac * 10000).cast("double") / 10000) \
-            .otherwise(F.lit(0.0))
+    Zero-shuffle per-row plan: hash each n-gram to a long, sort the
+    longs, then the most frequent n-gram's count is the longest
+    equal-adjacent run — one linear fold, no explode + groupBy (which
+    at 100 TB would shuffle every n-gram of every document).  Hashing
+    first keeps the sort comparator on fixed-width longs instead of
+    strings, and the sorted array is bound once via :func:`_once`."""
+    hashed = F.array_sort(
+        F.transform(word_ngrams(col, n), lambda g: F.xxhash64(g)))
+
+    def frac_of(g):
+        frac = _max_run(g) * F.lit(1.0) / F.size(g)
+        return F.when(F.size(g) > 0,
+                      F.floor(frac * 10000).cast("double") / 10000) \
+                .otherwise(F.lit(0.0))
+
+    return _once(hashed, frac_of, F.lit(0.0))
 
 
 def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:

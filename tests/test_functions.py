@@ -283,6 +283,22 @@ def test_benchmark_contamination(spark):
     assert got == {1: (3, True), 2: (0, False), 3: (0, False)}
 
 
+def test_pii_profile(spark):
+    """Counts per PII type and full redaction; clean text untouched."""
+    from mc2skos_spark.functions.pii import pii_profile
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.co or 10.1.2.3 or 555-123-4567 twice a.b@x.co"),
+         (2, "clean text only")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in pii_profile(df).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_ipv4"], rows[1]["n_phone"]) \
+        == (2, 1, 1)
+    assert rows[1]["scrubbed"] == \
+        "mail [EMAIL] or [IP] or [PHONE] twice [EMAIL]"
+    assert rows[2]["scrubbed"] == "clean text only"
+    assert rows[2]["n_email"] == 0
+
+
 def test_bpe_ish_token_count(spark):
     from mc2skos_spark.functions.textstats import bpe_ish_token_count
     df = spark.createDataFrame([(1, "Hello, world! v2.0 (beta)")], ["id", "t"])
