@@ -116,6 +116,7 @@ def run_benchmark():
         # round 4b: repetition signals (zero-shuffle fold), benchmark
         # contamination (broadcast shingle probe), SemDeDup keepers
         "text_repetition", "contamination_ngram", "dedup_semantic",
+        "text_pii_scrub",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization
