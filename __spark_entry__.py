@@ -791,6 +791,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .otherwise(F.col("text")).alias("text"))
         return pii_profile(seeded)
 
+    def sample_stratified(spark, sf_dir):
+        # deterministic corpus mixing: per-language keep rates decided
+        # by a pure hash of the row id — reproducible across re-runs,
+        # resumes and repartitions, and exactly mirrorable in SQL
+        from mc2skos_spark.functions.sampling import stratified_sample
+        docs = _t(spark, sf_dir, "documents")
+        return stratified_sample(docs, "lang",
+                                 {"en": 0.5, "es": 0.25},
+                                 default_rate=0.05) \
+            .select("doc_id", "lang")
+
+    def text_url_domains(spark, sf_dir):
+        # C4-style per-domain corpus stats.  The synthetic corpus has
+        # no URLs, so the query plants deterministic ones in every 5th
+        # doc (20 rotating site domains + one shared CDN domain).
+        from mc2skos_spark.functions.urls import domain_doc_counts
+        docs = _t(spark, sf_dir, "documents")
+        seeded = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" see https://site"),
+                            (F.col("doc_id") % 20).cast("string"),
+                            F.lit(".example.org/p"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(" and http://cdn.example.net/x")))
+             .otherwise(F.col("text")).alias("text"))
+        return domain_doc_counts(seeded)
+
     def text_fingerprint(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.select("doc_id",
@@ -850,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "contamination_ngram": contamination_ngram,
         "text_pii_scrub": text_pii_scrub,
+        "sample_stratified": sample_stratified,
+        "text_url_domains": text_url_domains,
         "text_fingerprint": text_fingerprint,
         "text_rolling_fingerprint": text_rolling_fingerprint,
     }
@@ -1330,6 +1360,41 @@ def oracle_sql() -> dict[str, str]:
                         '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g')
                        AS scrubbed
             FROM seeded""",
+        # deterministic stratified sampling: the keep decision is exact
+        # int64 arithmetic + one double division, identical in both
+        # engines (no xxhash needed)
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE (((doc_id % 1000003) * 69069 + 12345) % 999983)
+                  / 999983.0
+                  < CASE WHEN lang = 'en' THEN 0.5
+                         WHEN lang = 'es' THEN 0.25
+                         ELSE 0.05 END""",
+        # per-domain URL stats over the same planted spans
+        "text_url_domains": """
+            WITH seeded AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || ' see https://site'
+                                 || cast(doc_id % 20 AS varchar)
+                                 || '.example.org/p'
+                                 || cast(doc_id AS varchar)
+                                 || ' and http://cdn.example.net/x'
+                            ELSE text END AS text
+                FROM documents),
+            urls AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text,
+                              'https?://[^\\s]+')) AS url
+                FROM seeded),
+            dom AS (
+                SELECT doc_id,
+                       regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)
+                           AS domain
+                FROM urls)
+            SELECT domain, count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_urls
+            FROM dom GROUP BY domain""",
         # benchmark contamination: distinct 5-gram shingles shared with
         # the benchmark slice (doc_id % 50 = 0); the Spark plan
         # broadcasts the benchmark shingle set

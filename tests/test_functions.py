@@ -299,6 +299,35 @@ def test_pii_profile(spark):
     assert rows[2]["n_email"] == 0
 
 
+def test_stratified_sample_deterministic(spark):
+    """Selection is a pure function of the id: identical across
+    repartitions; per-stratum rates honored (0.0 drops the stratum)."""
+    from mc2skos_spark.functions.sampling import stratified_sample
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("xx").alias("lang"))
+    s1 = stratified_sample(df, "lang", {"en": 0.5}, default_rate=0.0)
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    s2 = stratified_sample(df.repartition(7), "lang", {"en": 0.5},
+                           default_rate=0.0)
+    assert ids1 == {r["doc_id"] for r in s2.collect()}
+    assert all(i % 2 == 0 for i in ids1)        # default 0.0 drops 'xx'
+    assert 0.35 < len(ids1) / 500 < 0.65        # ~half the en stratum
+
+
+def test_domain_doc_counts(spark):
+    """Distinct-doc and total-URL counts per extracted host domain;
+    URL-free docs contribute nothing."""
+    from mc2skos_spark.functions.urls import domain_doc_counts
+    df = spark.createDataFrame(
+        [(1, "go https://a.example.com/x and https://a.example.com/y"),
+         (2, "see http://b.example.org/z"),
+         (3, "no links here")], ["doc_id", "text"])
+    got = {r["domain"]: (r["n_docs"], r["n_urls"])
+           for r in domain_doc_counts(df).collect()}
+    assert got == {"a.example.com": (1, 2), "b.example.org": (1, 1)}
+
+
 def test_bpe_ish_token_count(spark):
     from mc2skos_spark.functions.textstats import bpe_ish_token_count
     df = spark.createDataFrame([(1, "Hello, world! v2.0 (beta)")], ["id", "t"])
