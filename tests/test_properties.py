@@ -182,3 +182,47 @@ def test_graft_roundtrip_equals_library_property(spark, xmls, seed):
         for r in triples_from_extracted(
             extract_triples(reassemble_records(df), options)).collect()}
     assert got == expected
+
+
+_word = st.text(alphabet="abcdz", min_size=1, max_size=3)
+
+
+@_pytest.mark.spark
+@given(st.lists(st.lists(_word, min_size=0, max_size=30), min_size=1,
+                max_size=8))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repetition_signals_match_python_reference(spark, docs):
+    """The zero-shuffle hashed-fold repetition signals equal a direct
+    Python computation (Counter multiplicities / set cardinality) on
+    arbitrary token multisets — ONE Spark job per example batch."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mc2skos_spark.functions.textstats import (dup_token_fraction,
+                                                   top_ngram_fraction)
+
+    def ref(tokens):
+        if tokens:
+            dup = math.floor((1.0 - len(set(tokens)) / len(tokens))
+                             * 10000) / 10000
+        else:
+            dup = 0.0
+        grams = [" ".join(tokens[i:i + 2])
+                 for i in range(len(tokens) - 1)] if len(tokens) >= 2 else []
+        if grams:
+            top = math.floor(max(Counter(grams).values()) / len(grams)
+                             * 10000) / 10000
+        else:
+            top = 0.0
+        return dup, top
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["dup"], r["top2"]) for r in df.select(
+        "doc_id", dup_token_fraction(F.col("text")).alias("dup"),
+        top_ngram_fraction(F.col("text"), 2).alias("top2")).collect()}
+    assert got == {i: ref(toks) for i, toks in enumerate(docs)}
