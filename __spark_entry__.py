@@ -819,6 +819,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .otherwise(F.col("text")).alias("text"))
         return domain_doc_counts(seeded)
 
+    def pack_sequences(spark, sf_dir):
+        # sequence packing: distributed exclusive prefix sum of token
+        # counts in doc_id order → fixed-capacity sequence assignment
+        # (512-token sequences); never a single-partition window
+        from mc2skos_spark.functions.packing import \
+            pack_sequences as pack
+        docs = _t(spark, sf_dir, "documents")
+        with_tokens = docs.select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens"))
+        return (pack(with_tokens, capacity=512)
+                .select("doc_id", "n_tokens", "start_offset", "seq_id"))
+
     def text_fingerprint(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.select("doc_id",
@@ -880,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": text_pii_scrub,
         "sample_stratified": sample_stratified,
         "text_url_domains": text_url_domains,
+        "pack_sequences": pack_sequences,
         "text_fingerprint": text_fingerprint,
         "text_rolling_fingerprint": text_rolling_fingerprint,
     }
@@ -1370,6 +1383,28 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 0.5
                          WHEN lang = 'es' THEN 0.25
                          ELSE 0.05 END""",
+        # sequence packing: window prefix-sum oracle; the Spark side
+        # computes the identical values without the single-partition
+        # window (range partitions + per-partition offsets)
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       cast(len(list_filter(
+                           regexp_split_to_array(text, '\\s+'),
+                           x -> x != '')) AS int) AS n_tokens
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   cast(coalesce(sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS bigint)
+                       AS start_offset,
+                   cast(coalesce(sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS bigint)
+                       // 512 AS seq_id
+            FROM t""",
         # per-domain URL stats over the same planted spans
         "text_url_domains": """
             WITH seeded AS (

@@ -328,6 +328,23 @@ def test_domain_doc_counts(spark):
     assert got == {"a.example.com": (1, 2), "b.example.org": (1, 1)}
 
 
+def test_pack_sequences_matches_serial_prefix_sum(spark):
+    """Distributed packing equals the serial exclusive prefix sum and
+    is invariant to the range-partition count."""
+    from mc2skos_spark.functions.packing import pack_sequences
+    df = spark.createDataFrame([(i, (i % 5) + 1) for i in range(50)],
+                               "doc_id bigint, n_tokens int")
+    acc, exp = 0, {}
+    for i in range(50):
+        exp[i] = (acc, acc // 7)
+        acc += (i % 5) + 1
+    for parts in (1, 5):
+        got = {r["doc_id"]: (r["start_offset"], r["seq_id"])
+               for r in pack_sequences(df, capacity=7,
+                                       num_partitions=parts).collect()}
+        assert got == exp
+
+
 def test_bpe_ish_token_count(spark):
     from mc2skos_spark.functions.textstats import bpe_ish_token_count
     df = spark.createDataFrame([(1, "Hello, world! v2.0 (beta)")], ["id", "t"])
