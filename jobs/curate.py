@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""spark-submit entry point for end-to-end training-corpus curation.
+
+Ties the training-data operator family into one deployable pipeline
+over a documents table ``(doc_id, text, ...)``:
+
+    profile (tokens / quality / language / repetition)
+      → quality + repetition filter
+      → benchmark-contamination filter          (--benchmark)
+      → PII redaction                           (--scrub-pii)
+      → exact dedup (deterministic min-id keeper)
+      → MinHash-LSH near-dup dedup (union-find keepers)
+      → deterministic stratified sampling       (--sample-rates)
+      → sequence packing (distributed prefix sum)
+      → curated parquet + one JSON stats line
+
+Cluster deployment:
+
+    zip -r mc2skos_spark.zip mc2skos_spark
+    spark-submit --master <cluster> --py-files mc2skos_spark.zip \\
+        jobs/curate.py --input docs.parquet --output <dir> \\
+        [--benchmark bench.parquet] [--min-quality 0.2]
+        [--max-top-bigram 0.5] [--scrub-pii]
+        [--sample-rates en=1.0,es=0.5] [--default-rate 1.0]
+        [--capacity 2048] [--jaccard 0.8]
+
+Every decision is deterministic (hash-of-id sampling, min-id keepers),
+so reruns produce byte-identical corpora.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def parse_rates(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    if spec:
+        for part in spec.split(","):
+            key, _, val = part.partition("=")
+            out[key.strip()] = float(val)
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="training-corpus curation over a documents table")
+    parser.add_argument("--input", required=True,
+                        help="documents parquet (doc_id, text, ...)")
+    parser.add_argument("--output", required=True,
+                        help="output dir (corpus parquet inside)")
+    parser.add_argument("--benchmark", default=None,
+                        help="benchmark parquet; overlapping docs are "
+                             "dropped (n-gram contamination check)")
+    parser.add_argument("--min-quality", type=float, default=0.0)
+    parser.add_argument("--max-top-bigram", type=float, default=1.0,
+                        help="drop docs whose most frequent bigram "
+                             "exceeds this fraction (Gopher filter)")
+    parser.add_argument("--scrub-pii", action="store_true")
+    parser.add_argument("--jaccard", type=float, default=0.8,
+                        help="near-dup threshold (estimated Jaccard)")
+    parser.add_argument("--num-hashes", type=int, default=32)
+    parser.add_argument("--bands", type=int, default=8)
+    parser.add_argument("--sample-rates", default="",
+                        help="per-language keep rates, e.g. en=1.0,es=0.5")
+    parser.add_argument("--default-rate", type=float, default=1.0)
+    parser.add_argument("--capacity", type=int, default=2048,
+                        help="tokens per packed training sequence")
+    args = parser.parse_args()
+
+    import os
+    import sys
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from mc2skos_spark.functions.contamination import \
+        benchmark_contamination
+    from mc2skos_spark.functions.dedup import (minhash_lsh_candidates,
+                                               minhash_signatures,
+                                               minhash_similarity,
+                                               near_dup_keepers)
+    from mc2skos_spark.functions.packing import pack_sequences
+    from mc2skos_spark.functions.pii import pii_profile, scrub_pii
+    from mc2skos_spark.functions.sampling import stratified_sample
+    from mc2skos_spark.functions.textstats import (langid_guess,
+                                                   quality_score,
+                                                   token_count,
+                                                   top_ngram_fraction)
+
+    spark = SparkSession.builder.appName("mc2skos-curate").getOrCreate()
+    from mc2skos_spark.plans.shiplib import ensure_shipped
+    ensure_shipped(spark)
+
+    stats: dict[str, int] = {}
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    stats["input"] = docs.count()
+
+    # profile ONCE; downstream stages filter on the profiled columns,
+    # so the expensive text passes happen a bounded number of times.
+    profiled = docs.select(
+        "doc_id", "text",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        langid_guess(F.col("text")).alias("lang_guess"),
+        top_ngram_fraction(F.col("text"), 2).alias("top_bigram_frac"))
+
+    kept = profiled.filter(
+        (F.col("quality") >= args.min_quality) &
+        (F.col("top_bigram_frac") <= args.max_top_bigram))
+    stats["after_quality_filter"] = kept.count()
+
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark).select("doc_id", "text")
+        flags = benchmark_contamination(kept, bench)
+        kept = (kept.join(flags.filter(~F.col("contaminated"))
+                          .select("doc_id"), "doc_id"))
+        stats["after_contamination_filter"] = kept.count()
+
+    if args.scrub_pii:
+        kept = kept.withColumn("text", scrub_pii(F.col("text")))
+
+    # exact dedup: deterministic min-id keeper per identical text
+    exact_keepers = (kept.groupBy("text")
+                     .agg(F.min("doc_id").alias("doc_id"))
+                     .select("doc_id"))
+    kept = kept.join(exact_keepers, "doc_id")
+    stats["after_exact_dedup"] = kept.count()
+
+    # near-dup dedup: MinHash-LSH candidates → estimated-Jaccard filter
+    # → union-find keepers; only id == keeper_id rows survive
+    sigs = minhash_signatures(kept, "doc_id", "text",
+                              num_hashes=args.num_hashes)
+    sigs = sigs.localCheckpoint(eager=False)   # feeds candidates + sim
+    pairs = (minhash_similarity(sigs, minhash_lsh_candidates(
+                 sigs, bands=args.bands))
+             .filter(F.col("est_jaccard") >= args.jaccard)
+             .select("id_a", "id_b"))
+    keepers = near_dup_keepers(kept, pairs, id_col="doc_id")
+    kept = kept.join(keepers.filter(F.col("id") == F.col("keeper_id"))
+                    .select(F.col("id").alias("doc_id")), "doc_id")
+    stats["after_near_dedup"] = kept.count()
+
+    rates = parse_rates(args.sample_rates)
+    if rates or args.default_rate < 1.0:
+        kept = stratified_sample(kept, "lang_guess", rates,
+                                 default_rate=args.default_rate)
+        stats["after_sampling"] = kept.count()
+
+    packed = pack_sequences(kept, capacity=args.capacity)
+    out_path = os.path.join(args.output, "corpus")
+    packed.write.mode("overwrite").parquet(out_path)
+
+    final = spark.read.parquet(out_path)
+    stats["output"] = final.count()
+    n_sequences = final.agg(
+        (F.max("seq_id") + 1).alias("n")).collect()[0]["n"]
+    print(json.dumps({
+        "stats": stats,
+        "n_sequences": int(n_sequences or 0),
+        "capacity": args.capacity,
+        "output": out_path,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
