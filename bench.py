@@ -116,7 +116,8 @@ def run_benchmark():
         # round 4b: repetition signals (zero-shuffle fold), benchmark
         # contamination (broadcast shingle probe), SemDeDup keepers
         "text_repetition", "contamination_ngram", "dedup_semantic",
-        "text_pii_scrub",
+        "text_pii_scrub", "sample_stratified", "text_url_domains",
+        "pack_sequences",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization
