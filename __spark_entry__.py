@@ -812,7 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             F.when(F.col("doc_id") % 5 == 0,
                    F.concat(F.col("text"), F.lit(" see https://site"),
-                            (F.col("doc_id") % 20).cast("string"),
+                            F.expr("(doc_id div 5) % 20").cast("string"),
                             F.lit(".example.org/p"),
                             F.col("doc_id").cast("string"),
                             F.lit(" and http://cdn.example.net/x")))
@@ -1374,12 +1374,23 @@ def oracle_sql() -> dict[str, str]:
                        AS scrubbed
             FROM seeded""",
         # deterministic stratified sampling: the keep decision is exact
-        # int64 arithmetic + one double division, identical in both
-        # engines (no xxhash needed)
+        # int64 arithmetic (two multiply-mod-2^31 + xorshift rounds) +
+        # one double division, identical in both engines (no xxhash)
         "sample_stratified": """
-            SELECT doc_id, lang FROM documents
-            WHERE (((doc_id % 1000003) * 69069 + 12345) % 999983)
-                  / 999983.0
+            WITH s1 AS (
+                SELECT doc_id, lang,
+                       ((doc_id % 2147483648) * 2654435761 + 1013904223)
+                           % 2147483648 AS x
+                FROM documents),
+            s2 AS (
+                SELECT doc_id, lang,
+                       (xor(x, x // 65536) * 1540483477)
+                           % 2147483648 AS x
+                FROM s1),
+            s3 AS (
+                SELECT doc_id, lang, xor(x, x // 65536) AS x FROM s2)
+            SELECT doc_id, lang FROM s3
+            WHERE x / 2147483648.0
                   < CASE WHEN lang = 'en' THEN 0.5
                          WHEN lang = 'es' THEN 0.25
                          ELSE 0.05 END""",
@@ -1411,7 +1422,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        CASE WHEN doc_id % 5 = 0
                             THEN text || ' see https://site'
-                                 || cast(doc_id % 20 AS varchar)
+                                 || cast((doc_id // 5) % 20 AS varchar)
                                  || '.example.org/p'
                                  || cast(doc_id AS varchar)
                                  || ' and http://cdn.example.net/x'

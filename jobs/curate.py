@@ -35,11 +35,22 @@ import json
 
 
 def parse_rates(spec: str) -> dict[str, float]:
+    """``en=1.0,es=0.5`` → dict; fails fast (before the JVM does any
+    work) on malformed parts or rates outside [0, 1]."""
     out: dict[str, float] = {}
-    if spec:
-        for part in spec.split(","):
-            key, _, val = part.partition("=")
-            out[key.strip()] = float(val)
+    if not spec:
+        return out
+    for part in spec.split(","):
+        key, eq, val = part.partition("=")
+        try:
+            rate = float(val)
+        except ValueError:
+            rate = -1.0
+        if not key.strip() or not eq or not 0.0 <= rate <= 1.0:
+            raise argparse.ArgumentTypeError(
+                "--sample-rates part %r: expected <stratum>=<rate in "
+                "[0,1]>" % part)
+        out[key.strip()] = rate
     return out
 
 
@@ -62,7 +73,7 @@ def main() -> None:
                         help="near-dup threshold (estimated Jaccard)")
     parser.add_argument("--num-hashes", type=int, default=32)
     parser.add_argument("--bands", type=int, default=8)
-    parser.add_argument("--sample-rates", default="",
+    parser.add_argument("--sample-rates", type=parse_rates, default={},
                         help="per-language keep rates, e.g. en=1.0,es=0.5")
     parser.add_argument("--default-rate", type=float, default=1.0)
     parser.add_argument("--capacity", type=int, default=2048,
@@ -84,7 +95,7 @@ def main() -> None:
                                                minhash_similarity,
                                                near_dup_keepers)
     from mc2skos_spark.functions.packing import pack_sequences
-    from mc2skos_spark.functions.pii import pii_profile, scrub_pii
+    from mc2skos_spark.functions.pii import scrub_pii
     from mc2skos_spark.functions.sampling import stratified_sample
     from mc2skos_spark.functions.textstats import (langid_guess,
                                                    quality_score,
@@ -99,25 +110,35 @@ def main() -> None:
     docs = spark.read.parquet(args.input).select("doc_id", "text")
     stats["input"] = docs.count()
 
-    # profile ONCE; downstream stages filter on the profiled columns,
-    # so the expensive text passes happen a bounded number of times.
-    profiled = docs.select(
+    # Lineage discipline: every counted stage is also consumed by the
+    # next stage (and several stages read `kept` 2-3 times internally:
+    # contamination explodes it AND joins back, exact dedup aggregates
+    # it AND joins back).  Without a cut, each count() + each extra
+    # consumer re-executes the whole pipeline prefix from the parquet
+    # scan — so cut lineage after every stage (lazy localCheckpoint:
+    # materialized by the following count, then every consumer reads
+    # the materialized blocks).
+    def cut(df):
+        return df.localCheckpoint(eager=False)
+
+    # profile ONCE; downstream stages filter on the profiled columns
+    profiled = cut(docs.select(
         "doc_id", "text",
         token_count(F.col("text")).alias("n_tokens"),
         quality_score(F.col("text")).alias("quality"),
         langid_guess(F.col("text")).alias("lang_guess"),
-        top_ngram_fraction(F.col("text"), 2).alias("top_bigram_frac"))
+        top_ngram_fraction(F.col("text"), 2).alias("top_bigram_frac")))
 
-    kept = profiled.filter(
+    kept = cut(profiled.filter(
         (F.col("quality") >= args.min_quality) &
-        (F.col("top_bigram_frac") <= args.max_top_bigram))
+        (F.col("top_bigram_frac") <= args.max_top_bigram)))
     stats["after_quality_filter"] = kept.count()
 
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark).select("doc_id", "text")
         flags = benchmark_contamination(kept, bench)
-        kept = (kept.join(flags.filter(~F.col("contaminated"))
-                          .select("doc_id"), "doc_id"))
+        kept = cut(kept.join(flags.filter(~F.col("contaminated"))
+                             .select("doc_id"), "doc_id"))
         stats["after_contamination_filter"] = kept.count()
 
     if args.scrub_pii:
@@ -127,7 +148,7 @@ def main() -> None:
     exact_keepers = (kept.groupBy("text")
                      .agg(F.min("doc_id").alias("doc_id"))
                      .select("doc_id"))
-    kept = kept.join(exact_keepers, "doc_id")
+    kept = cut(kept.join(exact_keepers, "doc_id"))
     stats["after_exact_dedup"] = kept.count()
 
     # near-dup dedup: MinHash-LSH candidates → estimated-Jaccard filter
@@ -140,14 +161,13 @@ def main() -> None:
              .filter(F.col("est_jaccard") >= args.jaccard)
              .select("id_a", "id_b"))
     keepers = near_dup_keepers(kept, pairs, id_col="doc_id")
-    kept = kept.join(keepers.filter(F.col("id") == F.col("keeper_id"))
-                    .select(F.col("id").alias("doc_id")), "doc_id")
+    kept = cut(kept.join(keepers.filter(F.col("id") == F.col("keeper_id"))
+                         .select(F.col("id").alias("doc_id")), "doc_id"))
     stats["after_near_dedup"] = kept.count()
 
-    rates = parse_rates(args.sample_rates)
-    if rates or args.default_rate < 1.0:
-        kept = stratified_sample(kept, "lang_guess", rates,
-                                 default_rate=args.default_rate)
+    if args.sample_rates or args.default_rate < 1.0:
+        kept = cut(stratified_sample(kept, "lang_guess", args.sample_rates,
+                                     default_rate=args.default_rate))
         stats["after_sampling"] = kept.count()
 
     packed = pack_sequences(kept, capacity=args.capacity)
@@ -155,12 +175,17 @@ def main() -> None:
     packed.write.mode("overwrite").parquet(out_path)
 
     final = spark.read.parquet(out_path)
-    stats["output"] = final.count()
-    n_sequences = final.agg(
-        (F.max("seq_id") + 1).alias("n")).collect()[0]["n"]
+    agg = final.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("n_tokens").alias("tok")).collect()[0]
+    stats["output"] = agg["n"]
+    # the trainer cuts ceil(total_tokens / capacity) sequences from the
+    # concatenated stream (max(seq_id)+1 would undercount whenever the
+    # tail documents span capacity boundaries)
+    total_tokens = int(agg["tok"] or 0)
     print(json.dumps({
         "stats": stats,
-        "n_sequences": int(n_sequences or 0),
+        "total_tokens": total_tokens,
+        "n_sequences": -(-total_tokens // args.capacity),
         "capacity": args.capacity,
         "output": out_path,
     }))

@@ -68,3 +68,15 @@ def test_curate_cli_end_to_end(spark, tmp_path):
         assert r["start_offset"] == acc
         assert r["seq_id"] == acc // 16
         acc += r["n_tokens"]
+    # n_sequences is ceil(total_tokens / capacity), not max(seq_id)+1
+    assert result["total_tokens"] == acc
+    assert result["n_sequences"] == -(-acc // 16)
+
+
+def test_curate_cli_rejects_malformed_rates(tmp_path):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", "x", "--output", "y", "--sample-rates", "en=1.0,"],
+        capture_output=True, text=True, timeout=60)
+    assert out.returncode != 0
+    assert "expected <stratum>=<rate" in out.stderr
