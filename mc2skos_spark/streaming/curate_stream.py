@@ -1,0 +1,121 @@
+"""Streaming corpus curation — the curation pipeline applied per
+micro-batch, composing the stateless gates (profile / quality /
+repetition / PII scrub) with the stateful persisted-index dedup of
+``dedup_stream.py``.
+
+``readStream`` over a documents directory → ``foreachBatch`` where
+each micro-batch:
+
+1. profiles its documents (tokens / quality / language / top-bigram
+   repetition) and applies the quality + repetition gates — pure
+   projections, deterministic under replay;
+2. redacts PII spans;
+3. commits the surviving rows (with their profile columns) as the
+   versioned snapshot ``curated_batch_N`` — a replay rewrites the
+   identical bytes;
+4. delegates to :class:`~.dedup_stream.StreamingDeduper` with
+   ``assign_keepers=True``: the batch's scrubbed text is signed,
+   joined against the persisted MinHash index, and the append-only
+   keeper/remap cluster state advances (all replay-guarded by the
+   deduper's ``last_batch_id`` check).
+
+``curated_corpus`` reads the result: the union of curated snapshots
+restricted to documents that are their own cluster keeper under the
+CURRENT resolved keeper state — so a later batch linking an old doc to
+a smaller id retroactively (and correctly) evicts it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.incremental import current_keepers
+from ..functions.pii import scrub_pii
+from ..functions.textstats import (langid_guess, quality_score,
+                                   token_count, top_ngram_fraction)
+from ..sinks.icebergish import IcebergishCatalog
+from .dedup_stream import StreamingDeduper
+
+CURATED_TABLE = "curated_batch_%06d"
+
+
+class StreamingCurator:
+    """foreachBatch handler: quality gate + PII scrub + keeper dedup."""
+
+    def __init__(self, warehouse: str, name: str = "docs_minhash",
+                 min_quality: float = 0.0, max_top_bigram: float = 1.0,
+                 scrub: bool = True, id_col: str = "doc_id",
+                 text_col: str = "text", **dedup_kwargs):
+        self.warehouse = warehouse
+        self.min_quality = min_quality
+        self.max_top_bigram = max_top_bigram
+        self.scrub = scrub
+        self.id_col = id_col
+        self.text_col = text_col
+        self.deduper = StreamingDeduper(
+            warehouse, name=name, id_col=id_col, text_col=text_col,
+            assign_keepers=True, **dedup_kwargs)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        catalog = IcebergishCatalog(self.warehouse, batch.sparkSession)
+        text = F.col(self.text_col)
+        curated = (batch.select(
+            F.col(self.id_col), text,
+            token_count(text).alias("n_tokens"),
+            quality_score(text).alias("quality"),
+            langid_guess(text).alias("lang_guess"),
+            top_ngram_fraction(text, 2).alias("top_bigram_frac"))
+            .filter((F.col("quality") >= self.min_quality) &
+                    (F.col("top_bigram_frac") <= self.max_top_bigram)))
+        if self.scrub:
+            curated = curated.withColumn(self.text_col, scrub_pii(text))
+        # one materialization feeds the snapshot write AND the dedup
+        # path; the snapshot lands BEFORE the guarded index/keeper
+        # commits (same order discipline as the pairs snapshot in
+        # dedup_stream — a replay rewrites identical curated bytes,
+        # then the deduper's last_batch_id guard skips the state step)
+        curated = curated.localCheckpoint()
+        catalog.write(CURATED_TABLE % batch_id, curated,
+                      lineage_key=self.id_col)
+        self.deduper.process_batch(
+            curated.select(self.id_col, self.text_col), batch_id)
+
+
+def stream_curate(spark: SparkSession, input_dir: str, warehouse: str,
+                  checkpoint_dir: str, schema: str | None = None,
+                  available_now: bool = True,
+                  max_files_per_trigger: int = 1, **curator_kwargs):
+    """Start (and by default drain) a streaming curation over a
+    documents directory."""
+    curator = StreamingCurator(warehouse, **curator_kwargs)
+    source = (spark.readStream
+              .schema(schema or "doc_id long, text string")
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_dir))
+    writer = (source.writeStream
+              .foreachBatch(curator.process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()
+
+
+def curated_corpus(spark: SparkSession, warehouse: str,
+                   name: str = "docs_minhash",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Union of all curated snapshots, restricted to current cluster
+    keepers (``id == keeper_id`` under the resolved keeper state)."""
+    catalog = IcebergishCatalog(warehouse, spark)
+    tables = catalog.tables("curated_batch_")
+    out = None
+    for t in tables:
+        df = catalog.read(t)
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise FileNotFoundError("no curated snapshots in %s" % warehouse)
+    keepers = (current_keepers(catalog, name)
+               .filter(F.col("id") == F.col("keeper_id"))
+               .select(F.col("id").alias(id_col)))
+    return out.join(keepers, id_col)

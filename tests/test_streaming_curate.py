@@ -1,0 +1,72 @@
+"""Streaming curation (streaming/curate_stream.py): per-micro-batch
+quality gate + PII scrub + persisted-index keeper dedup; the curated
+corpus reflects cross-batch dedup decisions and replays are no-ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mc2skos_spark.functions.incremental import SIG_SUFFIX
+from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+from mc2skos_spark.streaming.curate_stream import (StreamingCurator,
+                                                   curated_corpus,
+                                                   stream_curate)
+
+pytestmark = pytest.mark.spark
+
+PARAMS = dict(n=2, num_hashes=16, bands=4)
+
+B1 = [
+    (1, "alpha beta gamma delta epsilon zeta"),
+    (4, "spam spam spam spam spam spam"),                 # repetition junk
+    (6, "contact alice@example.org about the quarterly report"),  # PII
+]
+B2 = [
+    (11, "alpha beta gamma delta epsilon zeta"),          # dup of 1
+    (12, "entirely new subject matter discussed here"),
+]
+
+
+def test_stream_curate_end_to_end(spark, tmp_path):
+    src = tmp_path / "docs_in"
+    spark.createDataFrame(B1, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(B2, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f2"))
+    wh = str(tmp_path / "wh")
+    stream_curate(spark, str(src) + "/*", wh, str(tmp_path / "ckpt"),
+                  max_top_bigram=0.5, threshold=0.9, **PARAMS)
+
+    rows = curated_corpus(spark, wh).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # junk dropped by the gate; the cross-batch dup evicted by keeper
+    assert set(by_id) == {1, 6, 12}
+    assert "[EMAIL]" in by_id[6]["text"]
+    assert "alice@example.org" not in by_id[6]["text"]
+    # profile columns travel with the curated rows
+    assert by_id[1]["n_tokens"] == 6
+    assert 0.0 <= by_id[12]["quality"] <= 1.0
+    # the junk doc never reached the dedup index
+    cat = IcebergishCatalog(wh, spark)
+    indexed = {r["id"] for r in
+               cat.read("docs_minhash" + SIG_SUFFIX).collect()}
+    assert indexed == {1, 6, 11, 12}
+
+
+def test_stream_curate_replay_is_noop(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    curator = StreamingCurator(wh, max_top_bigram=0.5, threshold=0.9,
+                               **PARAMS)
+    b1 = spark.createDataFrame(B1, "doc_id long, text string")
+    b2 = spark.createDataFrame(B2, "doc_id long, text string")
+    curator.process_batch(b1, 0)
+    curator.process_batch(b2, 1)
+    cat = IcebergishCatalog(wh, spark)
+    sig_snap = cat.current_manifest("docs_minhash" + SIG_SUFFIX)
+    before = {tuple(r) for r in curated_corpus(spark, wh).collect()}
+
+    curator.process_batch(b2, 1)   # replay: identical snapshot bytes,
+    assert cat.current_manifest(   # guarded state untouched
+        "docs_minhash" + SIG_SUFFIX)["snapshot_id"] == \
+        sig_snap["snapshot_id"]
+    assert {tuple(r) for r in curated_corpus(spark, wh).collect()} \
+        == before
