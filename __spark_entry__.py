@@ -831,6 +831,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (pack(with_tokens, capacity=512)
                 .select("doc_id", "n_tokens", "start_offset", "seq_id"))
 
+    def corpus_token_stats(spark, sf_dir):
+        # per-language corpus length distribution: count / mean /
+        # exact interpolated median + p90 of token counts — the
+        # percentile aggregate family (exact F.percentile, not the
+        # sketch-based approx, so DuckDB's quantile_cont matches
+        # bit-for-bit after floor truncation)
+        docs = _t(spark, sf_dir, "documents")
+        toks = docs.select("lang",
+                           token_count(F.col("text")).alias("n_tokens"))
+        def fl(c):
+            return (F.floor(c * 100).cast("double") / 100)
+        return (toks.groupBy("lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     fl(F.avg("n_tokens")).alias("mean_tokens"),
+                     fl(F.percentile("n_tokens", F.lit(0.5)))
+                     .alias("median_tokens"),
+                     fl(F.percentile("n_tokens", F.lit(0.9)))
+                     .alias("p90_tokens")))
+
     def text_fingerprint(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.select("doc_id",
@@ -893,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "text_url_domains": text_url_domains,
         "pack_sequences": pack_sequences,
+        "corpus_token_stats": corpus_token_stats,
         "text_fingerprint": text_fingerprint,
         "text_rolling_fingerprint": text_rolling_fingerprint,
     }
@@ -1416,6 +1436,23 @@ def oracle_sql() -> dict[str, str]:
                                      AND 1 PRECEDING), 0) AS bigint)
                        // 512 AS seq_id
             FROM t""",
+        # percentile family: Spark's exact F.percentile and DuckDB's
+        # quantile_cont both linearly interpolate — floor-truncated to
+        # 2 decimals for boundary safety
+        "corpus_token_stats": """
+            WITH t AS (
+                SELECT lang,
+                       cast(len(list_filter(
+                           regexp_split_to_array(text, '\\s+'),
+                           x -> x != '')) AS int) AS n_tokens
+                FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   floor(avg(n_tokens) * 100) / 100 AS mean_tokens,
+                   floor(quantile_cont(n_tokens, 0.5) * 100) / 100
+                       AS median_tokens,
+                   floor(quantile_cont(n_tokens, 0.9) * 100) / 100
+                       AS p90_tokens
+            FROM t GROUP BY lang""",
         # per-domain URL stats over the same planted spans
         "text_url_domains": """
             WITH seeded AS (
