@@ -93,14 +93,17 @@ def main() -> None:
     from mc2skos_spark.functions.dedup import (minhash_lsh_candidates,
                                                minhash_signatures,
                                                minhash_similarity,
-                                               near_dup_keepers)
+                                               near_dup_keepers,
+                                               validate_lsh_params)
     from mc2skos_spark.functions.packing import pack_sequences
     from mc2skos_spark.functions.pii import scrub_pii
     from mc2skos_spark.functions.sampling import stratified_sample
-    from mc2skos_spark.functions.textstats import (langid_guess,
-                                                   quality_score,
-                                                   token_count,
-                                                   top_ngram_fraction)
+    from mc2skos_spark.functions.textstats import profile_and_gate
+
+    try:
+        validate_lsh_params(args.num_hashes, args.bands)
+    except ValueError as exc:
+        parser.error(str(exc))
 
     spark = SparkSession.builder.appName("mc2skos-curate").getOrCreate()
     from mc2skos_spark.plans.shiplib import ensure_shipped
@@ -121,17 +124,11 @@ def main() -> None:
     def cut(df):
         return df.localCheckpoint(eager=False)
 
-    # profile ONCE; downstream stages filter on the profiled columns
-    profiled = cut(docs.select(
-        "doc_id", "text",
-        token_count(F.col("text")).alias("n_tokens"),
-        quality_score(F.col("text")).alias("quality"),
-        langid_guess(F.col("text")).alias("lang_guess"),
-        top_ngram_fraction(F.col("text"), 2).alias("top_bigram_frac")))
-
-    kept = cut(profiled.filter(
-        (F.col("quality") >= args.min_quality) &
-        (F.col("top_bigram_frac") <= args.max_top_bigram)))
+    # profile ONCE (the SAME gate the streaming curator applies —
+    # functions/textstats.py); downstream stages filter on the
+    # profiled columns
+    kept = cut(profile_and_gate(docs, args.min_quality,
+                                args.max_top_bigram))
     stats["after_quality_filter"] = kept.count()
 
     if args.benchmark:
@@ -142,7 +139,10 @@ def main() -> None:
         stats["after_contamination_filter"] = kept.count()
 
     if args.scrub_pii:
-        kept = kept.withColumn("text", scrub_pii(F.col("text")))
+        # cut: the next stage consumes kept twice (aggregate + join
+        # back) and the minhash signing a third time — without the cut
+        # the 3-pattern regexp scrub would re-run per consumer
+        kept = cut(kept.withColumn("text", scrub_pii(F.col("text"))))
 
     # exact dedup: deterministic min-id keeper per identical text
     exact_keepers = (kept.groupBy("text")

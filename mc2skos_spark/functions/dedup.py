@@ -157,6 +157,22 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return sh.select("id", sig.alias("sig"))
 
 
+def validate_lsh_params(num_hashes: int, bands: int) -> None:
+    """Fail fast on degenerate banding: ``bands > num_hashes`` floors
+    rows_per_band to 0, so every band hashes the empty slice and EVERY
+    document co-buckets — the candidate join degenerates to an n²/2
+    cross product.  Non-divisible values silently ignore the trailing
+    ``num_hashes % bands`` hashes, weakening the similarity estimate."""
+    if bands < 1 or bands > num_hashes:
+        raise ValueError("LSH banding: bands=%d must be in [1, "
+                         "num_hashes=%d]" % (bands, num_hashes))
+    if num_hashes % bands:
+        raise ValueError("LSH banding: num_hashes=%d is not divisible "
+                         "by bands=%d (the trailing %d hashes would be "
+                         "silently ignored)"
+                         % (num_hashes, bands, num_hashes % bands))
+
+
 def minhash_banded(signatures: DataFrame, bands: int) -> DataFrame:
     """(id, sig) → (id, band, bucket): the banded LSH index rows.
 

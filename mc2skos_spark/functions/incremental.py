@@ -46,6 +46,8 @@ def create_minhash_index(catalog: IcebergishCatalog, name: str,
     """Sign the seed corpus and commit the two index tables:
     ``<name>_sigs (id, sig)`` and ``<name>_buckets (id, band, bucket)``.
     Returns the buckets manifest."""
+    from .dedup import validate_lsh_params
+    validate_lsh_params(num_hashes, bands)
     props = {"minhash_n": n, "minhash_num_hashes": num_hashes,
              "minhash_bands": bands}
     sigs = minhash_signatures(df, id_col, text_col, n=n,

@@ -32,7 +32,12 @@ _MUL2 = 1540483477
 
 def hash_fraction(id_col) -> Column:
     """Deterministic pseudo-uniform [0, 1) from an integer id.
-    Partition-layout-independent: depends on the id value only."""
+    Partition-layout-independent: depends on the id value only.
+
+    Precondition: ids must be NON-NEGATIVE (the documents-table
+    contract).  For negative ids Spark's ``pmod``/``shiftrightunsigned``
+    and ANSI-SQL's sign-preserving ``%`` / floor ``//`` diverge, so the
+    cross-engine oracle guarantee would not hold."""
     x = F.pmod(F.pmod(id_col, F.lit(_M31)) * _MUL1 + _INC1, F.lit(_M31))
     x = x.bitwiseXOR(F.shiftrightunsigned(x, 16))
     x = F.pmod(x * _MUL2, F.lit(_M31))

@@ -209,6 +209,28 @@ def top_ngram_fraction(col, n: int = 2) -> Column:
     return _once(hashed, frac_of, F.lit(0.0))
 
 
+def profile_and_gate(df: DataFrame, min_quality: float = 0.0,
+                     max_top_bigram: float = 1.0,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """The curation profile + quality gate shared by the batch CLI
+    (``jobs/curate.py``) and the streaming curator
+    (``streaming/curate_stream.py``) — one definition so the two paths
+    cannot silently diverge: per-doc token count, quality score,
+    language guess and top-bigram repetition, filtered to
+    ``quality >= min_quality`` and ``top_bigram_frac <=
+    max_top_bigram``."""
+    col = F.col(text_col)
+    return (df.select(
+        F.col(id_col), col,
+        token_count(col).alias("n_tokens"),
+        quality_score(col).alias("quality"),
+        langid_guess(col).alias("lang_guess"),
+        top_ngram_fraction(col, 2).alias("top_bigram_frac"))
+        .filter((F.col("quality") >= min_quality) &
+                (F.col("top_bigram_frac") <= max_top_bigram)))
+
+
 def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per document with all derived text features."""
     col = F.col(text_col)

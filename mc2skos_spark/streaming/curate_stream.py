@@ -31,10 +31,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.incremental import current_keepers
 from ..functions.pii import scrub_pii
-from ..functions.textstats import (langid_guess, quality_score,
-                                   token_count, top_ngram_fraction)
+from ..functions.textstats import profile_and_gate
 from ..sinks.icebergish import IcebergishCatalog
-from .dedup_stream import StreamingDeduper
+from .dedup_stream import StreamingDeduper, start_stream, union_snapshots
 
 CURATED_TABLE = "curated_batch_%06d"
 
@@ -58,23 +57,28 @@ class StreamingCurator:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         catalog = IcebergishCatalog(self.warehouse, batch.sparkSession)
-        text = F.col(self.text_col)
-        curated = (batch.select(
-            F.col(self.id_col), text,
-            token_count(text).alias("n_tokens"),
-            quality_score(text).alias("quality"),
-            langid_guess(text).alias("lang_guess"),
-            top_ngram_fraction(text, 2).alias("top_bigram_frac"))
-            .filter((F.col("quality") >= self.min_quality) &
-                    (F.col("top_bigram_frac") <= self.max_top_bigram)))
+        # the SAME gate the batch CLI applies (functions/textstats.py)
+        curated = profile_and_gate(batch, self.min_quality,
+                                   self.max_top_bigram,
+                                   self.id_col, self.text_col)
         if self.scrub:
-            curated = curated.withColumn(self.text_col, scrub_pii(text))
-        # one materialization feeds the snapshot write AND the dedup
-        # path; the snapshot lands BEFORE the guarded index/keeper
-        # commits (same order discipline as the pairs snapshot in
-        # dedup_stream — a replay rewrites identical curated bytes,
-        # then the deduper's last_batch_id guard skips the state step)
+            curated = curated.withColumn(
+                self.text_col, scrub_pii(F.col(self.text_col)))
+        # one materialization feeds the replay guard, the snapshot
+        # write AND the dedup path
         curated = curated.localCheckpoint()
+        # the guard runs BEFORE any commit of our own: on a genuine
+        # replay every commit (including the curated snapshot) must be
+        # skipped, and on a checkpoint/warehouse mismatch it raises —
+        # writing the snapshot first would let the error path clobber
+        # the original batch's committed curated rows.  The guard sees
+        # CURATED ids (the set that got indexed): gated-out docs never
+        # entered the index, so raw-batch ids would misread a genuine
+        # replay as a mismatch.
+        if self.deduper.replay_applied(
+                curated.select(self.id_col, self.text_col), batch_id,
+                catalog):
+            return
         catalog.write(CURATED_TABLE % batch_id, curated,
                       lineage_key=self.id_col)
         self.deduper.process_batch(
@@ -88,18 +92,10 @@ def stream_curate(spark: SparkSession, input_dir: str, warehouse: str,
     """Start (and by default drain) a streaming curation over a
     documents directory."""
     curator = StreamingCurator(warehouse, **curator_kwargs)
-    source = (spark.readStream
-              .schema(schema or "doc_id long, text string")
-              .option("maxFilesPerTrigger", str(max_files_per_trigger))
-              .parquet(input_dir))
-    writer = (source.writeStream
-              .foreachBatch(curator.process_batch)
-              .option("checkpointLocation", checkpoint_dir))
-    if available_now:
-        query = writer.trigger(availableNow=True).start()
-        query.awaitTermination()
-        return query
-    return writer.start()
+    return start_stream(spark, input_dir, checkpoint_dir,
+                        curator.process_batch, schema=schema,
+                        available_now=available_now,
+                        max_files_per_trigger=max_files_per_trigger)
 
 
 def curated_corpus(spark: SparkSession, warehouse: str,
@@ -107,14 +103,8 @@ def curated_corpus(spark: SparkSession, warehouse: str,
                    id_col: str = "doc_id") -> DataFrame:
     """Union of all curated snapshots, restricted to current cluster
     keepers (``id == keeper_id`` under the resolved keeper state)."""
+    out = union_snapshots(spark, warehouse, "curated_batch_")
     catalog = IcebergishCatalog(warehouse, spark)
-    tables = catalog.tables("curated_batch_")
-    out = None
-    for t in tables:
-        df = catalog.read(t)
-        out = df if out is None else out.unionByName(df)
-    if out is None:
-        raise FileNotFoundError("no curated snapshots in %s" % warehouse)
     keepers = (current_keepers(catalog, name)
                .filter(F.col("id") == F.col("keeper_id"))
                .select(F.col("id").alias(id_col)))

@@ -49,14 +49,24 @@ class StreamingDeduper:
         self.id_col = id_col
         self.text_col = text_col
         self.threshold = threshold
+        from ..functions.dedup import validate_lsh_params
+        validate_lsh_params(num_hashes, bands)
         self.params = {"n": n, "num_hashes": num_hashes, "bands": bands}
         #: also maintain the append-only keeper/remap cluster state per
         #: batch (incremental_keeper_assign) — the full dedup DECISION
         #: on the stream, not just pair detection
         self.assign_keepers = assign_keepers
 
-    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        catalog = IcebergishCatalog(self.warehouse, batch.sparkSession)
+    def replay_applied(self, batch: DataFrame, batch_id: int,
+                       catalog: IcebergishCatalog | None = None) -> bool:
+        """Bootstrap an empty index when absent; return True when
+        ``batch_id`` is already applied (genuine replay — caller must
+        skip ALL its commits, including any snapshots of its own, so a
+        replay cannot clobber committed state); raise on a
+        checkpoint/warehouse mismatch.  Runs BEFORE any caller-side
+        write by contract."""
+        catalog = catalog or IcebergishCatalog(self.warehouse,
+                                               batch.sparkSession)
         buckets = catalog.current_manifest(self.name + BUCKET_SUFFIX)
         if buckets is None:
             # bootstrap an EMPTY index so batch 0 runs the same
@@ -64,7 +74,8 @@ class StreamingDeduper:
             create_minhash_index(catalog, self.name, batch.limit(0),
                                  self.id_col, self.text_col,
                                  **self.params)
-        elif buckets["properties"].get("last_batch_id", -1) >= batch_id:
+            return False
+        if buckets["properties"].get("last_batch_id", -1) >= batch_id:
             # either a genuine foreachBatch replay of an applied batch
             # (skip silently) — or a FRESH stream checkpoint pointed at
             # an old warehouse, where Spark restarts batch ids at 0 and
@@ -86,6 +97,12 @@ class StreamingDeduper:
                     "original checkpoint, or a fresh warehouse."
                     % (batch_id,
                        buckets["properties"].get("last_batch_id")))
+            return True
+        return False
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        catalog = IcebergishCatalog(self.warehouse, batch.sparkSession)
+        if self.replay_applied(batch, batch_id, catalog):
             return
         if self.assign_keepers:
             # pairs + keeper/remap/index commits in one guarded step;
@@ -108,20 +125,20 @@ class StreamingDeduper:
                               precomputed=pre)
 
 
-def stream_documents(spark: SparkSession, input_dir: str, warehouse: str,
-                     checkpoint_dir: str, schema: str | None = None,
-                     available_now: bool = True,
-                     max_files_per_trigger: int = 1,
-                     **dedup_kwargs):
-    """Start (and by default drain) a streaming dedup over a documents
-    directory.  ``schema`` defaults to the driver documents shape."""
-    deduper = StreamingDeduper(warehouse, **dedup_kwargs)
+def start_stream(spark: SparkSession, input_dir: str,
+                 checkpoint_dir: str, handler,
+                 schema: str | None = None,
+                 available_now: bool = True,
+                 max_files_per_trigger: int = 1):
+    """Shared readStream → foreachBatch boilerplate for the streaming
+    handlers (dedup, curation).  ``schema`` defaults to the driver
+    documents shape; ``available_now`` drains the source and returns."""
     source = (spark.readStream
               .schema(schema or "doc_id long, text string")
               .option("maxFilesPerTrigger", str(max_files_per_trigger))
               .parquet(input_dir))
     writer = (source.writeStream
-              .foreachBatch(deduper.process_batch)
+              .foreachBatch(handler)
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         query = writer.trigger(availableNow=True).start()
@@ -130,15 +147,35 @@ def stream_documents(spark: SparkSession, input_dir: str, warehouse: str,
     return writer.start()
 
 
-def streamed_pairs(spark: SparkSession, warehouse: str) -> DataFrame:
-    """Union of all committed per-batch pair snapshots."""
+def union_snapshots(spark: SparkSession, warehouse: str,
+                    prefix: str) -> DataFrame:
+    """Union of all committed per-batch snapshots under a table
+    prefix."""
     catalog = IcebergishCatalog(warehouse, spark)
-    tables = catalog.tables("dedup_pairs_batch_")
     out = None
-    for t in tables:
+    for t in catalog.tables(prefix):
         df = catalog.read(t)
         out = df if out is None else out.unionByName(df)
     if out is None:
-        raise FileNotFoundError("no streamed pair snapshots in %s"
-                                % warehouse)
+        raise FileNotFoundError("no %s* snapshots in %s"
+                                % (prefix, warehouse))
     return out
+
+
+def stream_documents(spark: SparkSession, input_dir: str, warehouse: str,
+                     checkpoint_dir: str, schema: str | None = None,
+                     available_now: bool = True,
+                     max_files_per_trigger: int = 1,
+                     **dedup_kwargs):
+    """Start (and by default drain) a streaming dedup over a documents
+    directory."""
+    deduper = StreamingDeduper(warehouse, **dedup_kwargs)
+    return start_stream(spark, input_dir, checkpoint_dir,
+                        deduper.process_batch, schema=schema,
+                        available_now=available_now,
+                        max_files_per_trigger=max_files_per_trigger)
+
+
+def streamed_pairs(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Union of all committed per-batch pair snapshots."""
+    return union_snapshots(spark, warehouse, "dedup_pairs_batch_")

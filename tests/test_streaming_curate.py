@@ -52,6 +52,29 @@ def test_stream_curate_end_to_end(spark, tmp_path):
     assert indexed == {1, 6, 11, 12}
 
 
+def test_stream_curate_checkpoint_reset_preserves_snapshots(spark,
+                                                            tmp_path):
+    """Regression: the replay/mismatch guard must run BEFORE the
+    curated snapshot commit — a checkpoint reset (fresh batch ids
+    against an old warehouse) must raise WITHOUT clobbering the
+    original batch's committed curated rows."""
+    wh = str(tmp_path / "wh")
+    curator = StreamingCurator(wh, max_top_bigram=0.5, threshold=0.9,
+                               **PARAMS)
+    b1 = spark.createDataFrame(B1, "doc_id long, text string")
+    b2 = spark.createDataFrame(B2, "doc_id long, text string")
+    curator.process_batch(b1, 0)
+    curator.process_batch(b2, 1)
+    before = {tuple(r) for r in curated_corpus(spark, wh).collect()}
+    fresh = spark.createDataFrame(
+        [(99, "never seen fresh document text here")],
+        "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="checkpoint/warehouse"):
+        curator.process_batch(fresh, 0)
+    assert {tuple(r) for r in curated_corpus(spark, wh).collect()} \
+        == before
+
+
 def test_stream_curate_replay_is_noop(spark, tmp_path):
     wh = str(tmp_path / "wh")
     curator = StreamingCurator(wh, max_top_bigram=0.5, threshold=0.9,
