@@ -58,7 +58,12 @@ def main() -> None:
     parser = argparse.ArgumentParser(
         description="training-corpus curation over a documents table")
     parser.add_argument("--input", required=True,
-                        help="documents parquet (doc_id, text, ...)")
+                        help="documents table (doc_id, text, ...)")
+    parser.add_argument("--format", default="parquet",
+                        choices=["parquet", "jsonl", "csv"],
+                        help="input format (training corpora commonly "
+                             "ship as JSONL; schema is enforced, not "
+                             "inferred, so malformed rows fail loudly)")
     parser.add_argument("--output", required=True,
                         help="output dir (corpus parquet inside)")
     parser.add_argument("--benchmark", default=None,
@@ -110,7 +115,15 @@ def main() -> None:
     ensure_shipped(spark)
 
     stats: dict[str, int] = {}
-    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    schema = "doc_id long, text string"
+    if args.format == "jsonl":
+        docs = spark.read.schema(schema).json(args.input)
+    elif args.format == "csv":
+        docs = spark.read.schema(schema).option("header", "true") \
+            .csv(args.input)
+    else:
+        docs = spark.read.parquet(args.input)
+    docs = docs.select("doc_id", "text")
     stats["input"] = docs.count()
 
     # Lineage discipline: every counted stage is also consumed by the

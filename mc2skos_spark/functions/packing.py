@@ -40,6 +40,12 @@ def pack_sequences(docs: DataFrame, capacity: int,
               for r in (parted.groupBy("__pid")
                         .agg(F.sum(tokens_col).cast("long").alias("tot"))
                         .collect())}
+    if not totals:
+        # empty input: an empty literal map types as map<void,void> and
+        # fails analysis on the lookup — emit the (empty) typed result
+        return (parted.drop("__pid")
+                .withColumn("start_offset", F.lit(0).cast("long"))
+                .withColumn("seq_id", F.lit(0).cast("long")))
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(totals):

@@ -73,6 +73,38 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     assert result["n_sequences"] == -(-acc // 16)
 
 
+def test_curate_cli_jsonl_input_and_empty_output(spark, tmp_path):
+    """JSONL source format; a corpus that is entirely gated out flows
+    through every stage to an empty corpus with zero sequences (no
+    crashes on empty aggregates / empty prefix sums)."""
+    src = tmp_path / "docs.jsonl"
+    with open(src, "w") as fp:
+        fp.write('{"doc_id": 1, "text": "spam spam spam spam spam"}\n')
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", str(src), "--format", "jsonl",
+         "--output", str(tmp_path / "out"),
+         "--max-top-bigram", "0.5", "--capacity", "16"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["stats"]["input"] == 1
+    assert result["stats"]["after_quality_filter"] == 0
+    assert result["stats"]["output"] == 0
+    assert result["n_sequences"] == 0
+    assert result["total_tokens"] == 0
+
+
+def test_curate_cli_rejects_bad_lsh_params(tmp_path):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", "x", "--output", "y",
+         "--num-hashes", "4", "--bands", "8"],
+        capture_output=True, text=True, timeout=60)
+    assert out.returncode != 0
+    assert "LSH banding" in out.stderr
+
+
 def test_curate_cli_rejects_malformed_rates(tmp_path):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
