@@ -850,6 +850,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      fl(F.percentile("n_tokens", F.lit(0.9)))
                      .alias("p90_tokens")))
 
+    def curation_e2e(spark, sf_dir):
+        # the batch curation pipeline end-to-end (jobs/curate.py order,
+        # minus the xxhash near-dup stage): profile+gate → exact dedup
+        # (min-id keeper) → deterministic stratified sample → sequence
+        # packing — one driver row hash-verifying the STAGE COMPOSITION,
+        # not just each stage alone
+        from mc2skos_spark.functions.packing import \
+            pack_sequences as pack
+        from mc2skos_spark.functions.sampling import stratified_sample
+        from mc2skos_spark.functions.textstats import profile_and_gate
+        docs = _t(spark, sf_dir, "documents")
+        kept = profile_and_gate(docs, min_quality=0.1,
+                                max_top_bigram=0.5)
+        exact = (kept.groupBy("text")
+                 .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
+        kept = kept.join(exact, "doc_id")
+        kept = stratified_sample(kept, "lang_guess",
+                                 {"en": 0.6, "es": 0.3},
+                                 default_rate=0.1)
+        return (pack(kept.select("doc_id", "lang_guess", "n_tokens"),
+                     capacity=256)
+                .select("doc_id", "lang_guess", "n_tokens",
+                        "start_offset", "seq_id"))
+
     def text_fingerprint(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.select("doc_id",
@@ -913,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_domains": text_url_domains,
         "pack_sequences": pack_sequences,
         "corpus_token_stats": corpus_token_stats,
+        "curation_e2e": curation_e2e,
         "text_fingerprint": text_fingerprint,
         "text_rolling_fingerprint": text_rolling_fingerprint,
     }
@@ -1453,6 +1478,107 @@ def oracle_sql() -> dict[str, str]:
                    floor(quantile_cont(n_tokens, 0.9) * 100) / 100
                        AS p90_tokens
             FROM t GROUP BY lang""",
+        # the full batch-curation composition in one SQL chain: gate
+        # (quality + top-bigram) → min-id exact dedup → xorshift-hash
+        # stratified sample → window prefix-sum packing
+        "curation_e2e": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            feats AS (
+                SELECT doc_id, text, tk, len(tk) AS nt,
+                       length(text) AS l,
+                       length(regexp_replace(text, '[^.,;:!?]', '',
+                                             'g')) AS punct
+                FROM toks),
+            q AS (
+                SELECT doc_id, text, tk, nt,
+                       floor(greatest(0.0::DOUBLE, least(1.0::DOUBLE,
+                           0.5::DOUBLE * least(nt / 100.0::DOUBLE,
+                                               1.0::DOUBLE)
+                         + 0.3::DOUBLE * least((l / greatest(nt, 1))
+                                               / 8.0::DOUBLE,
+                                               1.0::DOUBLE)
+                         + 0.2::DOUBLE * (1.0::DOUBLE -
+                               least(punct / greatest(l, 1)
+                                     * 10.0::DOUBLE, 1.0::DOUBLE))))
+                           * 10000) / 10000 AS quality
+                FROM feats),
+            grams AS (
+                SELECT doc_id, tk[i + 1] || ' ' || tk[i + 2] AS bg
+                FROM q, unnest(range(greatest(len(tk) - 1, 1))) AS u(i)
+                WHERE len(tk) >= 2),
+            top AS (
+                SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM (
+                    SELECT doc_id, bg, count(*) AS c
+                    FROM grams GROUP BY 1, 2) GROUP BY 1),
+            rep AS (
+                SELECT q.*, coalesce(floor(mx * 1.0 / tot * 10000)
+                                     / 10000, 0.0) AS top_bigram_frac
+                FROM q LEFT JOIN top USING (doc_id)),
+            hits AS (
+                SELECT doc_id,
+                       len(list_filter(tk, t -> t IN
+                           ('the','and','of','to','in'))) AS h_en,
+                       len(list_filter(tk, t -> t IN
+                           ('el','la','de','que','los'))) AS h_es,
+                       len(list_filter(tk, t -> t IN
+                           ('der','die','und','das','ist'))) AS h_de,
+                       len(list_filter(tk, t -> t IN
+                           ('le','la','et','les','des'))) AS h_fr
+                FROM rep),
+            lang AS (
+                SELECT doc_id,
+                       CASE WHEN greatest(h_en, h_es, h_de, h_fr) = 0
+                                THEN 'und'
+                            WHEN h_fr > greatest(h_en, h_es, h_de)
+                                THEN 'fr'
+                            WHEN h_de > greatest(h_en, h_es) THEN 'de'
+                            WHEN h_es > h_en THEN 'es'
+                            ELSE 'en' END AS lang_guess
+                FROM hits),
+            gated AS (
+                SELECT r.doc_id, r.text, cast(r.nt AS int) AS n_tokens,
+                       l.lang_guess
+                FROM rep r JOIN lang l USING (doc_id)
+                WHERE r.quality >= 0.1 AND r.top_bigram_frac <= 0.5),
+            exact AS (
+                SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+            deduped AS (
+                SELECT g.doc_id, g.n_tokens, g.lang_guess
+                FROM gated g JOIN exact USING (doc_id)),
+            s1 AS (
+                SELECT *, ((doc_id % 2147483648) * 2654435761
+                           + 1013904223) % 2147483648 AS x
+                FROM deduped),
+            s2 AS (
+                SELECT * EXCLUDE (x),
+                       (xor(x, x // 65536) * 1540483477)
+                           % 2147483648 AS x
+                FROM s1),
+            s3 AS (
+                SELECT * EXCLUDE (x), xor(x, x // 65536) AS x FROM s2),
+            sampled AS (
+                SELECT doc_id, lang_guess, n_tokens FROM s3
+                WHERE x / 2147483648.0
+                      < CASE WHEN lang_guess = 'en' THEN 0.6
+                             WHEN lang_guess = 'es' THEN 0.3
+                             ELSE 0.1 END)
+            SELECT doc_id, lang_guess, n_tokens,
+                   cast(coalesce(sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS bigint)
+                       AS start_offset,
+                   cast(coalesce(sum(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS bigint)
+                       // 256 AS seq_id
+            FROM sampled""",
         # per-domain URL stats over the same planted spans
         "text_url_domains": """
             WITH seeded AS (

@@ -117,7 +117,7 @@ def run_benchmark():
         # contamination (broadcast shingle probe), SemDeDup keepers
         "text_repetition", "contamination_ngram", "dedup_semantic",
         "text_pii_scrub", "sample_stratified", "text_url_domains",
-        "pack_sequences", "corpus_token_stats",
+        "pack_sequences", "corpus_token_stats", "curation_e2e",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization
