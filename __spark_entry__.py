@@ -863,7 +863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         kept = profile_and_gate(docs, min_quality=0.1,
                                 max_top_bigram=0.5)
-        exact = (kept.groupBy("text")
+        # digest grouping: shuffle 32 bytes/doc, not the document
+        # (identical keepers; oracle keeps GROUP BY text)
+        exact = (kept.groupBy(F.sha2(F.col("text"), 256))
                  .agg(F.min("doc_id").alias("doc_id")).select("doc_id"))
         kept = kept.join(exact, "doc_id")
         kept = stratified_sample(kept, "lang_guess",

@@ -157,8 +157,10 @@ def main() -> None:
         # the 3-pattern regexp scrub would re-run per consumer
         kept = cut(kept.withColumn("text", scrub_pii(F.col("text"))))
 
-    # exact dedup: deterministic min-id keeper per identical text
-    exact_keepers = (kept.groupBy("text")
+    # exact dedup: deterministic min-id keeper per identical text —
+    # grouped by sha2-256 digest so the shuffle moves 32 bytes/doc,
+    # not the document (same keepers; see functions/dedup.py)
+    exact_keepers = (kept.groupBy(F.sha2(F.col("text"), 256))
                      .agg(F.min("doc_id").alias("doc_id"))
                      .select("doc_id"))
     kept = cut(kept.join(exact_keepers, "doc_id"))

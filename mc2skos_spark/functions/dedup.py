@@ -77,8 +77,15 @@ def hashed_shingles(col, n: int = 3):
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Groups of byte-identical documents: (keeper_id, dup_count)."""
-    return (df.groupBy(text_col)
+    """Groups of byte-identical documents: (keeper_id, dup_count).
+
+    Groups by sha2-256(text), not the text itself, so the shuffle
+    carries a 32-byte digest per document instead of the document —
+    the difference between shuffling ~100 TB and ~30 GB at corpus
+    scale.  Identical output (a 256-bit collision would need ~2^128
+    docs); the SQL oracle keeps GROUP BY text.
+    """
+    return (df.groupBy(F.sha2(F.col(text_col), 256).alias("__digest"))
             .agg(F.min(id_col).alias("keeper_id"),
                  F.count(F.lit(1)).alias("dup_count"))
             .filter(F.col("dup_count") > 1)
