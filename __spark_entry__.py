@@ -802,6 +802,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  default_rate=0.05) \
             .select("doc_id", "lang")
 
+    def sample_mixture(spark, sf_dir):
+        # temperature-scaled corpus mixing (alpha = 0.5 multilingual
+        # sampling): per-language keep rates derived from sqrt-scaled
+        # token shares under a 50%-of-corpus token budget — scarce
+        # languages upsampled, dominant ones cut.  Rates broadcast-join
+        # back; the keep decision is the same pure id-hash as
+        # sample_stratified, so the oracle verifies the EXACT rows.
+        from mc2skos_spark.functions.sampling import \
+            mixture_weighted_sample
+        docs = _t(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", "lang", token_count(F.col("text")).alias("n_tokens"))
+        return (mixture_weighted_sample(toks, "lang", budget_frac=0.5)
+                .select("doc_id", "lang", "n_tokens"))
+
     def text_url_domains(spark, sf_dir):
         # C4-style per-domain corpus stats.  The synthetic corpus has
         # no URLs, so the query plants deterministic ones in every 5th
@@ -936,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_ngram": contamination_ngram,
         "text_pii_scrub": text_pii_scrub,
         "sample_stratified": sample_stratified,
+        "sample_mixture": sample_mixture,
         "text_url_domains": text_url_domains,
         "pack_sequences": pack_sequences,
         "corpus_token_stats": corpus_token_stats,
@@ -1441,6 +1457,54 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 0.5
                          WHEN lang = 'es' THEN 0.25
                          ELSE 0.05 END""",
+        # temperature-scaled mixture sampling: integer sqrt weights
+        # (floor of a correctly-rounded IEEE sqrt — exact cross-engine),
+        # exact integer weight sums (double sums are addition-order-
+        # dependent), identically-parenthesized double rate expression,
+        # and the same xorshift keep-hash as sample_stratified
+        "sample_mixture": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       cast(len(list_filter(
+                           regexp_split_to_array(text, '\\s+'),
+                           x -> x != '')) AS int) AS n_tokens
+                FROM documents),
+            s AS (
+                SELECT lang, cast(sum(n_tokens) AS bigint) AS st
+                FROM t GROUP BY lang),
+            w AS (
+                SELECT lang, st,
+                       cast(floor(sqrt(cast(st AS DOUBLE))) AS bigint)
+                           AS w
+                FROM s),
+            g AS (
+                SELECT cast(sum(st) AS bigint) AS tot,
+                       cast(sum(w) AS bigint) AS wsum
+                FROM w),
+            r AS (
+                SELECT lang,
+                       least(1.0::DOUBLE,
+                             (0.5::DOUBLE * cast(tot AS DOUBLE)
+                              * cast(w AS DOUBLE))
+                             / (cast(wsum AS DOUBLE)
+                                * cast(st AS DOUBLE))) AS rate
+                FROM w, g),
+            h1 AS (
+                SELECT doc_id, lang, n_tokens,
+                       ((doc_id % 2147483648) * 2654435761 + 1013904223)
+                           % 2147483648 AS x
+                FROM t),
+            h2 AS (
+                SELECT doc_id, lang, n_tokens,
+                       (xor(x, x // 65536) * 1540483477)
+                           % 2147483648 AS x
+                FROM h1),
+            h3 AS (
+                SELECT doc_id, lang, n_tokens, xor(x, x // 65536) AS x
+                FROM h2)
+            SELECT doc_id, h3.lang, n_tokens
+            FROM h3 JOIN r ON h3.lang = r.lang
+            WHERE x / 2147483648.0 < rate""",
         # sequence packing: window prefix-sum oracle; the Spark side
         # computes the identical values without the single-partition
         # window (range partitions + per-partition offsets)

@@ -60,3 +60,54 @@ def stratified_sample(df: DataFrame, strata_col: str,
         rate = F.when(F.col(strata_col) == value, F.lit(float(r))) \
                 .otherwise(rate)
     return df.filter(hash_fraction(F.col(id_col)) < rate)
+
+
+def mixture_weighted_sample(df: DataFrame, strata_col: str,
+                            budget_frac: float,
+                            tokens_col: str = "n_tokens",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Temperature-scaled corpus mixing (multilingual alpha-sampling
+    with alpha = 0.5): derive per-stratum keep rates so the SAMPLED
+    token mixture follows sqrt-scaled stratum shares — scarce strata
+    are upsampled relative to their raw share, dominant ones
+    downsampled — within a total token budget of ``budget_frac`` x
+    the corpus.  rate_s = min(1, budget * target_share_s / tokens_s)
+    with target_share_s = sqrt(tokens_s) / sum(sqrt(tokens_t)).
+
+    Fully distributed: one partial-combined aggregate builds the
+    (tiny) per-stratum stats table, the rates broadcast-join back
+    onto the corpus, and the keep decision is the same pure
+    ``hash_fraction`` as ``stratified_sample`` — deterministic under
+    retries, resumes and repartitions.  Nothing row-scale ever
+    reaches the driver.
+
+    Cross-engine exactness (the driver oracle hash-compares the exact
+    row selection): the weight is floor(sqrt(tokens)) folded back to
+    INT64 — IEEE sqrt is correctly rounded, and for any token count
+    below ~1e24 the floor cannot straddle a perfect-square boundary,
+    so both engines get the identical integer weight; the weight SUM
+    then happens in exact integer arithmetic (double summation would
+    be addition-order-dependent and is NOT reproducible across
+    engines).  The final rate is built from two exactly-rounded
+    double products and one division, parenthesized identically in
+    the SQL oracle.  An all-empty stratum (token sum 0) gets rate
+    NaN (0/0) and is dropped by the ``<`` comparison in both engines.
+    """
+    st = (df.groupBy(strata_col)
+          .agg(F.sum(tokens_col).cast("long").alias("__st_tokens")))
+    st = st.withColumn(
+        "__w",
+        F.floor(F.sqrt(F.col("__st_tokens").cast("double"))).cast("long"))
+    tot = st.agg(F.sum("__st_tokens").cast("long").alias("__tot"),
+                 F.sum("__w").cast("long").alias("__wsum"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(budget_frac)) * F.col("__tot").cast("double")
+         * F.col("__w").cast("double"))
+        / (F.col("__wsum").cast("double")
+           * F.col("__st_tokens").cast("double")))
+    rates = (st.crossJoin(F.broadcast(tot))
+             .select(strata_col, rate.alias("__rate")))
+    return (df.join(F.broadcast(rates), strata_col)
+            .filter(hash_fraction(F.col(id_col)) < F.col("__rate"))
+            .drop("__rate"))

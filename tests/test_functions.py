@@ -315,6 +315,49 @@ def test_stratified_sample_deterministic(spark):
     assert 0.35 < len(ids1) / 500 < 0.65        # ~half the en stratum
 
 
+def test_mixture_weighted_sample(spark):
+    """alpha=0.5 mixture: rates follow sqrt-scaled token shares under
+    the budget (Python-recomputed per stratum), the scarce stratum is
+    upsampled relative to its raw share, and selection is partition-
+    layout-independent."""
+    import math
+    from mc2skos_spark.functions.sampling import (hash_fraction,
+                                                  mixture_weighted_sample)
+    # 'en' dominates tokens 10:1; alpha=0.5 narrows that to sqrt(10):1
+    df = spark.range(0, 1200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 12 < 10, "en").otherwise("sw").alias("lang"),
+        F.lit(20).alias("n_tokens"))
+    out = mixture_weighted_sample(df, "lang", budget_frac=0.5)
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    # layout independence
+    ids2 = {r["doc_id"] for r in
+            mixture_weighted_sample(df.repartition(7), "lang",
+                                    budget_frac=0.5).collect()}
+    assert ids == ids2
+    # expected rates, recomputed independently (integer sqrt weights)
+    st = {"en": 1000 * 20, "sw": 200 * 20}
+    w = {k: math.isqrt(v) for k, v in st.items()}
+    tot, wsum = sum(st.values()), sum(w.values())
+    rate = {k: min(1.0, (0.5 * tot * w[k]) / (wsum * st[k])) for k in st}
+    assert rate["sw"] > rate["en"]          # scarce stratum upsampled
+    # exact membership: the keep decision is hash_fraction < rate
+    frac = {r["doc_id"]: r["f"] for r in
+            df.select("doc_id",
+                      hash_fraction(F.col("doc_id")).alias("f")).collect()}
+    exp = {i for i in range(1200)
+           if frac[i] < rate["en" if i % 12 < 10 else "sw"]}
+    assert ids == exp
+    # sampled token mixture moves toward the sqrt-share target
+    kept_en = sum(1 for i in ids if i % 12 < 10)
+    kept_sw = len(ids) - kept_en
+    raw_ratio = st["en"] / st["sw"]                      # 5.0
+    target_ratio = w["en"] / w["sw"]                     # ~2.24
+    got_ratio = kept_en / max(kept_sw, 1)
+    assert abs(got_ratio - target_ratio) < abs(got_ratio - raw_ratio)
+
+
 def test_domain_doc_counts(spark):
     """Distinct-doc and total-URL counts per extracted host domain;
     URL-free docs contribute nothing."""
