@@ -834,6 +834,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .otherwise(F.col("text")).alias("text"))
         return domain_doc_counts(seeded)
 
+    def bpe_pair_stats(spark, sf_dir):
+        # distributed BPE vocabulary induction, round-1 statistics:
+        # corpus → word-frequency table (the only corpus-scale stage)
+        # → adjacent character-pair counts → deterministic top-20.
+        # The multi-round merge trainer is pytest-verified against a
+        # pure-Python reference (tests/test_functions.py).
+        from mc2skos_spark.functions.bpe import bpe_pair_stats as stats
+        docs = _t(spark, sf_dir, "documents")
+        return stats(docs, top_k=20)
+
     def pack_sequences(spark, sf_dir):
         # sequence packing: distributed exclusive prefix sum of token
         # counts in doc_id order → fixed-capacity sequence assignment
@@ -953,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "sample_mixture": sample_mixture,
         "text_url_domains": text_url_domains,
+        "bpe_pair_stats": bpe_pair_stats,
         "pack_sequences": pack_sequences,
         "corpus_token_stats": corpus_token_stats,
         "curation_e2e": curation_e2e,
@@ -1505,6 +1516,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, h3.lang, n_tokens
             FROM h3 JOIN r ON h3.lang = r.lang
             WHERE x / 2147483648.0 < rate""",
+        # BPE round-1 pair statistics: word-frequency table → adjacent
+        # char pairs weighted by word count → top-20 under the total
+        # order (count desc, a, b) so the cutoff is engine-independent
+        "bpe_pair_stats": """
+            WITH words AS (
+                SELECT w AS word, count(*) AS cnt
+                FROM documents,
+                     unnest(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS u(w)
+                GROUP BY w),
+            pairs AS (
+                SELECT substring(word, i, 1) AS a,
+                       substring(word, i + 1, 1) AS b, cnt
+                FROM words, unnest(range(1, length(word))) AS r(i))
+            SELECT a, b, cast(sum(cnt) AS bigint) AS pair_count
+            FROM pairs GROUP BY a, b
+            ORDER BY pair_count DESC, a, b LIMIT 20""",
         # sequence packing: window prefix-sum oracle; the Spark side
         # computes the identical values without the single-partition
         # window (range partitions + per-partition offsets)

@@ -1,0 +1,127 @@
+"""Distributed BPE vocabulary induction over a document corpus.
+
+Byte-pair-encoding training is a corpus-scale counting problem with a
+tiny iterative core: (1) reduce the corpus to a WORD-FREQUENCY table
+(one shuffle — by Heaps' law the distinct-word table is orders of
+magnitude smaller than a 100 TB corpus, and this is the only stage
+that ever touches document text); (2) repeatedly count adjacent
+symbol pairs weighted by word frequency and merge the most frequent
+pair inside every word's symbol array.  Fast BPE trainers all work on
+the word table for exactly this reason — the merge loop never
+re-reads the corpus.
+
+Everything here is JVM-side (`transform` / `aggregate` HOFs over
+symbol arrays — no Python in any hot path).  Per merge round the
+driver receives exactly ONE row (the winning pair); the word table is
+`localCheckpoint`-ed each round to truncate the growing lineage, the
+same loop discipline as `operators/closure.py`.
+
+Round-1 pair statistics are plain-SQL-expressible and hash-verified
+against DuckDB by the driver (`bpe_pair_stats`); the multi-round
+trainer is verified against a pure-Python reference implementation in
+`tests/test_functions.py`.
+
+ANSI-mode discipline: array subscripts throw on out-of-range under
+ANSI, so single-symbol words short-circuit to an empty pair array
+(`sequence(1, 0)` would also yield the DECREASING sequence [1, 0],
+not an empty one), and the fold reads its last element with 0-based
+`get()` (NULL out of range, never a throw).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mc2skos_spark.functions.textstats import BPE_ISH_PATTERN
+
+_CHARS = "CASE WHEN length(word) < 1 THEN cast(array() AS array<string>)" \
+    " ELSE transform(sequence(1, length(word)), i -> substring(word, i, 1))" \
+    " END"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, cnt, syms) word-frequency table under the
+    BPE-ish pre-tokenizer, each word exploded to its character-symbol
+    array.  The ONLY corpus-scale stage of BPE training."""
+    return (docs
+            .select(F.explode(
+                F.regexp_extract_all(F.col(text_col),
+                                     F.lit(BPE_ISH_PATTERN), 0))
+                .alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .withColumn("syms", F.expr(_CHARS)))
+
+
+def _adjacent_pairs(syms_col: str) -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs; empty for words of
+    fewer than two symbols (never an ANSI subscript throw)."""
+    return F.expr(
+        f"CASE WHEN size({syms_col}) < 2"
+        f" THEN cast(array() AS array<struct<a: string, b: string>>)"
+        f" ELSE transform(sequence(1, size({syms_col}) - 1),"
+        f"      i -> struct({syms_col}[i - 1] AS a, {syms_col}[i] AS b))"
+        f" END")
+
+
+def pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the current symbolization,
+    weighted by word count: (a, b, pair_count)."""
+    return (words
+            .select("cnt", F.explode(_adjacent_pairs("syms")).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("long").alias("pair_count")))
+
+
+def bpe_pair_stats(docs: DataFrame, top_k: int = 20,
+                   text_col: str = "text") -> DataFrame:
+    """Round-1 BPE statistics: the ``top_k`` most frequent adjacent
+    character pairs (count desc, then (a, b) asc — a total order, so
+    the cutoff is deterministic in any engine)."""
+    return (pair_counts(word_counts(docs, text_col))
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(top_k))
+
+
+def merge_pair(syms_col: Column, a: str, b: str) -> Column:
+    """Greedy leftmost BPE merge of the pair (a, b) inside one symbol
+    array — a single `aggregate` fold; the merged token is not itself
+    re-merged within the same round (after emitting a||b the fold's
+    last element is the merged token, which no longer equals ``a``
+    unless it legitimately forms the pair again)."""
+    ab = a + b
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.get(acc, F.size(acc) - 1) == F.lit(a)) & (s == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.lit(ab))))
+        .otherwise(F.concat(acc, F.array(s))))
+
+
+def train_bpe_merges(docs: DataFrame, n_merges: int,
+                     text_col: str = "text",
+                     min_pair_count: int = 2) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges: [(a, b, pair_count), ...] in
+    merge order.  Stops early when no pair reaches ``min_pair_count``.
+
+    Scale shape: one corpus shuffle up front (word counts), then per
+    round two jobs over the compact word table (pair aggregate + merge
+    projection) and ONE row to the driver.  The table is checkpointed
+    per round, so lineage stays O(1) regardless of merge count.
+    """
+    cur = word_counts(docs, text_col).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(int(n_merges)):
+        top = (pair_counts(cur)
+               .orderBy(F.desc("pair_count"), "a", "b").limit(1)
+               .collect())
+        if not top or top[0]["pair_count"] < min_pair_count:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
+        merges.append((a, b, c))
+        cur = (cur.select("word", "cnt",
+                          merge_pair(F.col("syms"), a, b).alias("syms"))
+               .localCheckpoint())
+    return merges

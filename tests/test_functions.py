@@ -315,6 +315,69 @@ def test_stratified_sample_deterministic(spark):
     assert 0.35 < len(ids1) / 500 < 0.65        # ~half the en stratum
 
 
+def _bpe_reference(texts, n_merges, min_pair_count=2):
+    """Pure-Python BPE trainer (word-frequency table, greedy leftmost
+    merge, tie-break count desc then (a, b) asc) — the independent
+    oracle for train_bpe_merges."""
+    import re
+    from collections import Counter
+    from mc2skos_spark.functions.textstats import BPE_ISH_PATTERN
+    words = Counter(w for t in texts for w in re.findall(BPE_ISH_PATTERN, t))
+    syms = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, cnt in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        if not pairs:
+            break
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_pair_count:
+            break
+        merges.append((a, b, c))
+        for w, s in syms.items():
+            out = []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            syms[w] = out
+    return merges
+
+
+def test_bpe_trainer_matches_python_reference(spark):
+    """Multi-round distributed BPE training equals the pure-Python
+    reference on a corpus with repeats, single-char words, punctuation
+    runs and an a==b merge ('aaaa' → greedy leftmost [aa, aa])."""
+    from mc2skos_spark.functions.bpe import train_bpe_merges
+    texts = ["the cat sat on the mat", "the theme of the thesis",
+             "aaaa aaaa baaa!", "low lower lowest low", "a b c, c b a",
+             "123 1234 12", "don't stop, don't!"] * 3
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    got = train_bpe_merges(df, n_merges=8)
+    exp = _bpe_reference(texts, n_merges=8)
+    assert got == exp
+    assert len(got) == 8                      # corpus supports 8 rounds
+    # and the learned merges include multi-char continuations
+    assert any(len(a) > 1 or len(b) > 1 for a, b, _ in got)
+
+
+def test_bpe_pair_stats_total_order(spark):
+    """Round-1 stats: counts are word-frequency weighted and the top-k
+    cutoff follows the documented (count desc, a, b) total order."""
+    from mc2skos_spark.functions.bpe import bpe_pair_stats
+    df = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "ab cd"), (3, "cd x")],
+        ["doc_id", "text"])
+    rows = [(r["a"], r["b"], r["pair_count"])
+            for r in bpe_pair_stats(df, top_k=2).collect()]
+    assert rows == [("a", "b", 4), ("c", "d", 2)]
+
+
 def test_mixture_weighted_sample(spark):
     """alpha=0.5 mixture: rates follow sqrt-scaled token shares under
     the budget (Python-recomputed per stratum), the scarce stratum is
