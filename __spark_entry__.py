@@ -856,6 +856,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (pack(with_tokens, capacity=512)
                 .select("doc_id", "n_tokens", "start_offset", "seq_id"))
 
+    def chunk_sliding(spark, sf_dir):
+        # sliding-window chunking: 64-token windows advancing by 48
+        # (overlapping context windows for long documents) — a pure
+        # projection + explode, zero shuffle; token array bound once
+        from mc2skos_spark.functions.packing import chunk_documents
+        docs = _t(spark, sf_dir, "documents")
+        return chunk_documents(docs, max_len=64, stride=48)
+
     def corpus_token_stats(spark, sf_dir):
         # per-language corpus length distribution: count / mean /
         # exact interpolated median + p90 of token counts — the
@@ -965,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_domains": text_url_domains,
         "bpe_pair_stats": bpe_pair_stats,
         "pack_sequences": pack_sequences,
+        "chunk_sliding": chunk_sliding,
         "corpus_token_stats": corpus_token_stats,
         "curation_e2e": curation_e2e,
         "text_fingerprint": text_fingerprint,
@@ -1555,6 +1564,29 @@ def oracle_sql() -> dict[str, str]:
                                      AND 1 PRECEDING), 0) AS bigint)
                        // 512 AS seq_id
             FROM t""",
+        # sliding-window chunking: 64/48 token windows; list slicing
+        # clamps identically in both engines and the ceil-div chunk
+        # count is exact integer arithmetic on the oracle side
+        "chunk_sliding": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            c AS (
+                SELECT doc_id, tk,
+                       CASE WHEN len(tk) <= 64 THEN 1
+                            ELSE 1 + ((len(tk) - 64 + 47) // 48)
+                       END AS n_chunks
+                FROM t)
+            SELECT doc_id,
+                   cast(i AS int) AS chunk_idx,
+                   cast(i * 48 AS int) AS chunk_start,
+                   cast(len(tk[i * 48 + 1 : i * 48 + 64]) AS int)
+                       AS n_chunk_tokens,
+                   array_to_string(tk[i * 48 + 1 : i * 48 + 64], ' ')
+                       AS chunk_text
+            FROM c, unnest(range(n_chunks)) AS u(i)""",
         # percentile family: Spark's exact F.percentile and DuckDB's
         # quantile_cont both linearly interpolate — floor-truncated to
         # 2 decimals for boundary safety

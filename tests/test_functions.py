@@ -378,6 +378,33 @@ def test_bpe_pair_stats_total_order(spark):
     assert rows == [("a", "b", 4), ("c", "d", 2)]
 
 
+def test_chunk_documents_windows(spark):
+    """Window math: short doc → one chunk; exact-boundary doc → one
+    chunk; long doc → overlapping windows whose last window reaches
+    the final token; empty doc → one empty chunk."""
+    import pytest
+    from mc2skos_spark.functions.packing import chunk_documents
+    words = lambda n: " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, words(3)), (2, words(4)), (3, words(10)), (4, "")],
+        ["doc_id", "text"])
+    out = chunk_documents(df, max_len=4, stride=3)
+    got = {(r["doc_id"], r["chunk_idx"]):
+           (r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"])
+           for r in out.collect()}
+    assert got[(1, 0)] == (0, 3, "w0 w1 w2")
+    assert got[(2, 0)] == (0, 4, "w0 w1 w2 w3")       # boundary: 1 chunk
+    assert (2, 1) not in got
+    # 10 tokens, max_len 4, stride 3 → 1 + ceil(6/3) = 3 chunks
+    assert got[(3, 0)] == (0, 4, "w0 w1 w2 w3")
+    assert got[(3, 1)] == (3, 4, "w3 w4 w5 w6")       # overlap of 1
+    assert got[(3, 2)] == (6, 4, "w6 w7 w8 w9")       # reaches token 9
+    assert (3, 3) not in got
+    assert got[(4, 0)] == (0, 0, "")
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_len=4, stride=5)
+
+
 def test_mixture_weighted_sample(spark):
     """alpha=0.5 mixture: rates follow sqrt-scaled token shares under
     the budget (Python-recomputed per stratum), the scarce stratum is
