@@ -909,6 +909,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "lang_guess", "n_tokens",
                         "start_offset", "seq_id"))
 
+    def ret_bm25_topk(spark, sf_dir):
+        # BM25 keyword retrieval: term-filtered token explode (shuffle
+        # is O(query hits), not O(corpus)), broadcast df/stats joins,
+        # TakeOrdered top-k; per-term contributions integerized before
+        # the group-sum so the score is summation-order-independent
+        from mc2skos_spark.functions.retrieval import bm25_topk
+        docs = _t(spark, sf_dir, "documents")
+        return bm25_topk(docs, ["spark", "join", "window", "stream"],
+                         k=10)
+
+    def dedup_substring_spans(spark, sf_dir):
+        # exact repeated-substring dedup (Lee et al. 2022, shuffle-
+        # native): 8-token windows keyed by xxhash64, duplicate keys
+        # (>=2 distinct docs) equi-joined back, per-doc islands merge;
+        # the oracle keys on the window TEXT, cross-checking the
+        # hash-key shortcut
+        from mc2skos_spark.functions.dedup import repeated_substring_spans
+        docs = _t(spark, sf_dir, "documents")
+        return repeated_substring_spans(docs, window=8, min_docs=2)
+
     def text_fingerprint(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return docs.select("doc_id",
@@ -974,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_stats": bpe_pair_stats,
         "pack_sequences": pack_sequences,
         "chunk_sliding": chunk_sliding,
+        "ret_bm25_topk": ret_bm25_topk,
+        "dedup_substring_spans": dedup_substring_spans,
         "corpus_token_stats": corpus_token_stats,
         "curation_e2e": curation_e2e,
         "text_fingerprint": text_fingerprint,
@@ -1587,6 +1609,82 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tk[i * 48 + 1 : i * 48 + 64], ' ')
                        AS chunk_text
             FROM c, unnest(range(n_chunks)) AS u(i)""",
+        # BM25: per-(doc,term) contributions floor-truncated to 1e-4
+        # and summed as BIGINTs (order-independent across engines),
+        # divided back once; ln / division / multiplication are IEEE-
+        # identical in Spark and DuckDB
+        "ret_bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            stats AS (
+                SELECT count(*)::DOUBLE AS n_docs,
+                       avg(len(tk))::DOUBLE AS avgdl
+                FROM toks),
+            tf AS (
+                SELECT doc_id, len(tk) AS dl, t.term AS term,
+                       count(*)::DOUBLE AS tf
+                FROM toks, unnest(list_filter(tk,
+                         x -> x IN ('spark', 'join', 'window',
+                                    'stream'))) AS t(term)
+                GROUP BY doc_id, dl, term),
+            dfreq AS (
+                SELECT term, count(*)::DOUBLE AS df FROM tf
+                GROUP BY term),
+            scored AS (
+                SELECT doc_id,
+                       CAST(floor(
+                           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                           * (tf * (1.2 + 1))
+                           / (tf + 1.2 * (1 - 0.75
+                                          + 0.75 * dl / avgdl))
+                           * 10000) AS BIGINT) AS s
+                FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+            SELECT doc_id, sum(s) / 10000.0 AS bm25
+            FROM scored GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT 10""",
+        # repeated-substring spans: the oracle keys duplicate windows
+        # on the window TEXT where the Spark plan ships xxhash64 keys —
+        # matching spans cross-check the hash shortcut end-to-end
+        "dedup_substring_spans": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            wins AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(tk[i : i + 7], ' ') AS wtext
+                FROM toks, unnest(range(1, len(tk) - 6)) AS r(i)),
+            dup AS (
+                SELECT wtext FROM wins GROUP BY wtext
+                HAVING count(DISTINCT doc_id) >= 2),
+            flagged AS (
+                SELECT doc_id, pos, pos + 8 AS e
+                FROM wins JOIN dup USING (wtext)),
+            isl AS (
+                SELECT doc_id, pos, e,
+                       CASE WHEN pos > coalesce(max(e) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS ni
+                FROM flagged),
+            isl2 AS (
+                SELECT doc_id, pos, e,
+                       sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS island
+                FROM isl)
+            SELECT doc_id,
+                   cast(min(pos) AS int) AS span_start,
+                   cast(max(e) AS int) AS span_end,
+                   count(*) AS n_windows
+            FROM isl2 GROUP BY doc_id, island""",
         # percentile family: Spark's exact F.percentile and DuckDB's
         # quantile_cont both linearly interpolate — floor-truncated to
         # 2 decimals for boundary safety

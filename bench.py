@@ -118,6 +118,9 @@ def run_benchmark():
         "text_repetition", "contamination_ngram", "dedup_semantic",
         "text_pii_scrub", "sample_stratified", "text_url_domains",
         "pack_sequences", "corpus_token_stats", "curation_e2e",
+        # round 4c: BM25 retrieval (term-filtered explode) and exact
+        # repeated-substring spans (hash-keyed window join)
+        "ret_bm25_topk", "dedup_substring_spans",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization

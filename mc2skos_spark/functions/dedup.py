@@ -478,3 +478,98 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
                     F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
                     .alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def repeated_substring_spans(df: DataFrame, window: int = 8,
+                             min_docs: int = 2,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Exact repeated-substring detection, span-merged per document —
+    the token-level counterpart of document-level dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    any long substring that recurs across the corpus, not just whole
+    near-duplicate documents).
+
+    Every ``window``-token sliding window whose content appears in at
+    least ``min_docs`` DISTINCT documents marks the covering token span
+    for removal; overlapping/adjacent flagged windows within a document
+    are merged into maximal spans (the classic islands merge).  Returns
+    ``(doc_id, span_start, span_end, n_windows)`` with token-index
+    half-open spans.
+
+    Scale shape (the suffix-array of the paper is a single-machine
+    structure; this is its shuffle-native equivalent):
+
+    * window enumeration is a pure projection + explode (zero shuffle),
+      token array bound once per the repo HOF discipline;
+    * windows travel as 8-byte ``xxhash64`` keys, never as text — the
+      duplicate-window aggregate and the join back both shuffle hashes
+      (the DuckDB oracle groups by the window TEXT instead, so the
+      span compare also cross-checks the hash-key shortcut);
+    * duplicate keys come from one hash aggregate
+      (``count_distinct(doc) >= min_docs``) and are equi-joined back —
+      the dup-key side is corpus-dependent, so the join strategy is
+      left to the planner (broadcast only while stats say it fits;
+      at corpus scale AQE degrades it to a shuffle join);
+    * span merge is a per-document window function (partitioned by
+      doc — no global sort, no driver state).
+    """
+    from pyspark.sql import Window
+
+    if window < 2:
+        raise ValueError("repeated_substring_spans: window must be >= 2")
+    if min_docs < 2:
+        raise ValueError("repeated_substring_spans: min_docs must be >= 2")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+
+    empty_wins = F.array().cast("array<struct<pos:int,wkey:bigint>>")
+
+    def wins_of(tk):
+        nwin = F.size(tk) - F.lit(window - 1)
+        seq = F.transform(
+            F.sequence(F.lit(1), nwin, F.lit(1)),
+            lambda i: F.struct(
+                (i - 1).cast("int").alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(tk, i, window)))
+                 .alias("wkey")))
+        # short docs: sequence(1, n<1) is an illegal-boundary error, so
+        # gate it (when() branches evaluate lazily per row)
+        return F.when(nwin >= 1, seq).otherwise(empty_wins)
+
+    wins = (df.select(
+                F.col(id_col),
+                F.explode(F.aggregate(
+                    F.array(toks), empty_wins,
+                    lambda acc, tk: wins_of(tk))).alias("w"))
+            .select(id_col, "w.pos", "w.wkey")
+            # wins feeds the duplicate-key aggregate AND the join back:
+            # one lazy lineage cut materializes the (id, pos, 8-byte
+            # key) stream instead of re-running the tokenize + window
+            # explode against the corpus per consumer
+            .localCheckpoint(eager=False))
+
+    dup_keys = (wins.groupBy("wkey")
+                .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+                .filter(F.col("nd") >= min_docs)
+                .select("wkey"))
+
+    flagged = wins.join(dup_keys, "wkey").select(
+        id_col, "pos", (F.col("pos") + window).alias("end"))
+
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    prior = (by_doc.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (flagged
+               .withColumn("prev_max_end",
+                           F.max("end").over(prior))
+               .withColumn("new_island",
+                           (F.col("pos")
+                            > F.coalesce(F.col("prev_max_end"),
+                                         F.lit(-1))).cast("int"))
+               .withColumn("island", F.sum("new_island").over(
+                   by_doc.rowsBetween(Window.unboundedPreceding, 0))))
+    return (islands.groupBy(id_col, "island")
+            .agg(F.min("pos").alias("span_start"),
+                 F.max("end").alias("span_end"),
+                 F.count(F.lit(1)).alias("n_windows"))
+            .select(id_col, "span_start", "span_end", "n_windows"))

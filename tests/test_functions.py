@@ -499,3 +499,90 @@ def test_multimodal_plumbing(spark):
     again = {r["media_id"]: r["feature"]
              for r in extract_media_features(media).collect()}
     assert all(again[r["media_id"]] == r["feature"] for r in rows)
+
+
+def test_bm25_topk_hand_computed(spark):
+    # 3-doc corpus small enough to hand-check: "apple" appears in one
+    # doc (high idf), "pear" in all three (low idf)
+    import math
+    from mc2skos_spark.functions.retrieval import bm25_topk
+    docs = spark.createDataFrame(
+        [(1, "apple pear plum"),
+         (2, "pear plum plum cherry"),
+         (3, "pear cherry")],
+        "doc_id long, text string")
+    res = {r["doc_id"]: r["bm25"]
+           for r in bm25_topk(docs, ["apple", "pear"], k=3).collect()}
+    n, avgdl = 3.0, 3.0
+    k1, b = 1.2, 0.75
+
+    def score(tf, df, dl):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        s = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return math.floor(s * 10000)
+
+    exp1 = (score(1, 1, 3) + score(1, 3, 3)) / 10000.0
+    assert res[1] == pytest.approx(exp1, abs=1e-9)
+    assert res[1] > res[2] > 0 and res[3] > 0
+
+
+def test_bm25_ranks_matching_docs_only(documents):
+    from mc2skos_spark.functions.retrieval import bm25_topk
+    top = bm25_topk(documents, ["spark"], k=5).collect()
+    assert 0 < len(top) <= 5
+    # every returned doc actually contains the term
+    ids = [r["doc_id"] for r in top]
+    hits = (documents.filter(F.col("doc_id").isin(ids))
+            .filter(F.lower(F.col("text")).contains("spark")).count())
+    assert hits == len(ids)
+    # scores descend
+    scores = [r["bm25"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_rejects_bad_query(documents):
+    from mc2skos_spark.functions.retrieval import bm25_topk
+    with pytest.raises(ValueError):
+        bm25_topk(documents, [])
+    with pytest.raises(ValueError):
+        bm25_topk(documents, ["a", "a"])
+
+
+def test_repeated_substring_spans_planted(spark):
+    # plant one shared 10-token run inside otherwise-unique texts:
+    # 10 tokens → three 8-token duplicate windows → ONE merged span
+    # of length 10 per doc, at different offsets
+    from mc2skos_spark.functions.dedup import repeated_substring_spans
+    run = " ".join(f"dup{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta " + run + " gamma"),
+         (2, run + " delta epsilon zeta"),
+         (3, "unrelated words only here nothing shared at all")],
+        "doc_id long, text string")
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+             for r in repeated_substring_spans(docs, window=8).collect()}
+    assert spans == {1: (2, 12, 3), 2: (0, 10, 3)}
+
+
+def test_repeated_substring_spans_merges_islands(spark):
+    # two disjoint shared runs in one doc → two separate spans
+    from mc2skos_spark.functions.dedup import repeated_substring_spans
+    r1 = " ".join(f"a{i}" for i in range(8))
+    r2 = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, r1 + " x y z " + r2),
+         (2, r1 + " q"), (3, r2 + " w")],
+        "doc_id long, text string")
+    rows = (repeated_substring_spans(docs, window=8)
+            .filter(F.col("doc_id") == 1).orderBy("span_start").collect())
+    assert [(r["span_start"], r["span_end"]) for r in rows] == \
+        [(0, 8), (11, 19)]
+
+
+def test_repeated_substring_spans_short_docs(spark):
+    # docs shorter than the window produce no windows and no error
+    from mc2skos_spark.functions.dedup import repeated_substring_spans
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "too short"), (3, "")],
+        "doc_id long, text string")
+    assert repeated_substring_spans(docs, window=8).count() == 0
