@@ -940,6 +940,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.select("doc_id",
                            rolling_fingerprint(F.col("text")).alias("rfp"))
 
+    # --- graph analytics: fixed-point PageRank over a doc-id DAG
+    #     (each doc links to doc//2 and doc//3, a multigraph with
+    #     out-degree 2 and two dangling roots).  Ranks are exact
+    #     10^12-scaled integers, so the 3-round unrolled SQL oracle
+    #     matches bit-for-bit regardless of shuffle order — see
+    #     operators/graph.py for the integer-determinism argument.
+    def graph_pagerank(spark, sf_dir):
+        from mc2skos_spark.operators.graph import pagerank
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 2)
+        half = docs.select(
+            F.col("doc_id").cast("long").alias("src"),
+            F.shiftright(F.col("doc_id").cast("long"), 1).alias("dst"))
+        third = docs.select(
+            F.col("doc_id").cast("long").alias("src"),
+            F.expr("cast(doc_id as long) div 3").alias("dst"))
+        ranks = pagerank(half.unionByName(third), iterations=3)
+        return ranks.select("node", "rank_scaled")
+
+    # --- gap-based sessionization over the events clickstream: one
+    #     exchange on user_id, per-user lag -> flag -> running sum, then
+    #     a per-session rollup.  Timestamps leave the query as exact
+    #     epoch microseconds (unix_micros == DuckDB epoch_us), TZ-proof.
+    def sess_gap_stats(spark, sf_dir):
+        from mc2skos_spark.operators.sessionize import (event_micros,
+                                                        session_stats)
+        events = _t(spark, sf_dir, "events")
+        stats = session_stats(events, gap_seconds=3600)
+        return stats.select(
+            "user_id", "session_id",
+            event_micros("session_start").alias("start_us"),
+            event_micros("session_end").alias("end_us"),
+            "n_events", "duration_us")
+
     return {
         "s1_reassembly": s1_reassembly,
         "p1_leader_dispatch": p1_leader_dispatch,
@@ -1000,6 +1033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_e2e": curation_e2e,
         "text_fingerprint": text_fingerprint,
         "text_rolling_fingerprint": text_rolling_fingerprint,
+        "graph_pagerank": graph_pagerank,
+        "sess_gap_stats": sess_gap_stats,
     }
 
 
@@ -1865,6 +1900,71 @@ def oracle_sql() -> dict[str, str]:
                    cast(octet_length(encode(text)) AS int) AS payload_bytes,
                    sha256(text) AS content_digest
             FROM documents""",
+        # PageRank: 3 unrolled integer-exact rounds.  `//` (DuckDB) ==
+        # `div` (Spark) on BIGINT; every term is an integer, so the
+        # comparison is bit-exact with no float-order sensitivity.
+        "graph_pagerank": """
+            WITH e AS (
+                SELECT cast(doc_id AS bigint) AS src,
+                       cast(doc_id // 2 AS bigint) AS dst
+                FROM documents WHERE doc_id >= 2
+                UNION ALL
+                SELECT cast(doc_id AS bigint),
+                       cast(doc_id // 3 AS bigint)
+                FROM documents WHERE doc_id >= 2),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            params AS (SELECT count(*) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+            ed AS (SELECT e.src, e.dst, deg.od
+                   FROM e JOIN deg ON e.src = deg.src),
+            r0 AS (SELECT node, 1000000000000 // n AS r
+                   FROM nodes CROSS JOIN params),
+            c1 AS (SELECT dst, sum((r * 85) // (100 * od)) AS s
+                   FROM ed JOIN r0 ON ed.src = r0.node GROUP BY dst),
+            r1 AS (SELECT node,
+                          (1000000000000 * 15) // (100 * n)
+                           + coalesce(s, 0) AS r
+                   FROM nodes CROSS JOIN params
+                   LEFT JOIN c1 ON node = c1.dst),
+            c2 AS (SELECT dst, sum((r * 85) // (100 * od)) AS s
+                   FROM ed JOIN r1 ON ed.src = r1.node GROUP BY dst),
+            r2 AS (SELECT node,
+                          (1000000000000 * 15) // (100 * n)
+                           + coalesce(s, 0) AS r
+                   FROM nodes CROSS JOIN params
+                   LEFT JOIN c2 ON node = c2.dst),
+            c3 AS (SELECT dst, sum((r * 85) // (100 * od)) AS s
+                   FROM ed JOIN r2 ON ed.src = r2.node GROUP BY dst),
+            r3 AS (SELECT node,
+                          (1000000000000 * 15) // (100 * n)
+                           + coalesce(s, 0) AS r
+                   FROM nodes CROSS JOIN params
+                   LEFT JOIN c3 ON node = c3.dst)
+            SELECT node, cast(r AS bigint) AS rank_scaled FROM r3""",
+        "sess_gap_stats": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > cast(3600 AS bigint) * 1000000
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+            tagged AS (
+                SELECT user_id, ts,
+                       cast(sum(ns) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS bigint)
+                           AS session_id
+                FROM flagged)
+            SELECT user_id, session_id,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us,
+                   count(*) AS n_events,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+            FROM tagged GROUP BY user_id, session_id""",
     }
     from mc2skos_spark.plans.oracle_values import VALUES_SQL
     out.update(VALUES_SQL)

@@ -121,6 +121,9 @@ def run_benchmark():
         # round 4c: BM25 retrieval (term-filtered explode) and exact
         # repeated-substring spans (hash-keyed window join)
         "ret_bm25_topk", "dedup_substring_spans",
+        # round 4d: weighted-propagation graph loop and clickstream
+        # sessionization (lag -> flag -> running-sum, one exchange)
+        "graph_pagerank", "sess_gap_stats",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization

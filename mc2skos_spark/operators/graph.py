@@ -1,0 +1,99 @@
+"""Graph analytics over edge tables: fixed-point PageRank.
+
+Complements the iterative-graph family (union-find connected
+components in :mod:`operators.canonicalize`, transitive closure /
+cycle detection in :mod:`operators.closure`) with the weighted-
+propagation shape: per-round JOIN (ranks onto out-edges) + AGGREGATE
+(sum of contributions per destination), the canonical bulk-iterative
+workload every large-scale graph engine is measured on.
+
+Determinism across engines: ranks are 10^12-scaled INTEGERS end to
+end.  Every per-edge contribution is an exact integer division
+(``div``), and the per-destination sum is an integer sum —
+summation-order-independent, so Spark and the DuckDB oracle agree
+bit-for-bit after any shuffle.  A double-typed rank would drift in the
+last ulp depending on aggregation order.
+
+Formulation is the simplified Brin–Page iteration
+``R(v) = (1-d)/N + d * Σ R(u)/outdeg(u)``: dangling nodes (no
+out-edges) leak their damped mass instead of redistributing it — the
+usual choice when ranks are only used for ordering.  Fixed iteration
+count, not convergence-tested: PageRank at corpus scale is run for a
+budgeted number of rounds (10-20 in practice; the oracle unrolls the
+same count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SCALE = 10**12
+
+
+def pagerank(edges: DataFrame, iterations: int = 3,
+             damping_pct: int = 85,
+             src_col: str = "src", dst_col: str = "dst",
+             loop_partitions: int | None = None) -> DataFrame:
+    """Fixed-point PageRank over an ``(src, dst)`` edge list.
+
+    Returns ``(node, rank_scaled, rank)`` — ``rank_scaled`` is the
+    exact 10^12-scaled integer, ``rank`` the display double.
+
+    Loop discipline (same as the closure/union-find loops): each round
+    localCheckpoints the new rank table to truncate lineage; the
+    rank-onto-edges join runs at an explicit width derived from the
+    node count (``repartition(width, key)`` on both inputs — the
+    session's ``spark.sql.shuffle.partitions`` is never touched).  The
+    static state (out-degree-annotated edges) is checkpointed ONCE
+    before the loop and reused every round — only ranks move.
+    """
+    if iterations < 1:
+        raise ValueError("pagerank: need iterations >= 1")
+    if not 0 < damping_pct < 100:
+        raise ValueError("pagerank: damping_pct must be in (0, 100)")
+
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=False))
+    # N is semantically required (the teleport term) — one
+    # metadata-scale count, also reused to size the loop width
+    n_nodes = nodes.count()
+    width = loop_partitions or max(8, n_nodes // 1_000_000)
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # static per-round join input: out-degree stapled onto each edge
+    # once, so the loop joins ranks against ONE prepared table
+    e_deg = (e.join(deg, "src")
+             .repartition(width, "src")
+             .localCheckpoint())
+
+    # exact integer terms (Spark `div` == DuckDB `//` on BIGINT)
+    base_val = (SCALE * (100 - damping_pct)) // (100 * n_nodes)
+    init_val = SCALE // n_nodes
+
+    # cast("long") matters: at small N the scaled literals fit int32,
+    # and `r * 85` would then overflow under ANSI integer arithmetic
+    ranks = nodes.select("node", F.lit(init_val).cast("long").alias("r")) \
+        .localCheckpoint()
+    for _ in range(iterations):
+        contrib = (e_deg
+                   .join(ranks.repartition(width, "node"),
+                         F.col("src") == F.col("node"))
+                   .select(F.col("dst"),
+                           F.expr(f"(r * {damping_pct}) div (100 * od)")
+                            .alias("c"))
+                   .groupBy("dst")
+                   .agg(F.sum("c").alias("s")))
+        ranks = (nodes
+                 .join(contrib, nodes["node"] == contrib["dst"], "left")
+                 .select(F.col("node"),
+                         (F.lit(base_val).cast("long")
+                          + F.coalesce(F.col("s"), F.lit(0)))
+                         .cast("long").alias("r"))
+                 .localCheckpoint())
+    return ranks.select(F.col("node"),
+                        F.col("r").alias("rank_scaled"),
+                        (F.col("r") / float(SCALE)).alias("rank"))

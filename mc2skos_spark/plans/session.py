@@ -45,6 +45,11 @@ def build_session(app_name: str = "mc2skos_spark",
         # Arrow for every pandas-batch UDF hot path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Pin the session timezone: parquet timestamps read as NTZ and
+        # all epoch arithmetic (sessionization gaps, windowed metrics)
+        # treats naive time as UTC — matching the DuckDB oracle and
+        # making results independent of the host/JVM timezone.
+        .config("spark.sql.session.timeZone", "UTC")
         # Keep scans prunable.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")

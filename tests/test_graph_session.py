@@ -1,0 +1,114 @@
+"""Unit tests for the round-4 graph/sessionization operators.
+
+PageRank vectors are computed by hand-unrolling the exact integer
+recurrence on a 4-node graph; sessionization vectors come from a
+handwritten timeline with boundary-exact gaps.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mc2skos_spark.operators.graph import SCALE, pagerank
+from mc2skos_spark.operators.sessionize import (event_micros,
+                                                session_stats, sessionize)
+
+
+def _reference_pagerank(edges, iterations, damping_pct=85):
+    """Driver-side integer-exact reimplementation (plain Python)."""
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    od = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    base = (SCALE * (100 - damping_pct)) // (100 * n)
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += (r[s] * damping_pct) // (100 * od[s])
+        r = {v: base + contrib[v] for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize("iterations", [1, 3])
+def test_pagerank_matches_integer_reference(spark, iterations):
+    # diamond + dangling sink: 1->2, 1->3, 2->4, 3->4 (4 has no out)
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_scaled"]
+           for r in pagerank(df, iterations=iterations).collect()}
+    assert got == _reference_pagerank(edges, iterations)
+
+
+def test_pagerank_multigraph_counts_parallel_edges(spark):
+    # two parallel 1->2 edges and one 1->3: node 2 gets 2/3 of 1's mass
+    edges = [(1, 2), (1, 2), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_scaled"]
+           for r in pagerank(df, iterations=1).collect()}
+    assert got == _reference_pagerank(edges, 1)
+    assert got[2] > got[3]
+
+
+def test_pagerank_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError):
+        pagerank(df, damping_pct=100)
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def test_sessionize_gap_boundary_is_exclusive(spark):
+    # user 1: events at 0, 60 (gap == 3600s exactly -> SAME session),
+    # then 121 (gap 3660s > 3600 -> new session).  user 2: single event.
+    rows = [(1, 10, _ts(0)), (1, 11, _ts(60)), (1, 12, _ts(121)),
+            (2, 20, _ts(5))]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz")
+    got = {(r["user_id"], r["event_id"]): r["session_id"]
+           for r in sessionize(df, gap_seconds=3600).collect()}
+    assert got == {(1, 10): 1, (1, 11): 1, (1, 12): 2, (2, 20): 1}
+
+
+def test_sessionize_ties_break_on_event_id(spark):
+    # two events at the identical timestamp: deterministic order, one
+    # session, regardless of input row order
+    rows = [(1, 11, _ts(0)), (1, 10, _ts(0))]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz")
+    out = sessionize(df, gap_seconds=60).collect()
+    assert {r["session_id"] for r in out} == {1}
+
+
+def test_session_stats_rollup(spark):
+    rows = [(1, 10, _ts(0)), (1, 11, _ts(30)), (1, 12, _ts(200)),
+            (2, 20, _ts(5))]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz")
+    out = {(r["user_id"], r["session_id"]): r
+           for r in session_stats(df, gap_seconds=3600).collect()}
+    s11 = out[(1, 1)]
+    assert s11["n_events"] == 2
+    assert s11["duration_us"] == 30 * 60 * 1_000_000
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 1)]["n_events"] == 1
+
+
+def test_event_micros_matches_ntz_epoch(spark):
+    df = spark.createDataFrame([(dt.datetime(1970, 1, 1, 0, 0, 1),)],
+                               "ts timestamp_ntz")
+    assert df.select(event_micros("ts").alias("us")).first()["us"] \
+        == 1_000_000
+
+
+def test_sessionize_rejects_nonpositive_gap(spark):
+    df = spark.createDataFrame([(1, 1, _ts(0))],
+                               "user_id long, event_id long, ts timestamp_ntz")
+    with pytest.raises(ValueError):
+        sessionize(df, gap_seconds=0)
