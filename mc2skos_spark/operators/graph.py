@@ -30,10 +30,28 @@ from pyspark.sql import DataFrame, functions as F
 SCALE = 10**12
 
 
+def prepare_edges(edges: DataFrame, src_col: str = "src",
+                  dst_col: str = "dst") -> DataFrame:
+    """Degree-annotate an edge list once: ``(src, dst, od)``.
+
+    The production path at 100 TB: write this table bucketed by
+    ``src`` (``df.write.bucketBy(n, "src").sortBy("src")``, same
+    pattern as :mod:`mc2skos_spark.sinks.bucketed`), then run
+    ``pagerank(spark.table(name), edges_prepared=True)`` — the
+    bucketed scan satisfies the per-round join's distribution
+    requirement, so only the (node, rank) pairs shuffle each round.
+    """
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    return e.join(deg, "src")
+
+
 def pagerank(edges: DataFrame, iterations: int = 3,
              damping_pct: int = 85,
              src_col: str = "src", dst_col: str = "dst",
-             loop_partitions: int | None = None) -> DataFrame:
+             loop_partitions: int | None = None,
+             edges_prepared: bool = False) -> DataFrame:
     """Fixed-point PageRank over an ``(src, dst)`` edge list.
 
     Returns ``(node, rank_scaled, rank)`` — ``rank_scaled`` is the
@@ -44,16 +62,29 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     rank-onto-edges join runs at an explicit width derived from the
     node count (``repartition(width, key)`` on both inputs — the
     session's ``spark.sql.shuffle.partitions`` is never touched).  The
-    static state (out-degree-annotated edges) is checkpointed ONCE
-    before the loop and reused every round — only ranks move.
+    static state (out-degree-annotated edges) is COMPUTED once before
+    the loop; note that a localCheckpoint scan reports
+    ``UnknownPartitioning``, so Catalyst still re-exchanges it each
+    round.  At production scale, write the prepared edge table bucketed
+    by ``src`` (``sinks/bucketed.py``) and pass it in — the bucketed
+    scan satisfies the join's distribution requirement and the per-
+    round shuffle drops to the rank table alone.
     """
     if iterations < 1:
         raise ValueError("pagerank: need iterations >= 1")
     if not 0 < damping_pct < 100:
         raise ValueError("pagerank: damping_pct must be in (0, 100)")
 
-    e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst"))
+    if edges_prepared:
+        # e.g. a bucketed-by-src catalog table from prepare_edges():
+        # use it AS-IS so the scan's bucketing satisfies the join's
+        # distribution requirement (no repartition, no checkpoint —
+        # either would erase the bucketing metadata)
+        e_deg = edges.select("src", "dst", "od")
+        e = e_deg.select("src", "dst")
+    else:
+        e = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct()
@@ -63,12 +94,12 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     n_nodes = nodes.count()
     width = loop_partitions or max(8, n_nodes // 1_000_000)
 
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    # static per-round join input: out-degree stapled onto each edge
-    # once, so the loop joins ranks against ONE prepared table
-    e_deg = (e.join(deg, "src")
-             .repartition(width, "src")
-             .localCheckpoint())
+    if not edges_prepared:
+        # static per-round join input: out-degree stapled onto each
+        # edge once, so the loop joins ranks against ONE prepared table
+        e_deg = (prepare_edges(e)
+                 .repartition(width, "src")
+                 .localCheckpoint())
 
     # exact integer terms (Spark `div` == DuckDB `//` on BIGINT)
     base_val = (SCALE * (100 - damping_pct)) // (100 * n_nodes)
@@ -79,8 +110,13 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     ranks = nodes.select("node", F.lit(init_val).cast("long").alias("r")) \
         .localCheckpoint()
     for _ in range(iterations):
+        # prepared/bucketed edges: let Catalyst shuffle the rank side
+        # to the bucket count (an explicit width would mismatch the
+        # bucketing and force a second exchange)
+        rank_side = (ranks if edges_prepared
+                     else ranks.repartition(width, "node"))
         contrib = (e_deg
-                   .join(ranks.repartition(width, "node"),
+                   .join(rank_side,
                          F.col("src") == F.col("node"))
                    .select(F.col("dst"),
                            F.expr(f"(r * {damping_pct}) div (100 * od)")
