@@ -973,6 +973,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             event_micros("session_end").alias("end_us"),
             "n_events", "duration_us")
 
+    # --- the SAME sessionization computed by Spark's native
+    #     session_window (streaming/sessions.py): batch/stream
+    #     agnostic, so the driver gate runs the real streaming
+    #     transformation over the batch events table.  The exact-gap
+    #     boundary merges in both forms (empirically verified), so the
+    #     oracle is the gap SQL with end = last + gap.  unix_micros on
+    #     the LTZ window bounds is TZ-proof (instants, not wall time).
+    def sess_window_native(spark, sf_dir):
+        from mc2skos_spark.streaming.sessions import (
+            streaming_session_stats)
+        events = _t(spark, sf_dir, "events")
+        s = streaming_session_stats(events, gap="1 hour")
+        return s.select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end_gap").alias("end_gap_us"),
+            "n_events")
+
     return {
         "s1_reassembly": s1_reassembly,
         "p1_leader_dispatch": p1_leader_dispatch,
@@ -1035,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rolling_fingerprint": text_rolling_fingerprint,
         "graph_pagerank": graph_pagerank,
         "sess_gap_stats": sess_gap_stats,
+        "sess_window_native": sess_window_native,
     }
 
 
@@ -1965,6 +1984,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
             FROM tagged GROUP BY user_id, session_id""",
+        "sess_window_native": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > cast(3600 AS bigint) * 1000000
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+            tagged AS (
+                SELECT user_id, ts,
+                       sum(ns) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged)
+            SELECT user_id,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) + cast(3600 AS bigint) * 1000000
+                       AS end_gap_us,
+                   count(*) AS n_events
+            FROM tagged GROUP BY user_id, sid""",
     }
     from mc2skos_spark.plans.oracle_values import VALUES_SQL
     out.update(VALUES_SQL)

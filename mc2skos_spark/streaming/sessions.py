@@ -11,10 +11,10 @@ Semantics mapping to the batch operator (pytest-verified parity):
 - ``session_window.start``          == batch ``session_start``
 - ``session_window.end``            == batch ``session_end + gap``
   (Spark defines the window as [first, last+gap))
-- gap comparison is EXCLUSIVE of the boundary in the batch operator
-  (``> gap`` starts a new session) while session_window merges events
-  ``< gap`` apart and also merges the exact-boundary case — so parity
-  tests use gaps strictly between the boundaries.
+- the gap boundary matches EXACTLY: session_window merges the
+  exact-boundary case (two events precisely ``gap`` apart are one
+  session — verified empirically), identical to the batch operator's
+  ``> gap``-starts-a-new-session rule.
 
 Scale shape: one shuffle on (user_id, session state key); state store
 size is O(open sessions), bounded by the watermark.  No driver state.
@@ -23,6 +23,8 @@ size is O(open sessions), bounded by the watermark.  No driver state.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from mc2skos_spark.operators.sessionize import event_micros
 
 
 def streaming_session_stats(events: DataFrame,
@@ -40,9 +42,13 @@ def streaming_session_stats(events: DataFrame,
     result equals a batch session-window aggregation.
     """
     # watermarks accept only TIMESTAMP (LTZ): NTZ event time (the
-    # parquet default here) is cast once — deterministic because the
-    # session timezone is pinned UTC in plans/session.py
-    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    # parquet default here) is converted ONCE via epoch micros —
+    # timestamp_micros builds the instant directly, so the NTZ wall
+    # clock is read as UTC regardless of the session timezone (a plain
+    # cast would shift by the session-TZ offset and drift across DST)
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(
+            ts_col, F.timestamp_micros(event_micros(ts_col)))
     return (events
             .withWatermark(ts_col, watermark_delay)
             .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
