@@ -980,6 +980,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     boundary merges in both forms (empirically verified), so the
     #     oracle is the gap SQL with end = last + gap.  unix_micros on
     #     the LTZ window bounds is TZ-proof (instants, not wall time).
+    # --- as-of join: attach the most recent prior purchase to every
+    #     event per user (union+window trick — one exchange, no
+    #     inequality join; DuckDB's native ASOF JOIN is the
+    #     independent oracle).  Right-side (user, ts) ties are
+    #     pre-reduced to max(event_id) in BOTH engines so the match
+    #     is unique; a 1-hour-tolerance column exercises the
+    #     tolerance path in the same row.
+    def aj_purchase_asof(spark, sf_dir):
+        from mc2skos_spark.operators.sessionize import event_micros
+        from mc2skos_spark.operators.temporal import asof_join
+        events = _t(spark, sf_dir, "events")
+        purchases = (events.filter(F.col("event_type") == "purchase")
+                     .groupBy("user_id", "ts")
+                     .agg(F.max("event_id").alias("p_event_id")))
+        joined = asof_join(
+            events.select("event_id", "user_id", "ts"), purchases,
+            on=["user_id"], left_ts="ts", right_ts="ts",
+            value_cols=["p_event_id"])
+        lag = event_micros("ts") - event_micros("matched_ts")
+        return joined.select(
+            "event_id", "user_id",
+            event_micros("ts").alias("ts_us"),
+            "p_event_id",
+            event_micros("matched_ts").alias("p_ts_us"),
+            lag.alias("lag_us"),
+            F.when(lag <= 3600 * 1_000_000, F.col("p_event_id"))
+             .alias("p_event_id_1h"))
+
+    # --- interval-overlap join: concurrent 30-minute activity
+    #     windows per event_type (bucketed equi-join, each pair
+    #     emitted once in its greatest-start bucket — never an
+    #     all-pairs nested loop; the oracle IS the naive inequality
+    #     join, fine at oracle scale).
+    def rj_event_overlap(spark, sf_dir):
+        from mc2skos_spark.operators.sessionize import event_micros
+        from mc2skos_spark.operators.temporal import interval_join
+        half_hour = 1_800_000_000
+        events = _t(spark, sf_dir, "events")
+        base = events.select(
+            "event_type", F.col("event_id").alias("a_id"),
+            event_micros("ts").alias("a_s"),
+            (event_micros("ts") + half_hour).alias("a_e"))
+        other = events.select(
+            "event_type", F.col("event_id").alias("b_id"),
+            event_micros("ts").alias("b_s"),
+            (event_micros("ts") + half_hour).alias("b_e"))
+        pairs = interval_join(base, other, on=["event_type"],
+                              l_start="a_s", l_end="a_e",
+                              r_start="b_s", r_end="b_e",
+                              bucket_width=half_hour)
+        return (pairs.filter(F.col("a_id") < F.col("b_id"))
+                .select("event_type", "a_id", "b_id"))
+
     def sess_window_native(spark, sf_dir):
         from mc2skos_spark.streaming.sessions import (
             streaming_session_stats)
@@ -1054,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "sess_gap_stats": sess_gap_stats,
         "sess_window_native": sess_window_native,
+        "aj_purchase_asof": aj_purchase_asof,
+        "rj_event_overlap": rj_event_overlap,
     }
 
 
@@ -2006,6 +2061,32 @@ def oracle_sql() -> dict[str, str]:
                        AS end_gap_us,
                    count(*) AS n_events
             FROM tagged GROUP BY user_id, sid""",
+        "aj_purchase_asof": """
+            WITH p AS (
+                SELECT user_id, ts, max(event_id) AS p_event_id
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id,
+                   epoch_us(e.ts) AS ts_us,
+                   p.p_event_id,
+                   epoch_us(p.ts) AS p_ts_us,
+                   epoch_us(e.ts) - epoch_us(p.ts) AS lag_us,
+                   CASE WHEN epoch_us(e.ts) - epoch_us(p.ts)
+                             <= cast(3600 AS bigint) * 1000000
+                        THEN p.p_event_id END AS p_event_id_1h
+            FROM events e ASOF LEFT JOIN p
+              ON e.user_id = p.user_id AND e.ts >= p.ts""",
+        "rj_event_overlap": """
+            WITH e AS (
+                SELECT event_type, event_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + cast(1800 AS bigint) * 1000000
+                           AS en
+                FROM events)
+            SELECT a.event_type, a.event_id AS a_id, b.event_id AS b_id
+            FROM e a JOIN e b
+              ON a.event_type = b.event_type
+             AND a.event_id < b.event_id
+             AND a.s <= b.en AND b.s <= a.en""",
     }
     from mc2skos_spark.plans.oracle_values import VALUES_SQL
     out.update(VALUES_SQL)
