@@ -124,6 +124,9 @@ def run_benchmark():
         # round 4d: weighted-propagation graph loop and clickstream
         # sessionization (lag -> flag -> running-sum, one exchange)
         "graph_pagerank", "sess_gap_stats",
+        # round 4e: native session windows (MergingSessions), as-of
+        # join (union+window, one exchange), bucketed interval join
+        "sess_window_native", "aj_purchase_asof", "rj_event_overlap",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization
