@@ -980,6 +980,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     boundary merges in both forms (empirically verified), so the
     #     oracle is the gap SQL with end = last + gap.  unix_micros on
     #     the LTZ window bounds is TZ-proof (instants, not wall time).
+    # --- CDC apply, snapshot form: events as a keyed change stream
+    #     (seq = (ts, event_id)); the latest change wins, keys whose
+    #     latest change is an 'error' are deleted.  One max_by hash
+    #     aggregate — partial combine map-side, no window sort.
+    def cdc_latest_state(spark, sf_dir):
+        from mc2skos_spark.operators.cdc import latest_snapshot
+        from mc2skos_spark.operators.sessionize import event_micros
+        events = _t(spark, sf_dir, "events") \
+            .select("user_id", "event_id", "ts", "event_type")
+        snap = latest_snapshot(events, ["user_id"],
+                               ["ts", "event_id"],
+                               delete_when=F.col("event_type") == "error")
+        return snap.select("user_id", "event_id",
+                           event_micros("ts").alias("ts_us"),
+                           "event_type")
+
+    # --- CDC apply, SCD2 form: purchase history becomes validity
+    #     intervals (valid_to = next purchase per user, null =
+    #     current).  Point-in-time lookups against this table are
+    #     asof_join on valid_from (pytest-verified composition).
+    def cdc_scd2_versions(spark, sf_dir):
+        from mc2skos_spark.operators.cdc import scd2_history
+        from mc2skos_spark.operators.sessionize import event_micros
+        p = (_t(spark, sf_dir, "events")
+             .filter(F.col("event_type") == "purchase")
+             .select("user_id", "event_id", "ts"))
+        hist = scd2_history(p, ["user_id"], "ts",
+                            tiebreak_cols=["event_id"])
+        return hist.select(
+            "user_id", F.col("event_id").alias("p_event_id"),
+            event_micros("valid_from").alias("valid_from_us"),
+            event_micros("valid_to").alias("valid_to_us"),
+            "is_current")
+
     # --- as-of join: attach the most recent prior purchase to every
     #     event per user (union+window trick — one exchange, no
     #     inequality join; DuckDB's native ASOF JOIN is the
@@ -1109,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sess_window_native": sess_window_native,
         "aj_purchase_asof": aj_purchase_asof,
         "rj_event_overlap": rj_event_overlap,
+        "cdc_latest_state": cdc_latest_state,
+        "cdc_scd2_versions": cdc_scd2_versions,
     }
 
 
@@ -2087,6 +2123,27 @@ def oracle_sql() -> dict[str, str]:
               ON a.event_type = b.event_type
              AND a.event_id < b.event_id
              AND a.s <= b.en AND b.s <= a.en""",
+        "cdc_latest_state": """
+            WITH ranked AS (
+                SELECT user_id, event_id, ts, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   event_type
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
+        "cdc_scd2_versions": """
+            WITH p AS (
+                SELECT user_id, event_id, ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+                FROM events WHERE event_type = 'purchase')
+            SELECT user_id, event_id AS p_event_id,
+                   epoch_us(ts) AS valid_from_us,
+                   epoch_us(nxt) AS valid_to_us,
+                   (nxt IS NULL) AS is_current
+            FROM p""",
     }
     from mc2skos_spark.plans.oracle_values import VALUES_SQL
     out.update(VALUES_SQL)

@@ -127,6 +127,8 @@ def run_benchmark():
         # round 4e: native session windows (MergingSessions), as-of
         # join (union+window, one exchange), bucketed interval join
         "sess_window_native", "aj_purchase_asof", "rj_event_overlap",
+        # round 4e: CDC apply (max_by aggregate — no window sort)
+        "cdc_latest_state",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization
