@@ -980,6 +980,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     boundary merges in both forms (empirically verified), so the
     #     oracle is the gap SQL with end = last + gap.  unix_micros on
     #     the LTZ window bounds is TZ-proof (instants, not wall time).
+    # --- per-node triangle counts over a deterministic doc graph
+    #     (u→u div 2 "half" edges + u→u-1 "pred" edges: every odd u
+    #     closes the triangle {u, u-1, u div 2}).  The Spark side uses
+    #     degree orientation (wedges generated at low-degree apexes —
+    #     hot hubs have out-degree ~0 after orientation); the oracle
+    #     uses plain id-ordered triple joins — the triangle SET is
+    #     orientation-independent, which is exactly what this verifies.
+    def graph_triangles(spark, sf_dir):
+        from mc2skos_spark.operators.graph import triangle_counts
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 2)
+        half = docs.select(
+            F.col("doc_id").cast("long").alias("src"),
+            F.expr("cast(doc_id as long) div 2").alias("dst"))
+        pred = docs.select(
+            F.col("doc_id").cast("long").alias("src"),
+            (F.col("doc_id").cast("long") - 1).alias("dst"))
+        return triangle_counts(half.unionByName(pred))
+
     # --- CDC apply, snapshot form: events as a keyed change stream
     #     (seq = (ts, event_id)); the latest change wins, keys whose
     #     latest change is an 'error' are deleted.  One max_by hash
@@ -1145,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rj_event_overlap": rj_event_overlap,
         "cdc_latest_state": cdc_latest_state,
         "cdc_scd2_versions": cdc_scd2_versions,
+        "graph_triangles": graph_triangles,
     }
 
 
@@ -2144,6 +2163,30 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(nxt) AS valid_to_us,
                    (nxt IS NULL) AS is_current
             FROM p""",
+        "graph_triangles": """
+            WITH raw AS (
+                SELECT cast(doc_id AS bigint) AS src,
+                       cast(doc_id AS bigint) // 2 AS dst
+                FROM documents WHERE doc_id >= 2
+                UNION ALL
+                SELECT cast(doc_id AS bigint),
+                       cast(doc_id AS bigint) - 1
+                FROM documents WHERE doc_id >= 2),
+            e AS (
+                SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                FROM raw WHERE src <> dst),
+            t AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1
+                JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+            m AS (
+                SELECT x AS node FROM t
+                UNION ALL SELECT y FROM t
+                UNION ALL SELECT z FROM t)
+            SELECT node, count(*) AS n_triangles
+            FROM m GROUP BY node""",
     }
     from mc2skos_spark.plans.oracle_values import VALUES_SQL
     out.update(VALUES_SQL)

@@ -129,6 +129,8 @@ def run_benchmark():
         "sess_window_native", "aj_purchase_asof", "rj_event_overlap",
         # round 4e: CDC apply (max_by aggregate — no window sort)
         "cdc_latest_state",
+        # round 4e: degree-oriented triangle counting
+        "graph_triangles",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization

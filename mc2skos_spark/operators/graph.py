@@ -1,4 +1,4 @@
-"""Graph analytics over edge tables: fixed-point PageRank.
+"""Graph analytics over edge tables: PageRank and triangle counting.
 
 Complements the iterative-graph family (union-find connected
 components in :mod:`operators.canonicalize`, transitive closure /
@@ -133,3 +133,66 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     return ranks.select(F.col("node"),
                         F.col("r").alias("rank_scaled"),
                         (F.col("r") / float(SCALE)).alias("rank"))
+
+
+def triangle_counts(edges: DataFrame, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts (undirected).
+
+    Input edges may be directed, repeated, or self-looped; they are
+    canonicalized to a distinct undirected set first.  Returns
+    ``(node, n_triangles)`` for every node in at least one triangle.
+
+    Scale shape — the degree-orientation algorithm (Schank–Wagner /
+    Cohen's MapReduce form): orient each undirected edge from the
+    endpoint with the smaller ``(degree, id)`` key to the larger.
+    Every triangle then has exactly ONE wedge ``x→y, x→z`` with a
+    closing oriented edge ``y→z``, so the wedge self-join (equi-join
+    on the wedge apex) followed by one more equi-join on the closing
+    edge counts each triangle exactly once — no distinct pass, no
+    all-pairs anywhere.  Orientation bounds per-apex out-degree by
+    O(sqrt(|E|)) on any graph (the classic arboricity argument), so
+    the wedge join cannot blow up on hot hubs: a celebrity node with
+    10^6 followers has out-degree ~0 after orientation because its
+    (degree, id) key is largest — its wedges are generated at its
+    low-degree neighbors instead.  Three shuffles total (degree agg,
+    wedge join, closing join), all equi-joins.
+
+    The per-node counts are orientation-independent (the triangle SET
+    is a property of the undirected graph), so the DuckDB oracle can
+    use plain id-ordered a<b<c triple joins.
+    """
+    e = (edges
+         .filter(F.col(src_col) != F.col(dst_col))
+         .select(F.least(src_col, dst_col).alias("a"),
+                 F.greatest(src_col, dst_col).alias("b"))
+         .na.drop()
+         .distinct())
+    deg = (e.select(F.col("a").alias("n"))
+           .unionAll(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    # orientation key carried inline so the wedge pre-filter needs no
+    # extra join: struct comparison = (degree, id) lexicographic
+    keyed = (e.join(deg.withColumnRenamed("n", "a")
+                    .withColumnRenamed("d", "da"), "a")
+             .join(deg.withColumnRenamed("n", "b")
+                   .withColumnRenamed("d", "db"), "b"))
+    ka = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+    kb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+    oriented = keyed.select(
+        F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(ka < kb, kb).otherwise(ka).alias("hi_key"))
+    w1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"),
+                         F.col("hi_key").alias("ky"))
+    w2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"),
+                         F.col("hi_key").alias("kz"))
+    wedges = (w1.join(w2, "x")
+              .filter(F.col("ky") < F.col("kz"))
+              .select("x", "y", "z"))
+    closing = oriented.select(F.col("lo").alias("y"),
+                              F.col("hi").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
+    return (tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))

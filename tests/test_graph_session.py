@@ -156,3 +156,35 @@ def test_sessionize_rejects_nonpositive_gap(spark):
                                "user_id long, event_id long, ts timestamp_ntz")
     with pytest.raises(ValueError):
         sessionize(df, gap_seconds=0)
+
+
+def _tri(spark, pairs):
+    from mc2skos_spark.operators.graph import triangle_counts
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return {r["node"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()}
+
+
+def test_triangles_k4_complete_graph(spark):
+    # K4: four triangles, each node in exactly three
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _tri(spark, edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_square_has_none(spark):
+    assert _tri(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]) == {}
+
+
+def test_triangles_canonicalize_directions_dups_loops(spark):
+    # one triangle given as mixed directions + duplicates + self-loop
+    edges = [(1, 2), (2, 1), (3, 2), (1, 3), (1, 1), (1, 3)]
+    assert _tri(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_hub_orientation_bounds_wedges(spark):
+    # star hub (no triangles) + one pendant triangle: the hub's high
+    # degree must not generate hub-apex wedges
+    star = [(100, i) for i in range(10, 30)]
+    tri = [(0, 1), (1, 2), (2, 0)]
+    got = _tri(spark, star + tri)
+    assert got == {0: 1, 1: 1, 2: 1}
