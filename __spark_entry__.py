@@ -980,6 +980,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     boundary merges in both forms (empirically verified), so the
     #     oracle is the gap SQL with end = last + gap.  unix_micros on
     #     the LTZ window bounds is TZ-proof (instants, not wall time).
+    # --- BPE ENCODING at corpus scale with a fixed merge table:
+    #     token-frequency histogram of the encoded corpus.  Spark
+    #     encodes only the DISTINCT-WORD table (Heaps' law) through
+    #     one Arrow-batched pandas UDF; the oracle is an independent
+    #     SQL formulation — greedy leftmost non-overlapping pair-merge
+    #     == chained replace() over bracket-delimited symbols
+    #     ('<a><b>' → '<ab>'; brackets are outside the corpus
+    #     alphabet, and adjacent matches share no characters so
+    #     replace()'s leftmost scan is exactly the BPE fold).
+    def bpe_encode_counts(spark, sf_dir):
+        from mc2skos_spark.functions.bpe import encode_token_counts
+        merges = [("e", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+                  ("t", "o"), ("a", "t"), ("in", "g"), ("er", "s")]
+        docs = _t(spark, sf_dir, "documents")
+        return encode_token_counts(docs, merges)
+
     # --- per-node triangle counts over a deterministic doc graph
     #     (u→u div 2 "half" edges + u→u-1 "pred" edges: every odd u
     #     closes the triangle {u, u-1, u div 2}).  The Spark side uses
@@ -1164,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_latest_state": cdc_latest_state,
         "cdc_scd2_versions": cdc_scd2_versions,
         "graph_triangles": graph_triangles,
+        "bpe_encode_counts": bpe_encode_counts,
     }
 
 
@@ -2187,6 +2204,29 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT z FROM t)
             SELECT node, count(*) AS n_triangles
             FROM m GROUP BY node""",
+        "bpe_encode_counts": """
+            WITH words AS (
+                SELECT unnest(regexp_extract_all(
+                    text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS w
+                FROM documents),
+            wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+            enc AS (SELECT
+                replace(replace(replace(replace(
+                replace(replace(replace(replace(
+                    '<' || array_to_string(
+                        regexp_split_to_array(w, ''), '><') || '>',
+                    '<e><r>', '<er>'), '<i><n>', '<in>'),
+                    '<o><w>', '<ow>'), '<s><t>', '<st>'),
+                    '<t><o>', '<to>'), '<a><t>', '<at>'),
+                    '<in><g>', '<ing>'), '<er><s>', '<ers>') AS s,
+                cnt FROM wc),
+            toks AS (
+                SELECT unnest(string_split(
+                    substring(s, 2, length(s) - 2), '><')) AS token,
+                       cnt
+                FROM enc)
+            SELECT token, cast(sum(cnt) AS bigint) AS n
+            FROM toks GROUP BY token""",
     }
     from mc2skos_spark.plans.oracle_values import VALUES_SQL
     out.update(VALUES_SQL)

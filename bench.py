@@ -131,6 +131,8 @@ def run_benchmark():
         "cdc_latest_state",
         # round 4e: degree-oriented triangle counting
         "graph_triangles",
+        # round 4e: BPE corpus encode (distinct-word pandas UDF)
+        "bpe_encode_counts",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization

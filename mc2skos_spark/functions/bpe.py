@@ -100,6 +100,58 @@ def merge_pair(syms_col: Column, a: str, b: str) -> Column:
         .otherwise(F.concat(acc, F.array(s))))
 
 
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python BPE encode of one word: apply ``merges`` in
+    training order, each as ONE greedy leftmost non-overlapping pass —
+    exactly the fold semantics of :func:`merge_pair`, so encoding a
+    corpus with its own trained merges reproduces the trainer's final
+    symbolization.  Kept Spark-free so unit tests need no JVM."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def encode_token_counts(docs: DataFrame,
+                        merges: list[tuple[str, str]],
+                        text_col: str = "text") -> DataFrame:
+    """Corpus → BPE token-frequency table ``(token, n)`` for a fixed
+    merge table.
+
+    Scale shape: the same Heaps'-law trick as training — only the
+    DISTINCT-WORD table goes through Python (one Arrow-batched pandas
+    UDF; the merge table rides along in the closure, broadcast once
+    per executor), weighted by word count on the way out.  The corpus
+    itself is touched exactly once, by the word-count shuffle.  This
+    is the production tokenize-and-count stage of a training-data
+    pipeline: token histograms, fertility stats, vocab coverage all
+    read off the result.
+    """
+    import pandas as pd  # noqa: F401 (Arrow path)
+    from pyspark.sql.functions import pandas_udf
+
+    frozen = [(str(a), str(b)) for a, b in merges]
+
+    @pandas_udf("array<string>")
+    def enc(words):
+        return words.map(lambda w: encode_word(w, frozen))
+
+    return (word_counts(docs, text_col)
+            .select(F.explode(enc("word")).alias("token"), "cnt")
+            .groupBy("token")
+            .agg(F.sum("cnt").cast("long").alias("n")))
+
+
 def train_bpe_merges(docs: DataFrame, n_merges: int,
                      text_col: str = "text",
                      min_pair_count: int = 2) -> list[tuple[str, str, int]]:

@@ -586,3 +586,62 @@ def test_repeated_substring_spans_short_docs(spark):
         [(1, "too short"), (2, "too short"), (3, "")],
         "doc_id long, text string")
     assert repeated_substring_spans(docs, window=8).count() == 0
+
+
+def test_bpe_encode_word_vectors():
+    from mc2skos_spark.functions.bpe import encode_word
+    m = [("e", "r"), ("in", "g"), ("i", "n")]
+    # merges apply IN ORDER: when (in,g) runs no 'in' token exists
+    # yet, so 'ing' never forms — the later (i,n) still applies
+    assert encode_word("ering", m) == ["er", "in", "g"]
+    assert encode_word("ing", m) == ["in", "g"]
+    assert encode_word("ing", [("i", "n"), ("in", "g")]) == ["ing"]
+    assert encode_word("aaa", [("a", "a")]) == ["aa", "a"]
+    assert encode_word("aaaa", [("a", "a")]) == ["aa", "aa"]
+    assert encode_word("", m) == []
+    assert encode_word("x", m) == ["x"]
+
+
+def test_bpe_encode_matches_trainer_final_state(spark):
+    """Encoding each distinct word with the trained merge list must
+    reproduce the trainer's final symbolization (the reference
+    trainer's syms table)."""
+    import re
+    from mc2skos_spark.functions.bpe import encode_word
+    from mc2skos_spark.functions.textstats import BPE_ISH_PATTERN
+    texts = ["the thin thing sings", "the thing sings the song",
+             "a singer sings a song", "thin strings ring"]
+    merges = [(a, b) for a, b, _ in _bpe_reference(texts, 6)]
+    # replay the reference trainer to capture its final syms state
+    words = {w for t in texts for w in re.findall(BPE_ISH_PATTERN, t)}
+    syms = {w: list(w) for w in words}
+    for a, b in merges:
+        for w, s in syms.items():
+            out = []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            syms[w] = out
+    for w in words:
+        assert encode_word(w, merges) == syms[w], w
+        assert "".join(encode_word(w, merges)) == w
+
+
+def test_bpe_encode_token_counts_spark(spark):
+    import re
+    from collections import Counter
+    from mc2skos_spark.functions.bpe import (encode_token_counts,
+                                             encode_word)
+    from mc2skos_spark.functions.textstats import BPE_ISH_PATTERN
+    texts = ["the thin thing", "the thing sings", "sing the song"]
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")]
+    exp = Counter()
+    for t in texts:
+        for w in re.findall(BPE_ISH_PATTERN, t):
+            exp.update(encode_word(w, merges))
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {r["token"]: r["n"]
+           for r in encode_token_counts(df, merges).collect()}
+    assert got == dict(exp)
