@@ -526,6 +526,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.coalesce("source", F.lit("ALL")).alias("source"),
                         "cnt", "chars"))
 
+    # --- full CUBE (all 4 grouping sets, vs rollup's 3): Spark plans
+    #     one Expand + one hash aggregate — the Expand multiplies rows
+    #     by the number of grouping sets BEFORE the shuffle, so at
+    #     100 TB you cube on low-cardinality dims only (lang × source
+    #     here) and let partial aggregation collapse the expansion
+    #     map-side.
+    def b2_cube(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return (docs.cube("lang", "source")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.sum("n_chars").alias("chars"))
+                .select(F.coalesce("lang", F.lit("ALL")).alias("lang"),
+                        F.coalesce("source", F.lit("ALL")).alias("source"),
+                        "cnt", "chars"))
+
     # --- dedup family
     def dedup_exact(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
@@ -996,6 +1011,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return encode_token_counts(docs, merges)
 
+    # --- CCNet-style LM quality scores: per-doc negative log-
+    #     likelihood under a self-trained add-1 unigram LM.  Only the
+    #     per-doc DISTINCT-token tf table shuffles (Heaps' law); the
+    #     vocabulary-sized logp table equi-joins back (AQE broadcasts
+    #     it); per-token logps are 1e-4-quantized and summed as LONGS
+    #     so the score is summation-order-independent (the BM25
+    #     discipline).
+    def text_lm_nll(spark, sf_dir):
+        from mc2skos_spark.functions.lm import lm_nll_scores
+        docs = _t(spark, sf_dir, "documents")
+        return lm_nll_scores(docs)
+
+    # --- DSIR importance weights (Xie et al. 2023): hashed {1,2}-gram
+    #     bucket counts (md5 first byte — engine-portable), target =
+    #     the lang='en' slice, raw = the whole pool; per-bucket
+    #     log-ratios 1e-4-quantized and combined as LONGS so the
+    #     per-doc weight is an exact integer.  One corpus scan; the
+    #     only shuffle is the (doc, bucket, cnt) table (≤256 rows/doc);
+    #     the 256-row ratio table broadcasts back.
+    def dsir_en_weights(spark, sf_dir):
+        from mc2skos_spark.functions.dsir import dsir_logweights
+        docs = _t(spark, sf_dir, "documents")
+        return dsir_logweights(docs, F.col("lang") == "en")
+
+    # --- pivot: long → wide with a PINNED value list — no extra
+    #     distinct-values job.  Spark plans two phases: pre-aggregate
+    #     by (source, lang) then pivot-aggregate by source; the
+    #     pre-agg collapses rows map-side BEFORE the pivot, which is
+    #     the skew-safe order at scale.  Semantically == the
+    #     conditional-count aggregate the oracle spells out by hand.
+    def pivot_lang_matrix(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        langs = ["de", "en", "es", "fr", "zh"]
+        wide = (docs.groupBy("source")
+                .pivot("lang", langs)
+                .agg(F.count(F.lit(1)))
+                .na.fill(0))
+        return wide.select(
+            "source",
+            *[F.col(lang).alias(f"n_{lang}") for lang in langs])
+
+    # --- unpivot (melt): wide → long without any shuffle at all —
+    #     a per-row Expand, partition-preserving, the inverse of pivot.
+    def unpivot_doc_metrics(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        wide = docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.length("text").cast("long").alias("text_len"))
+        return wide.unpivot("doc_id", ["n_chars", "text_len"],
+                            "metric", "value")
+
     # --- per-node triangle counts over a deterministic doc graph
     #     (u→u div 2 "half" edges + u→u-1 "pred" edges: every odd u
     #     closes the triangle {u, u-1, u div 2}).  The Spark side uses
@@ -1140,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc_transitive_closure": tc_transitive_closure,
         "p4_array_projection": p4_array_projection,
         "b1_rollup": b1_rollup,
+        "b2_cube": b2_cube,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_near_clusters": dedup_near_clusters,
@@ -1181,6 +1249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_versions": cdc_scd2_versions,
         "graph_triangles": graph_triangles,
         "bpe_encode_counts": bpe_encode_counts,
+        "text_lm_nll": text_lm_nll,
+        "dsir_en_weights": dsir_en_weights,
+        "pivot_lang_matrix": pivot_lang_matrix,
+        "unpivot_doc_metrics": unpivot_doc_metrics,
     }
 
 
@@ -1399,6 +1471,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(source, 'ALL') AS source,
                    count(*) AS cnt, cast(sum(n_chars) AS bigint) AS chars
             FROM documents GROUP BY ROLLUP (lang, source)""",
+        "b2_cube": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(*) AS cnt, cast(sum(n_chars) AS bigint) AS chars
+            FROM documents GROUP BY CUBE (lang, source)""",
         "dedup_exact": """
             SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
             FROM documents GROUP BY text HAVING count(*) > 1""",
@@ -2227,6 +2304,103 @@ def oracle_sql() -> dict[str, str]:
                 FROM enc)
             SELECT token, cast(sum(cnt) AS bigint) AS n
             FROM toks GROUP BY token""",
+        # CCNet-style unigram-LM NLL: the add-1 smoothed probability is
+        # one exact-integer double division in both engines; per-token
+        # logps floor-quantized to 1e-4 and summed as BIGINTs so the
+        # per-doc score never depends on summation order
+        "text_lm_nll": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            tf AS (
+                SELECT doc_id, t.token AS token,
+                       count(*)::BIGINT AS tf
+                FROM toks, unnest(tk) AS t(token)
+                GROUP BY doc_id, token),
+            lm AS (SELECT token, sum(tf)::BIGINT AS cnt FROM tf
+                   GROUP BY token),
+            stats AS (SELECT sum(cnt)::BIGINT AS total,
+                             count(*)::BIGINT AS v
+                      FROM lm),
+            logp AS (
+                SELECT token,
+                       CAST(floor(ln((cnt + 1)::DOUBLE
+                                     / (total + v)::DOUBLE)
+                                  * 10000) AS BIGINT) AS lp
+                FROM lm CROSS JOIN stats)
+            SELECT doc_id,
+                   cast(sum(tf) AS BIGINT) AS n_tokens,
+                   cast(-sum(tf * lp) AS BIGINT) AS nll_q,
+                   floor((-sum(tf * lp))::DOUBLE
+                         / sum(tf)::DOUBLE) / 10000.0 AS avg_nll
+            FROM tf JOIN logp USING (token)
+            GROUP BY doc_id""",
+        # DSIR log-weights: the oracle maps md5's first byte to a
+        # bucket via a printf('%02x') lookup table where Spark uses
+        # conv(...,16,10) — same byte, independently derived; all
+        # quantized log-ratios combine as BIGINTs
+        "dsir_en_weights": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            grams AS (
+                SELECT doc_id, lang, t.g AS g
+                FROM toks, unnest(tk) AS t(g)
+                UNION ALL
+                SELECT doc_id, lang,
+                       array_to_string(tk[i : i + 1], ' ') AS g
+                FROM toks, unnest(range(1, len(tk))) AS r(i)),
+            hx AS (SELECT i::INT AS bucket, printf('%02x', i) AS h
+                   FROM range(256) t(i)),
+            docb AS (
+                SELECT doc_id, lang, bucket, count(*)::BIGINT AS cnt
+                FROM grams JOIN hx ON substr(md5(g), 1, 2) = hx.h
+                GROUP BY doc_id, lang, bucket),
+            dist AS (
+                SELECT hx.bucket,
+                       coalesce(sum(cnt), 0)::BIGINT AS rc,
+                       coalesce(sum(cnt) FILTER (lang = 'en'),
+                                0)::BIGINT AS tc
+                FROM hx LEFT JOIN docb ON docb.bucket = hx.bucket
+                GROUP BY hx.bucket),
+            tot AS (SELECT sum(rc)::BIGINT AS rtot,
+                           sum(tc)::BIGINT AS ttot FROM dist),
+            ratio AS (
+                SELECT bucket,
+                       CAST(floor(ln((tc + 1)::DOUBLE
+                                     / (ttot + 256)::DOUBLE)
+                                  * 10000) AS BIGINT)
+                     - CAST(floor(ln((rc + 1)::DOUBLE
+                                     / (rtot + 256)::DOUBLE)
+                                  * 10000) AS BIGINT) AS dlp
+                FROM dist CROSS JOIN tot)
+            SELECT doc_id,
+                   cast(sum(cnt) AS BIGINT) AS n_grams,
+                   cast(sum(cnt * dlp) AS BIGINT) AS logw_q
+            FROM docb JOIN ratio USING (bucket)
+            GROUP BY doc_id""",
+        # pivot == one conditional-count hash aggregate
+        "pivot_lang_matrix": """
+            SELECT source,
+                   count(*) FILTER (lang = 'de') AS n_de,
+                   count(*) FILTER (lang = 'en') AS n_en,
+                   count(*) FILTER (lang = 'es') AS n_es,
+                   count(*) FILTER (lang = 'fr') AS n_fr,
+                   count(*) FILTER (lang = 'zh') AS n_zh
+            FROM documents GROUP BY source""",
+        # unpivot == stacked UNION ALL
+        "unpivot_doc_metrics": """
+            SELECT doc_id, 'n_chars' AS metric,
+                   n_chars::BIGINT AS value FROM documents
+            UNION ALL
+            SELECT doc_id, 'text_len' AS metric,
+                   length(text)::BIGINT AS value FROM documents""",
     }
     from mc2skos_spark.plans.oracle_values import VALUES_SQL
     out.update(VALUES_SQL)

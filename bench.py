@@ -133,6 +133,10 @@ def run_benchmark():
         "graph_triangles",
         # round 4e: BPE corpus encode (distinct-word pandas UDF)
         "bpe_encode_counts",
+        # round 4e: CCNet-style unigram-LM NLL scores
+        "text_lm_nll",
+        # round 4e: DSIR hashed-ngram importance weights
+        "dsir_en_weights",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization

@@ -1,0 +1,126 @@
+"""DSIR-style importance weighting for data selection.
+
+Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): represent every document as a bag of HASHED n-gram
+features, fit bucket distributions for a small trusted *target* corpus
+and for the *raw* pool, and weight each raw document by the
+log-likelihood ratio  Σ_b cnt_doc[b]·(ln p_target[b] − ln p_raw[b]).
+Resampling the pool by these weights shifts it toward the target
+distribution — the standard "make CommonCrawl look like Wikipedia"
+selection step of a pre-training pipeline.
+
+Scale shape (100 TB):
+
+* the corpus is scanned ONCE: every {1,2}-gram is hashed straight to a
+  bucket id, so the only shuffled table is ``(doc_id, bucket, cnt)``
+  with ≤ ``buckets`` rows per document — feature extraction never ships
+  raw n-gram strings;
+* both distributions are ``buckets``-row aggregates of that same table
+  (the target is marked by a predicate column, so no second scan), and
+  the log-ratio table joins back as a broadcast;
+* per-bucket log-probs are floor-quantized to 1e-4 and combined as
+  LONGS — the per-document weight is an exact integer, summation-order-
+  independent, so the DuckDB oracle hash-matches under any shuffle
+  order (the discipline of :mod:`mc2skos_spark.functions.retrieval`).
+
+The bucket hash is the FIRST BYTE of md5 (pmod to ``buckets``), not
+xxhash64: md5 is bit-identical in every engine, which buys a fully
+independent cross-engine oracle; production at 10k+ buckets would swap
+in xxhash64 with the same plan shape.  Hashing n-grams into buckets is
+itself the DSIR design (they use 10k buckets) — collisions are part of
+the estimator, not an approximation added here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mc2skos_spark.functions.textstats import word_ngrams
+
+SCALE = 10_000
+
+
+def _bucket(gram: Column, buckets: int) -> Column:
+    """First md5 byte → [0, buckets) — engine-portable by construction."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(gram), 1, 2), 16, 10).cast("int"),
+        F.lit(buckets))
+
+
+def hashed_ngram_buckets(documents: DataFrame, buckets: int = 256,
+                         id_col: str = "doc_id",
+                         text_col: str = "text",
+                         keep_cols: list[str] | None = None) -> DataFrame:
+    """Per-document hashed {1,2}-gram feature counts
+    ``(id_col, *keep_cols, bucket, cnt)``.  Documents with no tokens
+    contribute no rows."""
+    if not 1 <= buckets <= 256:
+        raise ValueError("hashed_ngram_buckets: buckets must be in 1..256")
+    col = F.col(text_col)
+    grams = F.concat(word_ngrams(col, 1), word_ngrams(col, 2))
+    return (documents
+            .select(F.col(id_col), *[F.col(c) for c in (keep_cols or [])],
+                    F.explode(grams).alias("gram"))
+            .select(F.col(id_col), *(keep_cols or []),
+                    _bucket(F.col("gram"), buckets).alias("bucket"))
+            .groupBy(id_col, *(keep_cols or []), "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def _quantized_logp(cnt: Column, total: Column, buckets: int) -> Column:
+    """floor(ln((cnt+1)/(total+buckets)) · 1e4) as long — add-1 over
+    the full bucket space keeps every probability finite."""
+    return F.floor(
+        F.log((cnt + 1.0) / (total + F.lit(float(buckets)))) * SCALE) \
+        .cast("long")
+
+
+def dsir_logweights(documents: DataFrame, is_target: Column,
+                    buckets: int = 256, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document DSIR log importance weight of every document in
+    ``documents`` toward the subset marked by the ``is_target``
+    predicate (an in-pool trusted slice; for an external target corpus,
+    union it in with a flag column and pass that flag).
+
+    Returns ``(id_col, n_grams, logw_q)``: ``logw_q`` is the exact
+    integer Σ_b cnt·(lp_target − lp_raw) at 1e-4 quantization — sort
+    descending and keep the top fraction (or feed through
+    :func:`mc2skos_spark.functions.sampling.hash_fraction` thresholds)
+    to resample.  Positive ⇒ more target-like than the pool average.
+    """
+    db = hashed_ngram_buckets(
+        documents.withColumn("is_t", is_target.cast("boolean")),
+        buckets, id_col, text_col, keep_cols=["is_t"])
+    # one scan feeds three consumers (raw dist, target dist, scoring):
+    # lineage-cut so the tokenize+hash+count runs once
+    db = db.localCheckpoint(eager=False)
+
+    full = documents.sparkSession.range(buckets) \
+        .select(F.col("id").cast("int").alias("bucket"))
+    # raw + target counts in ONE conditional aggregate — a separate
+    # filtered aggregate would scan the doc-bucket table twice
+    cnts = db.groupBy("bucket").agg(
+        F.sum("cnt").alias("rc"),
+        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(F.lit(0)))
+        .alias("tc"))
+    dist = (full
+            .join(cnts, "bucket", "left")
+            .select("bucket",
+                    F.coalesce("rc", F.lit(0)).cast("long").alias("rc"),
+                    F.coalesce("tc", F.lit(0)).cast("long").alias("tc")))
+    # dist feeds both the totals aggregate and the ratio table: cut the
+    # 256-row lineage so the bucket aggregate over db runs once — with
+    # this, db is materialized exactly twice (distribution + scoring)
+    dist = dist.localCheckpoint(eager=False)
+    totals = dist.agg(F.sum("rc").alias("rtot"), F.sum("tc").alias("ttot"))
+    ratio = (dist.crossJoin(F.broadcast(totals))
+             .select("bucket",
+                     (_quantized_logp(F.col("tc"), F.col("ttot"), buckets)
+                      - _quantized_logp(F.col("rc"), F.col("rtot"),
+                                        buckets)).alias("dlp")))
+
+    return (db.join(F.broadcast(ratio), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum("cnt").alias("n_grams"),
+                 F.sum(F.col("cnt") * F.col("dlp")).alias("logw_q")))

@@ -1,0 +1,127 @@
+"""Language-model quality filtering for training-data pipelines.
+
+The CCNet-style corpus filter (Wenzek et al. 2020): score every
+document by its negative log-likelihood under a unigram language model
+and gate on the score — documents far from the reference distribution
+(boilerplate, lorem-ipsum, non-language noise) score high and are
+dropped.  CCNet uses a 5-gram KenLM; the distributed re-expression here
+is the unigram member of that family (the n-gram generalization is the
+same join with :func:`~mc2skos_spark.functions.textstats.word_ngrams`
+keys), which is what the scale shape — not the smoothing order — is
+about.
+
+Scale shape (100 TB):
+
+* the corpus is tokenized ONCE into a per-document **distinct-token**
+  frequency table ``(doc_id, token, tf)`` — Heaps' law makes that table
+  far smaller than the raw token stream, and it is the only thing that
+  shuffles;
+* the LM itself is vocabulary-sized.  Self-training (``lm=None``)
+  derives it from the same tf table with one extra aggregate — no
+  second corpus scan; production passes a precomputed ``(token, cnt)``
+  reference-corpus table and the score join is a plain equi-join on
+  ``token`` (AQE broadcasts it when the vocabulary fits);
+* per-token log-probabilities are **floor-truncated to 1e-4 and summed
+  as integers** — a double sum per document would be summation-order-
+  dependent and could differ between Spark and the DuckDB oracle in the
+  last ulp (the same discipline as
+  :mod:`mc2skos_spark.functions.retrieval`).
+
+Laplace (add-1) smoothing keeps every probability finite, so an OOV
+token under an external LM scores ``ln(1 / (total + V))`` rather than
+-inf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mc2skos_spark.functions.textstats import tokens
+
+SCALE = 10_000
+
+
+def doc_term_freq(documents: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document distinct-token frequencies ``(id, token, tf)``:
+    lowercased whitespace tokens, one row per (doc, distinct token).
+    Documents with no tokens contribute no rows."""
+    return (documents
+            .select(F.col(id_col),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("token"))
+            .groupBy(id_col, "token")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+
+
+def unigram_lm(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train a unigram LM: corpus-wide ``(token, cnt)`` counts.  In
+    production this is written once per reference-corpus snapshot and
+    passed to :func:`lm_nll_scores` for every scoring run."""
+    return (doc_term_freq(documents, text_col=text_col)
+            .groupBy("token")
+            .agg(F.sum("tf").alias("cnt")))
+
+
+def lm_nll_scores(documents: DataFrame, lm: DataFrame | None = None,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document unigram negative log-likelihood under ``lm``.
+
+    Returns ``(id_col, n_tokens, nll_q, avg_nll)`` where ``nll_q`` is
+    the exact integer sum of 1e-4-quantized per-token NLLs (long —
+    order-independent, so the hash-compare is deterministic under any
+    shuffle order) and ``avg_nll`` = per-token average in nats, floor-
+    truncated to 4 decimals.  Higher = less like the LM's corpus; gate
+    with ``.filter(F.col("avg_nll") <= cutoff)``.
+
+    ``lm=None`` self-trains on ``documents`` (the "score the corpus by
+    itself" diagnostic); passing a precomputed ``(token, cnt)`` table is
+    the production path and skips the extra aggregate.  Empty documents
+    have no tokens and therefore no score row.
+    """
+    tf = doc_term_freq(documents, id_col, text_col)
+    if lm is None:
+        # one extra aggregate over the SAME tf table — the corpus scan
+        # is not repeated; lineage-cut so tf materializes once for both
+        # the LM aggregate and the scoring join
+        tf = tf.localCheckpoint(eager=False)
+        lm = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+        # lm feeds BOTH the stats aggregate and the logp table — cut
+        # the lineage so the vocab aggregate (its token-keyed shuffle)
+        # runs once, not once per consumer
+        lm = lm.localCheckpoint(eager=False)
+
+    stats = lm.agg(F.sum("cnt").cast("long").alias("total"),
+                   F.count(F.lit(1)).cast("long").alias("v"))
+    # add-1 smoothed, quantized per-token log-prob (negative long).
+    # (cnt+1)/(total+v) is one IEEE double division of exact integers —
+    # identical in every engine; ln parity at 1e-4 truncation is the
+    # same bet retrieval.py's BM25 idf already wins.
+    logp = (lm.crossJoin(F.broadcast(stats))
+            .select("token",
+                    F.floor(F.log((F.col("cnt") + 1.0)
+                                  / (F.col("total") + F.col("v")))
+                            * SCALE)
+                    .cast("long").alias("lp")))
+
+    # OOV under an external LM: cnt = 0 → ln(1/(total+v)) via the
+    # 1-row broadcast stats frame; the coalesce never fires for a
+    # self-trained LM
+    scored = (tf.join(logp, "token", "left")
+              .crossJoin(F.broadcast(stats))
+              .select(
+                  F.col(id_col), "tf",
+                  F.coalesce(
+                      F.col("lp"),
+                      F.floor(F.log(1.0 / (F.col("total")
+                                           + F.col("v"))) * SCALE)
+                      .cast("long")).alias("lp")))
+
+    return (scored
+            .groupBy(id_col)
+            .agg(F.sum("tf").alias("n_tokens"),
+                 (-F.sum(F.col("tf") * F.col("lp"))).alias("nll_q"),
+                 (F.floor(-F.sum(F.col("tf") * F.col("lp"))
+                          / F.sum("tf")) / F.lit(float(SCALE)))
+                 .alias("avg_nll")))

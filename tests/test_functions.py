@@ -645,3 +645,116 @@ def test_bpe_encode_token_counts_spark(spark):
     got = {r["token"]: r["n"]
            for r in encode_token_counts(df, merges).collect()}
     assert got == dict(exp)
+
+
+def _lm_nll_reference(texts, lm_counts=None):
+    """Serial Python reference of lm_nll_scores: add-1 unigram NLL with
+    1e-4-quantized per-token logps summed as ints."""
+    import math
+    from collections import Counter
+    docs = {i: Counter((t or "").lower().split()) for i, t in enumerate(texts)}
+    if lm_counts is None:
+        lm_counts = Counter()
+        for c in docs.values():
+            lm_counts.update(c)
+    total = sum(lm_counts.values())
+    vocab = len(lm_counts)
+    def lp(tok):
+        cnt = lm_counts.get(tok, 0)
+        return math.floor(math.log((cnt + 1) / (total + vocab)) * 10000)
+    out = {}
+    for i, c in docs.items():
+        if not c:
+            continue
+        n = sum(c.values())
+        q = -sum(tf * lp(tok) for tok, tf in c.items())
+        out[i] = (n, q, math.floor(q / n) / 10000.0)
+    return out
+
+
+def test_lm_nll_self_trained(spark):
+    from mc2skos_spark.functions.lm import lm_nll_scores
+    texts = ["the cat sat on the mat", "the dog", "zz yy xx zz",
+             "", "the the the cat"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["nll_q"], r["avg_nll"])
+           for r in lm_nll_scores(df).collect()}
+    exp = _lm_nll_reference(texts)
+    assert got == exp           # empty doc 3 absent from both
+    assert 3 not in got
+    # repeated common tokens score lower per-token than rare ones
+    assert got[4][2] < got[2][2]
+
+
+def test_lm_nll_external_lm_oov(spark):
+    from mc2skos_spark.functions.lm import lm_nll_scores, unigram_lm
+    ref_texts = ["the cat sat", "the cat ran", "a dog sat"]
+    ref = spark.createDataFrame(
+        list(enumerate(ref_texts)), "doc_id long, text string")
+    lm = unigram_lm(ref)
+    texts = ["the cat", "quantum flux capacitor"]   # all-OOV doc 1
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["nll_q"], r["avg_nll"])
+           for r in lm_nll_scores(df, lm=lm).collect()}
+    from collections import Counter
+    lm_counts = Counter()
+    for t in ref_texts:
+        lm_counts.update(t.lower().split())
+    exp = _lm_nll_reference(texts, lm_counts)
+    assert got == exp
+    # OOV-only doc must score strictly worse per-token
+    assert got[1][2] > got[0][2]
+
+
+def test_dsir_logweights_exact(spark):
+    import hashlib
+    import math
+    from collections import Counter
+    from mc2skos_spark.functions.dsir import dsir_logweights
+
+    rows = [(0, "en", "the cat sat on the mat"),
+            (1, "en", "the dog ran to the park"),
+            (2, "zh", "zz qq zz ww qq"),
+            (3, "zh", "ww zz qq"),
+            (4, "en", ""),
+            (5, "de", "der hund lief zum park")]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:2], 16) % 256
+
+    def grams(t):
+        tk = [w for w in t.lower().split() if w]
+        return tk + [" ".join(tk[i:i + 2]) for i in range(len(tk) - 1)]
+
+    docb = {i: Counter(bucket(g) for g in grams(t))
+            for i, _, t in rows if grams(t)}
+    raw = Counter()
+    tgt = Counter()
+    for i, lang, t in rows:
+        for b, c in docb.get(i, {}).items():
+            raw[b] += c
+            if lang == "en":
+                tgt[b] += c
+    rtot, ttot = sum(raw.values()), sum(tgt.values())
+
+    def lp(c, tot):
+        return math.floor(math.log((c + 1) / (tot + 256)) * 10000)
+
+    exp = {}
+    for i, _, t in rows:
+        if i not in docb:
+            continue
+        n = sum(docb[i].values())
+        w = sum(c * (lp(tgt[b], ttot) - lp(raw[b], rtot))
+                for b, c in docb[i].items())
+        exp[i] = (n, w)
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["logw_q"])
+           for r in dsir_logweights(df, F.col("lang") == "en").collect()}
+    assert got == exp
+    assert 4 not in got                       # empty doc: no score row
+    # target-slice docs weight higher than the disjoint-vocab slice
+    assert min(got[0][1], got[1][1]) > max(got[2][1], got[3][1])
