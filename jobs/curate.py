@@ -6,6 +6,8 @@ over a documents table ``(doc_id, text, ...)``:
 
     profile (tokens / quality / language / repetition)
       → quality + repetition filter
+      → unigram-LM perplexity filter            (--max-avg-nll [--lm])
+      → DSIR importance-weight filter           (--dsir-target)
       → benchmark-contamination filter          (--benchmark)
       → PII redaction                           (--scrub-pii)
       → exact dedup (deterministic min-id keeper)
@@ -21,6 +23,8 @@ Cluster deployment:
         jobs/curate.py --input docs.parquet --output <dir> \\
         [--benchmark bench.parquet] [--min-quality 0.2]
         [--max-top-bigram 0.5] [--scrub-pii]
+        [--max-avg-nll 9.0 [--lm unigram.parquet]]
+        [--dsir-target en [--dsir-min-logw 0]]
         [--sample-rates en=1.0,es=0.5] [--default-rate 1.0]
         [--capacity 2048] [--jaccard 0.8]
 
@@ -74,6 +78,22 @@ def main() -> None:
                         help="drop docs whose most frequent bigram "
                              "exceeds this fraction (Gopher filter)")
     parser.add_argument("--scrub-pii", action="store_true")
+    parser.add_argument("--max-avg-nll", type=float, default=None,
+                        help="drop docs whose per-token unigram-LM NLL "
+                             "exceeds this (nats; CCNet-style filter). "
+                             "Docs with no tokens are dropped too.")
+    parser.add_argument("--lm", default=None,
+                        help="precomputed (token, cnt) parquet for "
+                             "--max-avg-nll; default: self-trained on "
+                             "the gated corpus")
+    parser.add_argument("--dsir-target", default=None, metavar="LANG",
+                        help="DSIR-weight docs toward the slice whose "
+                             "lang_guess equals LANG and keep those "
+                             "with logw_q >= --dsir-min-logw")
+    parser.add_argument("--dsir-min-logw", type=int, default=0,
+                        help="DSIR keep threshold on the exact integer "
+                             "log-weight (default 0 = more target-like "
+                             "than the pool)")
     parser.add_argument("--jaccard", type=float, default=0.8,
                         help="near-dup threshold (estimated Jaccard)")
     parser.add_argument("--num-hashes", type=int, default=32)
@@ -143,6 +163,24 @@ def main() -> None:
     kept = cut(profile_and_gate(docs, args.min_quality,
                                 args.max_top_bigram))
     stats["after_quality_filter"] = kept.count()
+
+    if args.max_avg_nll is not None:
+        from mc2skos_spark.functions.lm import lm_nll_scores
+        lm = spark.read.parquet(args.lm) if args.lm else None
+        ok = (lm_nll_scores(kept, lm=lm)
+              .filter(F.col("avg_nll") <= args.max_avg_nll)
+              .select("doc_id"))
+        kept = cut(kept.join(ok, "doc_id"))
+        stats["after_lm_filter"] = kept.count()
+
+    if args.dsir_target:
+        from mc2skos_spark.functions.dsir import dsir_logweights
+        ok = (dsir_logweights(kept,
+                              F.col("lang_guess") == args.dsir_target)
+              .filter(F.col("logw_q") >= args.dsir_min_logw)
+              .select("doc_id"))
+        kept = cut(kept.join(ok, "doc_id"))
+        stats["after_dsir_filter"] = kept.count()
 
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark).select("doc_id", "text")

@@ -112,3 +112,83 @@ def test_curate_cli_rejects_malformed_rates(tmp_path):
         capture_output=True, text=True, timeout=60)
     assert out.returncode != 0
     assert "expected <stratum>=<rate" in out.stderr
+
+
+def test_curate_cli_lm_and_dsir_filters(spark, tmp_path):
+    """--max-avg-nll drops the out-of-distribution gibberish doc,
+    --dsir-target en then drops the Spanish doc; thresholds are derived
+    in-test from the serial references so the test can't drift from the
+    operators' exact integer semantics."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from tests.test_functions import _lm_nll_reference
+
+    texts = {
+        1: "the cat and the dog of the house went to the barn in the morning",
+        2: "the dog and the cat of the barn went to the house in the evening",
+        3: "the bird and the cat of the house went to the barn in the night",
+        4: "zqxv wvut plomk jrtds qweaz xcvbn mlopi uytre hgfds zaqwe",
+        5: "el perro la casa de que los gatos el dia la noche de que los",
+    }
+    lang = {1: "en", 2: "en", 3: "en", 4: "und", 5: "es"}
+
+    # LM threshold: midway between the worst wanted doc and the
+    # gibberish doc (self-trained over ALL docs — quality gate is open)
+    nll = {i + 1: v[2] for i, v in
+           _lm_nll_reference([texts[k] for k in sorted(texts)]).items()}
+    assert nll[4] > max(nll[k] for k in (1, 2, 3, 5))
+    thr = (nll[4] + max(nll[k] for k in (1, 2, 3, 5))) / 2
+
+    # DSIR threshold over the post-LM pool {1,2,3,5}, target = en
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:2], 16) % 256
+
+    def grams(t):
+        tk = t.lower().split()
+        return tk + [" ".join(tk[i:i + 2]) for i in range(len(tk) - 1)]
+
+    pool = [1, 2, 3, 5]
+    docb = {i: Counter(bucket(g) for g in grams(texts[i])) for i in pool}
+    raw, tgt = Counter(), Counter()
+    for i in pool:
+        for b, c in docb[i].items():
+            raw[b] += c
+            if lang[i] == "en":
+                tgt[b] += c
+    rtot, ttot = sum(raw.values()), sum(tgt.values())
+
+    def lp(c, tot):
+        return math.floor(math.log((c + 1) / (tot + 256)) * 10000)
+
+    logw = {i: sum(c * (lp(tgt[b], ttot) - lp(raw[b], rtot))
+                   for b, c in docb[i].items()) for i in pool}
+    assert logw[5] < min(logw[k] for k in (1, 2, 3))
+    wthr = (logw[5] + min(logw[k] for k in (1, 2, 3))) // 2
+
+    spark.createDataFrame(sorted(texts.items()),
+                          "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "docs"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", str(tmp_path / "docs"),
+         "--output", str(tmp_path / "out"),
+         "--max-avg-nll", str(thr),
+         "--dsir-target", "en", "--dsir-min-logw", str(wthr),
+         "--jaccard", "0.95", "--capacity", "32"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["stats"] == {
+        "input": 5,
+        "after_quality_filter": 5,
+        "after_lm_filter": 4,       # gibberish doc 4 dropped
+        "after_dsir_filter": 3,     # Spanish doc 5 dropped
+        "after_exact_dedup": 3,
+        "after_near_dedup": 3,
+        "output": 3,
+    }
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(result["output"]).collect()}
+    assert kept == {1, 2, 3}
