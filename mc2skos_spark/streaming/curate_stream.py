@@ -8,7 +8,9 @@ each micro-batch:
 
 1. profiles its documents (tokens / quality / language / top-bigram
    repetition) and applies the quality + repetition gates — pure
-   projections, deterministic under replay;
+   projections, deterministic under replay — plus, when configured, a
+   CCNet-style perplexity gate against a FIXED reference unigram LM
+   (``lm_path``/``max_avg_nll``; fixed so replays gate identically);
 2. redacts PII spans;
 3. commits the surviving rows (with their profile columns) as the
    versioned snapshot ``curated_batch_N`` — a replay rewrites the
@@ -30,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.incremental import current_keepers
+from ..functions.lm import lm_nll_scores
 from ..functions.pii import scrub_pii
 from ..functions.textstats import profile_and_gate
 from ..sinks.icebergish import IcebergishCatalog
@@ -44,7 +47,17 @@ class StreamingCurator:
     def __init__(self, warehouse: str, name: str = "docs_minhash",
                  min_quality: float = 0.0, max_top_bigram: float = 1.0,
                  scrub: bool = True, id_col: str = "doc_id",
-                 text_col: str = "text", **dedup_kwargs):
+                 text_col: str = "text", lm_path: str | None = None,
+                 max_avg_nll: float | None = None, **dedup_kwargs):
+        # the LM gate REQUIRES a fixed reference LM: self-training per
+        # micro-batch would make the gate depend on batch composition
+        # (and differ on replay), so both knobs come together
+        if (lm_path is None) != (max_avg_nll is None):
+            raise ValueError("StreamingCurator: lm_path and max_avg_nll "
+                             "must be passed together (the streaming LM "
+                             "gate needs a FIXED reference LM)")
+        self.lm_path = lm_path
+        self.max_avg_nll = max_avg_nll
         self.warehouse = warehouse
         self.min_quality = min_quality
         self.max_top_bigram = max_top_bigram
@@ -61,6 +74,16 @@ class StreamingCurator:
         curated = profile_and_gate(batch, self.min_quality,
                                    self.max_top_bigram,
                                    self.id_col, self.text_col)
+        if self.max_avg_nll is not None:
+            # fixed reference LM (token, cnt): the per-batch score is a
+            # pure function of the document, so replays gate rows
+            # identically
+            lm = batch.sparkSession.read.parquet(self.lm_path)
+            ok = (lm_nll_scores(curated, lm=lm, id_col=self.id_col,
+                                text_col=self.text_col)
+                  .filter(F.col("avg_nll") <= self.max_avg_nll)
+                  .select(self.id_col))
+            curated = curated.join(ok, self.id_col)
         if self.scrub:
             curated = curated.withColumn(
                 self.text_col, scrub_pii(F.col(self.text_col)))

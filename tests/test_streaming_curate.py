@@ -93,3 +93,44 @@ def test_stream_curate_replay_is_noop(spark, tmp_path):
         sig_snap["snapshot_id"]
     assert {tuple(r) for r in curated_corpus(spark, wh).collect()} \
         == before
+
+
+def test_stream_curate_lm_gate_fixed_reference(spark, tmp_path):
+    """The streaming LM gate scores against a FIXED reference LM (so
+    replays gate identically): an in-distribution doc passes, a
+    gibberish doc is dropped before it ever reaches the dedup index."""
+    from mc2skos_spark.functions.lm import unigram_lm
+
+    ref = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "alpha beta gamma new subject matter"),
+         (2, "entirely new subject matter discussed here")],
+        "doc_id long, text string")
+    lm_path = str(tmp_path / "lm")
+    unigram_lm(ref).write.parquet(lm_path)
+
+    src = tmp_path / "docs_in"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "qqq www eee rrr ttt yyy uuu")],        # all-OOV gibberish
+        "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+
+    wh = str(tmp_path / "wh")
+    # threshold: total=18, V=12 → OOV tokens score -ln(1/30) ≈ 3.40;
+    # in-vocab tokens (cnt >= 1) score at most -ln(2/30) ≈ 2.71
+    stream_curate(spark, str(src) + "/*", wh, str(tmp_path / "ckpt"),
+                  lm_path=lm_path, max_avg_nll=3.0,
+                  threshold=0.9, **PARAMS)
+    assert {r["doc_id"] for r in curated_corpus(spark, wh).collect()} \
+        == {1}
+    cat = IcebergishCatalog(wh, spark)
+    assert {r["id"] for r in
+            cat.read("docs_minhash" + SIG_SUFFIX).collect()} == {1}
+
+
+def test_streaming_curator_lm_knobs_must_pair(tmp_path):
+    with pytest.raises(ValueError):
+        StreamingCurator(str(tmp_path / "wh"), lm_path="x")
+    with pytest.raises(ValueError):
+        StreamingCurator(str(tmp_path / "wh"), max_avg_nll=5.0)
