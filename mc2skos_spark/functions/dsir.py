@@ -23,12 +23,15 @@ Scale shape (100 TB):
   independent, so the DuckDB oracle hash-matches under any shuffle
   order (the discipline of :mod:`mc2skos_spark.functions.retrieval`).
 
-The bucket hash is the FIRST BYTE of md5 (pmod to ``buckets``), not
-xxhash64: md5 is bit-identical in every engine, which buys a fully
-independent cross-engine oracle; production at 10k+ buckets would swap
-in xxhash64 with the same plan shape.  Hashing n-grams into buckets is
-itself the DSIR design (they use 10k buckets) — collisions are part of
-the estimator, not an approximation added here.
+The default bucket hash is the FIRST BYTE of md5 (pmod to
+``buckets``): md5 is bit-identical in every engine, which buys a fully
+independent cross-engine oracle.  ``hash_fn="xxhash64"`` is the
+production path — cheaper per gram and supporting the paper's
+10k-bucket feature space — with the IDENTICAL plan shape (only the
+bucket expression changes; verified by the shape-parity pytest).
+Hashing n-grams into buckets is itself the DSIR design (they use 10k
+buckets) — collisions are part of the estimator, not an approximation
+added here.
 """
 
 from __future__ import annotations
@@ -40,29 +43,41 @@ from mc2skos_spark.functions.textstats import word_ngrams
 SCALE = 10_000
 
 
-def _bucket(gram: Column, buckets: int) -> Column:
-    """First md5 byte → [0, buckets) — engine-portable by construction."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(gram), 1, 2), 16, 10).cast("int"),
-        F.lit(buckets))
+def _bucket(gram: Column, buckets: int, hash_fn: str) -> Column:
+    """Hash a gram to [0, buckets).  ``md5``: first md5 byte —
+    engine-portable by construction (the oracle path, ≤256 buckets).
+    ``xxhash64``: the production path — cheaper per gram and supports
+    the paper's 10k-bucket feature space, but engine-specific."""
+    if hash_fn == "md5":
+        return F.pmod(
+            F.conv(F.substring(F.md5(gram), 1, 2), 16, 10).cast("int"),
+            F.lit(buckets))
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast("int")
+    raise ValueError(f"_bucket: unknown hash_fn {hash_fn!r}")
 
 
 def hashed_ngram_buckets(documents: DataFrame, buckets: int = 256,
                          id_col: str = "doc_id",
                          text_col: str = "text",
-                         keep_cols: list[str] | None = None) -> DataFrame:
+                         keep_cols: list[str] | None = None,
+                         hash_fn: str = "md5") -> DataFrame:
     """Per-document hashed {1,2}-gram feature counts
     ``(id_col, *keep_cols, bucket, cnt)``.  Documents with no tokens
     contribute no rows."""
-    if not 1 <= buckets <= 256:
-        raise ValueError("hashed_ngram_buckets: buckets must be in 1..256")
+    if hash_fn == "md5" and not 1 <= buckets <= 256:
+        raise ValueError("hashed_ngram_buckets: md5 path needs "
+                         "buckets in 1..256")
+    if buckets < 1:
+        raise ValueError("hashed_ngram_buckets: buckets must be >= 1")
     col = F.col(text_col)
     grams = F.concat(word_ngrams(col, 1), word_ngrams(col, 2))
     return (documents
             .select(F.col(id_col), *[F.col(c) for c in (keep_cols or [])],
                     F.explode(grams).alias("gram"))
             .select(F.col(id_col), *(keep_cols or []),
-                    _bucket(F.col("gram"), buckets).alias("bucket"))
+                    _bucket(F.col("gram"), buckets, hash_fn)
+                    .alias("bucket"))
             .groupBy(id_col, *(keep_cols or []), "bucket")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
 
@@ -77,7 +92,8 @@ def _quantized_logp(cnt: Column, total: Column, buckets: int) -> Column:
 
 def dsir_logweights(documents: DataFrame, is_target: Column,
                     buckets: int = 256, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    hash_fn: str = "md5") -> DataFrame:
     """Per-document DSIR log importance weight of every document in
     ``documents`` toward the subset marked by the ``is_target``
     predicate (an in-pool trusted slice; for an external target corpus,
@@ -91,7 +107,7 @@ def dsir_logweights(documents: DataFrame, is_target: Column,
     """
     db = hashed_ngram_buckets(
         documents.withColumn("is_t", is_target.cast("boolean")),
-        buckets, id_col, text_col, keep_cols=["is_t"])
+        buckets, id_col, text_col, keep_cols=["is_t"], hash_fn=hash_fn)
     # one scan feeds three consumers (raw dist, target dist, scoring):
     # lineage-cut so the tokenize+hash+count runs once
     db = db.localCheckpoint(eager=False)

@@ -21,6 +21,11 @@ each micro-batch:
    keeper/remap cluster state advances (all replay-guarded by the
    deduper's ``last_batch_id`` check).
 
+DSIR importance weighting is deliberately NOT composed per-batch: its
+weights are relative to the POOL distribution, so a per-batch variant
+would gate the same document differently depending on its batch — run
+``functions/dsir.py`` over the accumulated curated corpus instead.
+
 ``curated_corpus`` reads the result: the union of curated snapshots
 restricted to documents that are their own cluster keeper under the
 CURRENT resolved keeper state — so a later batch linking an old doc to

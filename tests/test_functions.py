@@ -758,3 +758,26 @@ def test_dsir_logweights_exact(spark):
     assert 4 not in got                       # empty doc: no score row
     # target-slice docs weight higher than the disjoint-vocab slice
     assert min(got[0][1], got[1][1]) > max(got[2][1], got[3][1])
+
+
+def test_dsir_xxhash_path_shape_parity(spark):
+    """The production xxhash64 bucket hash must change ONLY bucket
+    assignment: same scored doc set, same per-doc gram totals, same
+    plan shape (10k buckets supported)."""
+    from mc2skos_spark.functions.dsir import dsir_logweights
+    rows = [(0, "en", "the cat sat on the mat"),
+            (1, "en", "the dog ran to the park"),
+            (2, "zh", "zz qq zz ww qq"),
+            (3, "en", "")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    tgt = F.col("lang") == "en"
+    md5 = {r["doc_id"]: r["n_grams"]
+           for r in dsir_logweights(df, tgt).collect()}
+    xx = {r["doc_id"]: r["n_grams"]
+          for r in dsir_logweights(df, tgt, buckets=10_000,
+                                   hash_fn="xxhash64").collect()}
+    assert md5 == xx                      # same docs, same gram counts
+    with pytest.raises(ValueError):
+        dsir_logweights(df, tgt, buckets=512)          # md5 cap
+    with pytest.raises(ValueError):
+        dsir_logweights(df, tgt, hash_fn="crc32")

@@ -226,3 +226,28 @@ def test_repetition_signals_match_python_reference(spark, docs):
         "doc_id", dup_token_fraction(F.col("text")).alias("dup"),
         top_ngram_fraction(F.col("text"), 2).alias("top2")).collect()}
     assert got == {i: ref(toks) for i, toks in enumerate(docs)}
+
+
+# ---------------------------------------------------------------------------
+# BPE encode: pure-Python properties (no JVM)
+
+_sym = st.text(alphabet="ab", min_size=1, max_size=2)
+
+
+@given(st.text(alphabet="abc", max_size=20),
+       st.lists(st.tuples(_sym, _sym), max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_bpe_encode_word_properties(word, merges):
+    from mc2skos_spark.functions.bpe import encode_word
+    out = encode_word(word, merges)
+    # losslessness: tokens concatenate back to the word
+    assert "".join(out) == word
+    # every emitted token is a single char or a product of the merges
+    vocab = set(word) | {a + b for a, b in merges}
+    assert all(t in vocab for t in out)
+    # closure/idempotence: every emitted token, re-encoded in
+    # isolation with the same ordered merge list, reproduces itself —
+    # the greedy passes rebuild the token bottom-up from its own
+    # characters exactly as they did inside the word
+    for t in out:
+        assert encode_word(t, merges) == [t]
