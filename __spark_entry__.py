@@ -1023,6 +1023,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return lm_nll_scores(docs)
 
+    # --- interpolated BIGRAM LM NLL (the conditional-model step
+    #     toward CCNet's KenLM): same Heaps'-law shape one order up —
+    #     only the distinct-transition table shuffles; the bigram-vocab
+    #     logp table is two unigram joins + one equi-join back; the
+    #     interpolated probability is the same literal expression tree
+    #     in both engines, logps quantized and summed as longs.
+    def text_lm2_nll(spark, sf_dir):
+        from mc2skos_spark.functions.lm import bigram_nll_scores
+        docs = _t(spark, sf_dir, "documents")
+        return bigram_nll_scores(docs)
+
     # --- DSIR importance weights (Xie et al. 2023): hashed {1,2}-gram
     #     bucket counts (md5 first byte — engine-portable), target =
     #     the lang='en' slice, raw = the whole pool; per-bucket
@@ -1250,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": graph_triangles,
         "bpe_encode_counts": bpe_encode_counts,
         "text_lm_nll": text_lm_nll,
+        "text_lm2_nll": text_lm2_nll,
         "dsir_en_weights": dsir_en_weights,
         "pivot_lang_matrix": pivot_lang_matrix,
         "unpivot_doc_metrics": unpivot_doc_metrics,
@@ -2337,6 +2349,48 @@ def oracle_sql() -> dict[str, str]:
                    floor((-sum(tf * lp))::DOUBLE
                          / sum(tf)::DOUBLE) / 10000.0 AS avg_nll
             FROM tf JOIN logp USING (token)
+            GROUP BY doc_id""",
+        # interpolated bigram LM: identical literal expression tree for
+        # the smoothed probability in both engines (one rounding per
+        # IEEE op), quantized logps summed as BIGINTs
+        "text_lm2_nll": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            tr AS (
+                SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+                FROM toks, unnest(range(1, len(tk))) AS r(i)),
+            tf2 AS (
+                SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+                FROM tr GROUP BY doc_id, w1, w2),
+            uni AS (SELECT t.w AS w FROM toks, unnest(tk) AS t(w)),
+            lm1 AS (SELECT w, count(*)::BIGINT AS cnt FROM uni
+                    GROUP BY w),
+            stats AS (SELECT sum(cnt)::BIGINT AS total,
+                             count(*)::BIGINT AS v
+                      FROM lm1),
+            c2 AS (SELECT w1, w2, sum(tf)::BIGINT AS c2 FROM tf2
+                   GROUP BY w1, w2),
+            logp AS (
+                SELECT c2.w1, c2.w2,
+                       CAST(floor(ln(
+                           0.5 * ((c2 + 1)::DOUBLE
+                                  / (a.cnt + v)::DOUBLE)
+                         + 0.5 * ((b.cnt + 1)::DOUBLE
+                                  / (total + v)::DOUBLE)) * 10000)
+                            AS BIGINT) AS lp
+                FROM c2 JOIN lm1 a ON a.w = c2.w1
+                        JOIN lm1 b ON b.w = c2.w2
+                        CROSS JOIN stats)
+            SELECT doc_id,
+                   cast(sum(tf) AS BIGINT) AS n_transitions,
+                   cast(-sum(tf * lp) AS BIGINT) AS nll2_q,
+                   floor((-sum(tf * lp))::DOUBLE
+                         / sum(tf)::DOUBLE) / 10000.0 AS avg_nll2
+            FROM tf2 JOIN logp USING (w1, w2)
             GROUP BY doc_id""",
         # DSIR log-weights: the oracle maps md5's first byte to a
         # bucket via a printf('%02x') lookup table where Spark uses

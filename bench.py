@@ -137,6 +137,8 @@ def run_benchmark():
         "text_lm_nll",
         # round 4e: DSIR hashed-ngram importance weights
         "dsir_en_weights",
+        # round 4e: interpolated bigram LM NLL
+        "text_lm2_nll",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization

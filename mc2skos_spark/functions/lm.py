@@ -125,3 +125,86 @@ def lm_nll_scores(documents: DataFrame, lm: DataFrame | None = None,
                  (F.floor(-F.sum(F.col("tf") * F.col("lp"))
                           / F.sum("tf")) / F.lit(float(SCALE)))
                  .alias("avg_nll")))
+
+
+def doc_bigram_freq(documents: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-document distinct-transition frequencies
+    ``(id, w1, w2, tf)`` over consecutive lowercased whitespace tokens.
+    Documents with fewer than two tokens contribute no rows."""
+    col = F.col(text_col)
+
+    def pairs_of(tk):
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(0)))
+        full = F.transform(
+            idx, lambda i: F.struct(F.element_at(tk, i).alias("w1"),
+                                    F.element_at(tk, i + 1).alias("w2")))
+        return F.when(F.size(tk) >= 2, full).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    from mc2skos_spark.functions.textstats import _once
+    pairs = _once(tokens(F.lower(col)), pairs_of,
+                  F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (documents
+            .select(F.col(id_col), F.explode(pairs).alias("p"))
+            .select(F.col(id_col), F.col("p.w1").alias("w1"),
+                    F.col("p.w2").alias("w2"))
+            .groupBy(id_col, "w1", "w2")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+
+
+def bigram_nll_scores(documents: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      lam: float = 0.5) -> DataFrame:
+    """Per-document NLL under a self-trained INTERPOLATED bigram LM —
+    the conditional-model step toward CCNet's 5-gram KenLM, with the
+    same scale shape as :func:`lm_nll_scores` one order up:
+
+        p(w2 | w1) = lam·(c2(w1,w2)+1)/(c1(w1)+V)
+                   + (1−lam)·(c1(w2)+1)/(total+V)
+
+    (add-1 in both terms keeps everything finite; the interpolation is
+    the standard stupid-backoff-ish smoothing).  Only transitions are
+    scored (n−1 terms per doc); docs with <2 tokens get no row.
+
+    Scale shape: the corpus shuffles as the per-doc DISTINCT-transition
+    table (Heaps' law again); the bigram-vocab logp table is built with
+    two unigram-count joins and equi-joins back on (w1, w2).  Per-
+    transition logps are 1e-4-quantized and summed as LONGS — and the
+    interpolated probability is the same literal expression tree in
+    Spark and the DuckDB oracle, so the one-IEEE-op-per-step argument
+    carries through the +.
+
+    Returns ``(id_col, n_transitions, nll2_q, avg_nll2)``.
+    """
+    tf2 = doc_bigram_freq(documents, id_col, text_col)
+    tf2 = tf2.localCheckpoint(eager=False)      # feeds c2 + scoring
+    tf1 = doc_term_freq(documents, id_col, text_col)
+    lm1 = tf1.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    lm1 = lm1.localCheckpoint(eager=False)      # feeds stats + 2 joins
+    c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    stats = lm1.agg(F.sum("cnt").cast("long").alias("total"),
+                    F.count(F.lit(1)).cast("long").alias("v"))
+
+    lam = float(lam)
+    logp = (c2
+            .join(lm1.select(F.col("token").alias("w1"),
+                             F.col("cnt").alias("c1w1")), "w1")
+            .join(lm1.select(F.col("token").alias("w2"),
+                             F.col("cnt").alias("c1w2")), "w2")
+            .crossJoin(F.broadcast(stats))
+            .select("w1", "w2",
+                    F.floor(F.log(
+                        lam * ((F.col("c2") + 1.0)
+                               / (F.col("c1w1") + F.col("v")))
+                        + (1.0 - lam) * ((F.col("c1w2") + 1.0)
+                                         / (F.col("total") + F.col("v")))
+                    ) * SCALE).cast("long").alias("lp")))
+
+    return (tf2.join(logp, ["w1", "w2"])
+            .groupBy(id_col)
+            .agg(F.sum("tf").alias("n_transitions"),
+                 (-F.sum(F.col("tf") * F.col("lp"))).alias("nll2_q"),
+                 (F.floor(-F.sum(F.col("tf") * F.col("lp"))
+                          / F.sum("tf")) / F.lit(float(SCALE)))
+                 .alias("avg_nll2")))

@@ -781,3 +781,40 @@ def test_dsir_xxhash_path_shape_parity(spark):
         dsir_logweights(df, tgt, buckets=512)          # md5 cap
     with pytest.raises(ValueError):
         dsir_logweights(df, tgt, hash_fn="crc32")
+
+
+def test_bigram_nll_self_trained_exact(spark):
+    import math
+    from collections import Counter
+    from mc2skos_spark.functions.lm import bigram_nll_scores
+    texts = ["the cat sat on the mat", "the cat ran to the mat",
+             "zz yy zz yy zz", "a", ""]
+    toks = [t.lower().split() for t in texts]
+    c1 = Counter(w for tk in toks for w in tk)
+    c2 = Counter((tk[i], tk[i + 1]) for tk in toks
+                 for i in range(len(tk) - 1))
+    total, vocab = sum(c1.values()), len(c1)
+
+    def lp(w1, w2):
+        p = (0.5 * ((c2[(w1, w2)] + 1) / (c1[w1] + vocab))
+             + 0.5 * ((c1[w2] + 1) / (total + vocab)))
+        return math.floor(math.log(p) * 10000)
+
+    exp = {}
+    for i, tk in enumerate(toks):
+        if len(tk) < 2:
+            continue
+        trs = Counter((tk[j], tk[j + 1]) for j in range(len(tk) - 1))
+        n = sum(trs.values())
+        q = -sum(tf * lp(w1, w2) for (w1, w2), tf in trs.items())
+        exp[i] = (n, q, math.floor(q / n) / 10000.0)
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_transitions"], r["nll2_q"], r["avg_nll2"])
+           for r in bigram_nll_scores(df).collect()}
+    assert got == exp
+    assert 3 not in got and 4 not in got   # <2 tokens: no score row
+    # note: doc 2's repeated zz<->yy transitions are *predictable*
+    # under the conditional model, so its NLL is legitimately LOW —
+    # exactly the conditional-vs-unigram distinction this model adds
