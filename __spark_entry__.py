@@ -1023,6 +1023,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return lm_nll_scores(docs)
 
+    # --- EXTERNAL-LM scoring (the production CCNet shape): the LM is
+    #     trained on the lang='en' slice only and every document is
+    #     scored against it — non-en docs hit the OOV fallback
+    #     (left-join + coalesce to the add-1 floor), putting the
+    #     cross-corpus path itself under the driver hash gate.
+    def text_lm_nll_xlm(spark, sf_dir):
+        from mc2skos_spark.functions.lm import lm_nll_scores, unigram_lm
+        docs = _t(spark, sf_dir, "documents")
+        lm = unigram_lm(docs.filter(F.col("lang") == "en"))
+        return lm_nll_scores(docs, lm=lm)
+
     # --- interpolated BIGRAM LM NLL (the conditional-model step
     #     toward CCNet's KenLM): same Heaps'-law shape one order up —
     #     only the distinct-transition table shuffles; the bigram-vocab
@@ -1261,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": graph_triangles,
         "bpe_encode_counts": bpe_encode_counts,
         "text_lm_nll": text_lm_nll,
+        "text_lm_nll_xlm": text_lm_nll_xlm,
         "text_lm2_nll": text_lm2_nll,
         "dsir_en_weights": dsir_en_weights,
         "pivot_lang_matrix": pivot_lang_matrix,
@@ -2349,6 +2361,47 @@ def oracle_sql() -> dict[str, str]:
                    floor((-sum(tf * lp))::DOUBLE
                          / sum(tf)::DOUBLE) / 10000.0 AS avg_nll
             FROM tf JOIN logp USING (token)
+            GROUP BY doc_id""",
+        # external-LM scoring: LM from the lang='en' slice, all docs
+        # scored; OOV tokens coalesce to the add-1 floor — the
+        # left-join fallback path under the hash gate
+        "text_lm_nll_xlm": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            tf AS (
+                SELECT doc_id, t.token AS token,
+                       count(*)::BIGINT AS tf
+                FROM toks, unnest(tk) AS t(token)
+                GROUP BY doc_id, token),
+            lm AS (
+                SELECT t.token AS token, count(*)::BIGINT AS cnt
+                FROM toks, unnest(tk) AS t(token)
+                WHERE lang = 'en'
+                GROUP BY t.token),
+            stats AS (SELECT sum(cnt)::BIGINT AS total,
+                             count(*)::BIGINT AS v
+                      FROM lm),
+            logp AS (
+                SELECT token,
+                       CAST(floor(ln((cnt + 1)::DOUBLE
+                                     / (total + v)::DOUBLE)
+                                  * 10000) AS BIGINT) AS lp
+                FROM lm CROSS JOIN stats)
+            SELECT doc_id,
+                   cast(sum(tf) AS BIGINT) AS n_tokens,
+                   cast(-sum(tf * coalesce(lp,
+                       CAST(floor(ln(1::DOUBLE / (total + v)::DOUBLE)
+                                  * 10000) AS BIGINT))) AS BIGINT)
+                       AS nll_q,
+                   floor((-sum(tf * coalesce(lp,
+                       CAST(floor(ln(1::DOUBLE / (total + v)::DOUBLE)
+                                  * 10000) AS BIGINT))))::DOUBLE
+                         / sum(tf)::DOUBLE) / 10000.0 AS avg_nll
+            FROM tf LEFT JOIN logp USING (token) CROSS JOIN stats
             GROUP BY doc_id""",
         # interpolated bigram LM: identical literal expression tree for
         # the smoothed probability in both engines (one rounding per

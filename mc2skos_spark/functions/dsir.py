@@ -97,7 +97,8 @@ def dsir_logweights(documents: DataFrame, is_target: Column,
     """Per-document DSIR log importance weight of every document in
     ``documents`` toward the subset marked by the ``is_target``
     predicate (an in-pool trusted slice; for an external target corpus,
-    union it in with a flag column and pass that flag).
+    union it in with a flag column and pass that flag).  A NULL
+    predicate value counts as non-target.
 
     Returns ``(id_col, n_grams, logw_q)``: ``logw_q`` is the exact
     integer Σ_b cnt·(lp_target − lp_raw) at 1e-4 quantization — sort

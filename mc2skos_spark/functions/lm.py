@@ -77,8 +77,10 @@ def lm_nll_scores(documents: DataFrame, lm: DataFrame | None = None,
 
     ``lm=None`` self-trains on ``documents`` (the "score the corpus by
     itself" diagnostic); passing a precomputed ``(token, cnt)`` table is
-    the production path and skips the extra aggregate.  Empty documents
-    have no tokens and therefore no score row.
+    the production path and skips the extra aggregate.  The external
+    table must have ONE row per token (what :func:`unigram_lm`
+    produces) — duplicate token rows would fan out the score join.
+    Empty documents have no tokens and therefore no score row.
     """
     tf = doc_term_freq(documents, id_col, text_col)
     if lm is None:
