@@ -1107,6 +1107,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (seq = (ts, event_id)); the latest change wins, keys whose
     #     latest change is an 'error' are deleted.  One max_by hash
     #     aggregate — partial combine map-side, no window sort.
+    # --- change compression: drop per-key consecutive no-op images
+    #     (same event_type as the previous change) BEFORE any CDC
+    #     apply — one key exchange + lag window, null-safe struct
+    #     compare, first change per key always survives.
+    def cdc_compress_changes(spark, sf_dir):
+        from mc2skos_spark.operators.cdc import compress_changes
+        from mc2skos_spark.operators.sessionize import event_micros
+        events = _t(spark, sf_dir, "events") \
+            .select("user_id", "event_id", "ts", "event_type")
+        out = compress_changes(events, ["user_id"],
+                               ["ts", "event_id"], ["event_type"])
+        return out.select("user_id", "event_id",
+                          event_micros("ts").alias("ts_us"),
+                          "event_type")
+
     def cdc_latest_state(spark, sf_dir):
         from mc2skos_spark.operators.cdc import latest_snapshot
         from mc2skos_spark.operators.sessionize import event_micros
@@ -1267,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sess_window_native": sess_window_native,
         "aj_purchase_asof": aj_purchase_asof,
         "rj_event_overlap": rj_event_overlap,
+        "cdc_compress_changes": cdc_compress_changes,
         "cdc_latest_state": cdc_latest_state,
         "cdc_scd2_versions": cdc_scd2_versions,
         "graph_triangles": graph_triangles,
@@ -2260,6 +2276,16 @@ def oracle_sql() -> dict[str, str]:
               ON a.event_type = b.event_type
              AND a.event_id < b.event_id
              AND a.s <= b.en AND b.s <= a.en""",
+        "cdc_compress_changes": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events)
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                   event_type
+            FROM o WHERE prev IS NULL OR event_type <> prev""",
         "cdc_latest_state": """
             WITH ranked AS (
                 SELECT user_id, event_id, ts, event_type,

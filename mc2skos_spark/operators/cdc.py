@@ -129,3 +129,32 @@ def merge_changes(catalog, table: str, changes: DataFrame,
     merged = untouched.unionByName(resolved.select(*current.columns))
     return catalog.write(table, merged, lineage_key=lineage_key,
                          properties=properties)
+
+
+def compress_changes(changes: DataFrame, key_cols: Sequence[str],
+                     seq_cols: Sequence[str],
+                     value_cols: Sequence[str]) -> DataFrame:
+    """Drop no-op changes: keep a row only when its ``value_cols``
+    differ from the PREVIOUS change's for the same key (null-safe
+    struct compare; the first change per key always survives).
+
+    The standard debezium-style change-compression step applied BEFORE
+    :func:`merge_changes` / :func:`scd2_history` — upstream CDC
+    pipelines routinely redeliver full-row images where nothing the
+    table cares about changed, and compressing first shrinks both the
+    merge's touched-key set and the SCD2 history.  One exchange on the
+    key + a lag window (the per-key ordered comparison is inherently a
+    window; ``seq_cols`` must be a unique total order per key, same
+    contract as the other operators here).  Composes:
+    ``scd2_history(compress_changes(...))`` collapses repeated images
+    into single validity intervals.
+    """
+    key_cols, seq_cols = list(key_cols), list(seq_cols)
+    val = F.struct(*[F.col(c) for c in value_cols])
+    w = Window.partitionBy(*key_cols) \
+        .orderBy(*[F.col(c) for c in seq_cols])
+    prev = F.lag(val).over(w)
+    return (changes
+            .withColumn("__prev", prev)
+            .filter(~val.eqNullSafe(F.col("__prev")))
+            .drop("__prev"))

@@ -150,3 +150,26 @@ def test_merge_changes_untouched_keys_never_shuffle(spark, tmp_path):
     # ... and the ONLY shuffle is the batch-key distinct (tiny side);
     # the stored-state scan reaches the join with no Exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_compress_changes_vectors(spark):
+    from mc2skos_spark.operators.cdc import compress_changes
+    changes = spark.createDataFrame(
+        [(1, 1, "I", "a"), (1, 2, "U", "a"),   # no-op image dropped
+         (1, 3, "U", "b"), (1, 4, "U", "a"),   # a->b->a both kept
+         (2, 1, "I", None), (2, 2, "U", None), # null==null: no-op
+         (2, 3, "U", "x"),
+         (3, 7, "I", "z")], CH)                # singleton kept
+    got = sorted((r["k"], r["seq"]) for r in
+                 compress_changes(changes, ["k"], ["seq"], ["v"])
+                 .collect())
+    assert got == [(1, 1), (1, 3), (1, 4), (2, 1), (2, 3), (3, 7)]
+    # composition: SCD2 over the compressed stream yields one interval
+    # per VALUE RUN, not per redelivered image
+    from mc2skos_spark.operators.cdc import scd2_history
+    hist = scd2_history(
+        compress_changes(changes, ["k"], ["seq"], ["v"])
+        .filter(F.col("k") == 1), ["k"], "seq")
+    assert [(r["v"], r["valid_from"], r["valid_to"])
+            for r in hist.orderBy("valid_from").collect()] == \
+        [("a", 1, 3), ("b", 3, 4), ("a", 4, None)]
