@@ -192,3 +192,55 @@ def test_curate_cli_lm_and_dsir_filters(spark, tmp_path):
     kept = {r["doc_id"]
             for r in spark.read.parquet(result["output"]).collect()}
     assert kept == {1, 2, 3}
+
+
+def test_train_lm_cli_feeds_curate_lm_gate(spark, tmp_path):
+    """jobs/train_lm.py writes the (token, cnt) parquet that
+    jobs/curate.py --lm consumes — the full production LM-gate loop
+    as two real subprocess invocations."""
+    ref = [(i, t) for i, t in enumerate(
+        ["the cat and the dog of the house", "the dog and the cat",
+         "the bird of the house"])]
+    spark.createDataFrame(ref, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "ref"))
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "train_lm.py"),
+         "--input", str(tmp_path / "ref"),
+         "--output", str(tmp_path / "lm"),
+         "--min-count", "2"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    lm = {r["token"]: r["cnt"]
+          for r in spark.read.parquet(str(tmp_path / "lm")).collect()}
+    assert lm["the"] == 7 and "bird" not in lm      # cutoff applied
+    assert stats["vocab"] == len(lm)
+    assert stats["total_tokens"] == sum(lm.values())
+
+    # feed it to the curate gate: the in-distribution doc passes, the
+    # gibberish doc is dropped (threshold between ln-floor bands:
+    # total=18... actually derive loosely — OOV floor dominates)
+    docs = [(1, "the cat and the dog"),
+            (2, "zqxv wvut plomk jrtds qweaz")]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "docs"))
+    import math
+    total, vocab = stats["total_tokens"], stats["vocab"]
+    oov = -math.floor(math.log(1 / (total + vocab)) * 10000) / 10000
+    best = -math.floor(math.log((min(lm.values()) + 1)
+                                / (total + vocab)) * 10000) / 10000
+    thr = (oov + best) / 2
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", str(tmp_path / "docs"),
+         "--output", str(tmp_path / "cur"),
+         "--max-avg-nll", str(thr), "--lm", str(tmp_path / "lm"),
+         "--capacity", "32"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["stats"]["after_lm_filter"] == 1
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(result["output"]).collect()}
+    assert kept == {1}
