@@ -973,6 +973,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ranks = pagerank(half.unionByName(third), iterations=3)
         return ranks.select("node", "rank_scaled")
 
+    # --- mass-conserving variant: the two dangling roots' damped rank
+    #     is redistributed uniformly each round (one extra 1-row
+    #     broadcast aggregate), still integer-exact — the oracle
+    #     unrolls the same redistributed iteration.
+    def graph_pagerank_dangling(spark, sf_dir):
+        from mc2skos_spark.operators.graph import pagerank
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 2)
+        half = docs.select(
+            F.col("doc_id").cast("long").alias("src"),
+            F.shiftright(F.col("doc_id").cast("long"), 1).alias("dst"))
+        third = docs.select(
+            F.col("doc_id").cast("long").alias("src"),
+            F.expr("cast(doc_id as long) div 3").alias("dst"))
+        ranks = pagerank(half.unionByName(third), iterations=3,
+                         redistribute_dangling=True)
+        return ranks.select("node", "rank_scaled")
+
     # --- gap-based sessionization over the events clickstream: one
     #     exchange on user_id, per-user lag -> flag -> running sum, then
     #     a per-session rollup.  Timestamps leave the query as exact
@@ -1044,6 +1061,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mc2skos_spark.functions.lm import bigram_nll_scores
         docs = _t(spark, sf_dir, "documents")
         return bigram_nll_scores(docs)
+
+    # --- trigram member of the same family (the induction step toward
+    #     CCNet's 5-gram KenLM): interpolated
+    #     0.5·trigram + 0.25·bigram-continuation + 0.25·unigram, all
+    #     add-1 smoothed; same Heaps-table scale shape one order up and
+    #     the same literal-expression-parity bet with the oracle.
+    def text_lm3_nll(spark, sf_dir):
+        from mc2skos_spark.functions.lm import trigram_nll_scores
+        docs = _t(spark, sf_dir, "documents")
+        return trigram_nll_scores(docs)
 
     # --- DSIR importance weights (Xie et al. 2023): hashed {1,2}-gram
     #     bucket counts (md5 first byte — engine-portable), target =
@@ -1278,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_rolling_fingerprint": text_rolling_fingerprint,
         "graph_pagerank": graph_pagerank,
+        "graph_pagerank_dangling": graph_pagerank_dangling,
         "sess_gap_stats": sess_gap_stats,
         "sess_window_native": sess_window_native,
         "aj_purchase_asof": aj_purchase_asof,
@@ -1290,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_nll": text_lm_nll,
         "text_lm_nll_xlm": text_lm_nll_xlm,
         "text_lm2_nll": text_lm2_nll,
+        "text_lm3_nll": text_lm3_nll,
         "dsir_en_weights": dsir_en_weights,
         "pivot_lang_matrix": pivot_lang_matrix,
         "unpivot_doc_metrics": unpivot_doc_metrics,
@@ -2205,6 +2234,59 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes CROSS JOIN params
                    LEFT JOIN c3 ON node = c3.dst)
             SELECT node, cast(r AS bigint) AS rank_scaled FROM r3""",
+        # mass-conserving PageRank: per round the dangling nodes'
+        # summed rank is damped and split N ways with the same exact
+        # integer div as the edge term
+        "graph_pagerank_dangling": """
+            WITH e AS (
+                SELECT cast(doc_id AS bigint) AS src,
+                       cast(doc_id // 2 AS bigint) AS dst
+                FROM documents WHERE doc_id >= 2
+                UNION ALL
+                SELECT cast(doc_id AS bigint),
+                       cast(doc_id // 3 AS bigint)
+                FROM documents WHERE doc_id >= 2),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            params AS (SELECT count(*) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+            ed AS (SELECT e.src, e.dst, deg.od
+                   FROM e JOIN deg ON e.src = deg.src),
+            dang AS (SELECT node FROM nodes
+                     WHERE node NOT IN (SELECT src FROM e)),
+            r0 AS (SELECT node, 1000000000000 // n AS r
+                   FROM nodes CROSS JOIN params),
+            d1 AS (SELECT coalesce(sum(r), 0) AS dm
+                   FROM r0 JOIN dang USING (node)),
+            c1 AS (SELECT dst, sum((r * 85) // (100 * od)) AS s
+                   FROM ed JOIN r0 ON ed.src = r0.node GROUP BY dst),
+            r1 AS (SELECT node,
+                          (1000000000000 * 15) // (100 * n)
+                           + coalesce(s, 0)
+                           + (dm * 85) // (100 * n) AS r
+                   FROM nodes CROSS JOIN params CROSS JOIN d1
+                   LEFT JOIN c1 ON node = c1.dst),
+            d2 AS (SELECT coalesce(sum(r), 0) AS dm
+                   FROM r1 JOIN dang USING (node)),
+            c2 AS (SELECT dst, sum((r * 85) // (100 * od)) AS s
+                   FROM ed JOIN r1 ON ed.src = r1.node GROUP BY dst),
+            r2 AS (SELECT node,
+                          (1000000000000 * 15) // (100 * n)
+                           + coalesce(s, 0)
+                           + (dm * 85) // (100 * n) AS r
+                   FROM nodes CROSS JOIN params CROSS JOIN d2
+                   LEFT JOIN c2 ON node = c2.dst),
+            d3 AS (SELECT coalesce(sum(r), 0) AS dm
+                   FROM r2 JOIN dang USING (node)),
+            c3 AS (SELECT dst, sum((r * 85) // (100 * od)) AS s
+                   FROM ed JOIN r2 ON ed.src = r2.node GROUP BY dst),
+            r3 AS (SELECT node,
+                          (1000000000000 * 15) // (100 * n)
+                           + coalesce(s, 0)
+                           + (dm * 85) // (100 * n) AS r
+                   FROM nodes CROSS JOIN params CROSS JOIN d3
+                   LEFT JOIN c3 ON node = c3.dst)
+            SELECT node, cast(r AS bigint) AS rank_scaled FROM r3""",
         "sess_gap_stats": """
             WITH flagged AS (
                 SELECT user_id, event_id, ts,
@@ -2276,16 +2358,26 @@ def oracle_sql() -> dict[str, str]:
               ON a.event_type = b.event_type
              AND a.event_id < b.event_id
              AND a.s <= b.en AND b.s <= a.en""",
+        # NULL parity with compress_changes' null-safe struct compare:
+        # rn=1 marks "no previous row" (a scalar `prev IS NULL` would
+        # conflate that with a NULL previous VALUE) and IS DISTINCT
+        # FROM keeps NULL→value and value→NULL transitions, exactly
+        # like Spark's eqNullSafe; likewise cdc_latest_state's
+        # IS DISTINCT FROM 'error' keeps NULL event_type rows, matching
+        # latest_snapshot's coalesce(delete_when, false).  The current
+        # events table has no NULL event_type, but a testdata regen
+        # with NULLs must not split the engines.
         "cdc_compress_changes": """
             WITH o AS (
                 SELECT user_id, event_id, ts, event_type,
-                       lag(event_type) OVER (
-                           PARTITION BY user_id
-                           ORDER BY ts, event_id) AS prev
-                FROM events)
+                       lag(event_type) OVER w AS prev,
+                       row_number() OVER w AS rn
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id))
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                    event_type
-            FROM o WHERE prev IS NULL OR event_type <> prev""",
+            FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev""",
         "cdc_latest_state": """
             WITH ranked AS (
                 SELECT user_id, event_id, ts, event_type,
@@ -2295,7 +2387,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                    event_type
-            FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
+            FROM ranked
+            WHERE rn = 1
+              AND event_type IS DISTINCT FROM 'error'""",
         "cdc_scd2_versions": """
             WITH p AS (
                 SELECT user_id, event_id, ts,
@@ -2337,6 +2431,19 @@ def oracle_sql() -> dict[str, str]:
                     text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS w
                 FROM documents),
             wc AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+            guard AS (
+                -- the '<ch>' bracket-encoding trick assumes the corpus
+                -- alphabet contains no literal '<' or '>' (the BPE
+                -- pre-tokenizer class [^A-Za-z0-9\\s]+ WOULD admit
+                -- them; verified 0 hits in the current documents
+                -- table).  Fail loudly on a regenerated corpus that
+                -- violates it instead of hash-mismatching mysteriously.
+                SELECT CASE WHEN count(*) > 0 THEN error(
+                    'bpe_encode_counts oracle: corpus word contains '
+                    || '< or >; the bracket-delimited encoding is '
+                    || 'invalid for this alphabet')
+                    ELSE 1 END AS ok
+                FROM wc WHERE w LIKE '%<%' OR w LIKE '%>%'),
             enc AS (SELECT
                 replace(replace(replace(replace(
                 replace(replace(replace(replace(
@@ -2346,7 +2453,7 @@ def oracle_sql() -> dict[str, str]:
                     '<o><w>', '<ow>'), '<s><t>', '<st>'),
                     '<t><o>', '<to>'), '<a><t>', '<at>'),
                     '<in><g>', '<ing>'), '<er><s>', '<ers>') AS s,
-                cnt FROM wc),
+                cnt FROM wc, guard WHERE guard.ok = 1),
             toks AS (
                 SELECT unnest(string_split(
                     substring(s, 2, length(s) - 2), '><')) AS token,
@@ -2470,6 +2577,62 @@ def oracle_sql() -> dict[str, str]:
                    floor((-sum(tf * lp))::DOUBLE
                          / sum(tf)::DOUBLE) / 10000.0 AS avg_nll2
             FROM tf2 JOIN logp USING (w1, w2)
+            GROUP BY doc_id""",
+        # trigram LM: identical interpolated probability expression
+        # tree as the Spark side (0.5/0.25/0.25 — all weights exactly
+        # representable doubles); c2 counted from its OWN bigram pass
+        # (deriving contexts from trigrams would miss each doc's final
+        # bigram)
+        "text_lm3_nll": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            tr3 AS (
+                SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+                       tk[i + 2] AS w3
+                FROM toks, unnest(range(1, len(tk) - 1)) AS r(i)),
+            tf3 AS (
+                SELECT doc_id, w1, w2, w3, count(*)::BIGINT AS tf
+                FROM tr3 GROUP BY doc_id, w1, w2, w3),
+            tr2 AS (
+                SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+                FROM toks, unnest(range(1, len(tk))) AS r(i)),
+            c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2
+                   FROM tr2 GROUP BY w1, w2),
+            uni AS (SELECT t.w AS w FROM toks, unnest(tk) AS t(w)),
+            lm1 AS (SELECT w, count(*)::BIGINT AS cnt FROM uni
+                    GROUP BY w),
+            stats AS (SELECT sum(cnt)::BIGINT AS total,
+                             count(*)::BIGINT AS v
+                      FROM lm1),
+            c3 AS (SELECT w1, w2, w3, sum(tf)::BIGINT AS c3 FROM tf3
+                   GROUP BY w1, w2, w3),
+            logp AS (
+                SELECT c3.w1, c3.w2, c3.w3,
+                       CAST(floor(ln(
+                           0.5 * ((c3 + 1)::DOUBLE
+                                  / (ctx.c2 + v)::DOUBLE)
+                         + 0.25 * ((cont.c2 + 1)::DOUBLE
+                                   / (a.cnt + v)::DOUBLE)
+                         + 0.25 * ((b.cnt + 1)::DOUBLE
+                                   / (total + v)::DOUBLE)) * 10000)
+                            AS BIGINT) AS lp
+                FROM c3 JOIN c2 ctx ON ctx.w1 = c3.w1
+                                   AND ctx.w2 = c3.w2
+                        JOIN c2 cont ON cont.w1 = c3.w2
+                                    AND cont.w2 = c3.w3
+                        JOIN lm1 a ON a.w = c3.w2
+                        JOIN lm1 b ON b.w = c3.w3
+                        CROSS JOIN stats)
+            SELECT doc_id,
+                   cast(sum(tf) AS BIGINT) AS n_transitions3,
+                   cast(-sum(tf * lp) AS BIGINT) AS nll3_q,
+                   floor((-sum(tf * lp))::DOUBLE
+                         / sum(tf)::DOUBLE) / 10000.0 AS avg_nll3
+            FROM tf3 JOIN logp USING (w1, w2, w3)
             GROUP BY doc_id""",
         # DSIR log-weights: the oracle maps md5's first byte to a
         # bucket via a printf('%02x') lookup table where Spark uses

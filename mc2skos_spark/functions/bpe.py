@@ -152,28 +152,137 @@ def encode_token_counts(docs: DataFrame,
             .agg(F.sum("cnt").cast("long").alias("n")))
 
 
+def _select_merge_batch(cands: list[tuple[str, str, int]],
+                        prior_tokens: set[str], boundary: int | None,
+                        max_n: int) -> list[tuple[str, str, int]]:
+    """Choose a RANKED PREFIX of candidate pairs that is provably safe
+    to apply in one round with results identical to one-at-a-time
+    training.  Driver-side, Spark-free (unit-tested without a JVM).
+
+    ``cands`` is the collected candidate list ranked by the trainer's
+    total order (count desc, then (a, b) asc); ``prior_tokens`` the
+    concat tokens of all merges learned so far (= every multi-char
+    symbol in the vocabulary); ``boundary`` the count of the LAST
+    collected row when the collection was truncated (None when the
+    candidate table was read exhaustively).
+
+    Why prefix-equality holds (each rule closes one divergence window
+    vs serial training; pair counts can only change through shared
+    symbols or through the new concat token):
+
+    1. *Prefix, stop at first conflict* — a later pair sharing a
+       symbol with a chosen one may have had its count reduced by that
+       merge, and any pair ranked between two chosen pairs is itself
+       chosen, so at serial sub-step j every not-chosen old pair still
+       ranks below pair_j (old counts never rise without involving a
+       new token).
+    2. *Concat freshness* — if a+b is already a vocabulary symbol
+       (only possible via a prior merge: concats are ≥ 2 chars), the
+       merge mints EXTRA occurrences of an existing symbol, silently
+       raising counts of uncollected pairs that contain it — safe only
+       as the round's single merge.
+    3. *Truncation boundary* — with a truncated candidate list, any
+       pair tied with the boundary count may have unseen peers, so
+       chosen counts must stay strictly above it (every pair that
+       could overtake then provably sits inside ``cands``).
+    4. *Tie-overtake guard* — merging (ai, bi) creates pairs
+       (x, ai·bi) / (ai·bi, y) whose counts are bounded by the OLD
+       counts of parents (x, ai) / (bi, y); a created pair can beat a
+       later chosen pair_j only on an exact count tie (a strictly
+       greater parent would rank above pair_j and trip rule 1), and
+       only if it lexically precedes pair_j — exactly the condition
+       scanned here against the full candidate list.
+    """
+    chosen: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    concats: set[str] = set()
+    for a, b, c in cands:
+        if len(chosen) >= max_n:
+            break
+        if boundary is not None and c <= boundary:
+            break                                           # rule 3
+        if a in used or b in used or a in concats or b in concats:
+            break                                           # rule 1
+        ab = a + b
+        if ab in prior_tokens or ab in concats:             # rule 2
+            if not chosen:
+                chosen.append((a, b, c))
+            break
+        trip = False
+        for ai, bi, _ci in chosen:                          # rule 4
+            tok = ai + bi
+            for qa, qb, qc in cands:
+                if qc < c:
+                    break           # ranked: nothing below can overtake
+                if (qb == ai and (qa, tok) < (a, b)) or \
+                   (qa == bi and (tok, qb) < (a, b)):
+                    trip = True
+                    break
+            if trip:
+                break
+        if trip:
+            break
+        chosen.append((a, b, c))
+        used.update((a, b))
+        concats.add(ab)
+    return chosen
+
+
 def train_bpe_merges(docs: DataFrame, n_merges: int,
                      text_col: str = "text",
-                     min_pair_count: int = 2) -> list[tuple[str, str, int]]:
+                     min_pair_count: int = 2,
+                     batch_size: int = 16) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges: [(a, b, pair_count), ...] in
     merge order.  Stops early when no pair reaches ``min_pair_count``.
 
     Scale shape: one corpus shuffle up front (word counts), then per
     round two jobs over the compact word table (pair aggregate + merge
-    projection) and ONE row to the driver.  The table is checkpointed
-    per round, so lineage stays O(1) regardless of merge count.
+    projection) and one small candidate batch to the driver.  The
+    table is checkpointed per round, so lineage stays O(1) regardless
+    of merge count.
+
+    Batched rounds: at bench scale the loop's wall time is JOB COUNT,
+    not data (each round is ~2 scheduled jobs), and a real 32k-token
+    vocabulary would mean ~64k jobs one-at-a-time.  Each round
+    therefore applies up to ``batch_size`` merges chosen by
+    :func:`_select_merge_batch`, whose rules make the batched merge
+    list PROVABLY identical to ``batch_size=1`` (the pure-serial
+    shape) — pairs sharing symbols, stale-concat mints, truncated-tie
+    ambiguity and created-pair tie overtakes all stop the batch.
+    Non-overlapping merges dominate real vocabularies, so rounds drop
+    roughly ``batch_size``-fold (parity + round-count assertions in
+    ``tests/test_functions.py``).
     """
+    batch_size = max(1, int(batch_size))
     cur = word_counts(docs, text_col).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
-    for _ in range(int(n_merges)):
-        top = (pair_counts(cur)
-               .orderBy(F.desc("pair_count"), "a", "b").limit(1)
+    prior_tokens: set[str] = set()
+    while len(merges) < int(n_merges):
+        want = min(batch_size, int(n_merges) - len(merges))
+        limit = max(4 * want, want + 16)
+        raw = (pair_counts(cur)
+               .orderBy(F.desc("pair_count"), "a", "b").limit(limit)
                .collect())
-        if not top or top[0]["pair_count"] < min_pair_count:
+        cands = [(r["a"], r["b"], int(r["pair_count"])) for r in raw]
+        truncated = len(raw) == limit
+        boundary = cands[-1][2] if truncated else None
+        cands = [c for c in cands if c[2] >= min_pair_count]
+        if not cands:
             break
-        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["pair_count"])
-        merges.append((a, b, c))
-        cur = (cur.select("word", "cnt",
-                          merge_pair(F.col("syms"), a, b).alias("syms"))
+        if boundary is not None and boundary < min_pair_count:
+            boundary = None     # every pair ≥ min_pair_count was seen
+        chosen = _select_merge_batch(cands, prior_tokens, boundary, want)
+        if not chosen:
+            # boundary rule rejected even the top pair (a truncated
+            # all-tied head): fall back to one provably-correct serial
+            # step — the top of the total order is always the serial
+            # pick regardless of truncation
+            chosen = cands[:1]
+        syms = F.col("syms")
+        for a, b, c in chosen:
+            merges.append((a, b, c))
+            prior_tokens.add(a + b)
+            syms = merge_pair(syms, a, b)
+        cur = (cur.select("word", "cnt", syms.alias("syms"))
                .localCheckpoint())
     return merges

@@ -244,7 +244,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     rerank.  ``dim`` (the vector width) must be given on the bucketed
     path — deriving it would force a driver action on the input.
     """
-    from .similarity import _planes, cosine, lsh_bucket
+    from .similarity import _planes, assign_lsh_buckets, cosine
 
     base = embeddings.select(F.col(id_col).alias("id"),
                              F.col(vec_col).cast("array<double>")
@@ -256,7 +256,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         # the bucketed table is referenced 4× (probe explode, bucket
         # join, two vector lookups): cut lineage once, lazily — the
         # staged pipeline would snapshot the signature table anyway
-        base = (base.withColumn("bucket", lsh_bucket(F.col("vec"), planes))
+        base = (assign_lsh_buckets(base, planes, "vec", "bucket")
                 .localCheckpoint(eager=False))
         # enumerate the Hamming ball directly (sum of C(num_planes, i)
         # deltas) — scanning all 2^num_planes ints would hang the
@@ -351,8 +351,9 @@ def semantic_dedup_pairs(embeddings: DataFrame, num_centroids: int = 16,
     e.g. 50k clusters for 100M docs as in the paper) so per-cluster
     candidate sets stay bounded and the join key has enough cardinality
     to spread across executors; AQE's skew-join split covers residual
-    hot clusters.  Centroid assignment is one linear map-side
-    expression (:func:`~.similarity.centroid_assign`).
+    hot clusters.  Centroid assignment is one broadcast-matrix
+    matmul-argmax (:func:`~.similarity.assign_nearest_centroid`) whose
+    plan size is O(1) in K.
 
     Returns ``(id_a, id_b, centroid, cosine)`` with cosine
     floor-truncated to 4 decimals, ``id_a < id_b``, cosine ≥ threshold.
@@ -365,22 +366,22 @@ def semantic_dedup_pairs(embeddings: DataFrame, num_centroids: int = 16,
     self-join consume it.
     """
     from .similarity import (_dot, arithmetic_centroids,
-                             centroid_assign_normalized, unit_vector)
+                             assign_nearest_centroid, unit_vector)
 
     base = embeddings.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     cents = arithmetic_centroids(base, num_centroids, centroid_mod,
                                  id_col, "_v")
-
-    def unit(vec):
-        nrm = sum(x * x for x in vec) ** 0.5
-        return [x / nrm for x in vec] if nrm else vec
-
-    ucents = [(cid, unit(cvec)) for cid, cvec in cents]
-    assigned = (base
-                .select(F.col(id_col), unit_vector(F.col("_v")).alias("_vn"))
-                .withColumn("_c", centroid_assign_normalized(
-                    F.col("_vn"), ucents))
+    # assignment ships the centroid matrix via a broadcast variable and
+    # runs one matmul-argmax per Arrow batch — plan size O(1) in K, so
+    # the paper-scale K (≈ n / target_cluster_size, e.g. 50k) is a data
+    # question, not a plan-build one; centroids are unit-normalized
+    # inside the helper and the input column is already unit (_vn), so
+    # scores stay exact cosines
+    assigned = (assign_nearest_centroid(
+                    base.select(F.col(id_col),
+                                unit_vector(F.col("_v")).alias("_vn")),
+                    cents, "_vn", "_c", normalize_input=False)
                 .localCheckpoint(eager=False))
     a = assigned.select(F.col(id_col).alias("id_a"),
                         F.col("_vn").alias("_vna"), "_c")

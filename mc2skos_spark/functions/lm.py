@@ -210,3 +210,106 @@ def bigram_nll_scores(documents: DataFrame, id_col: str = "doc_id",
                  (F.floor(-F.sum(F.col("tf") * F.col("lp"))
                           / F.sum("tf")) / F.lit(float(SCALE)))
                  .alias("avg_nll2")))
+
+
+def doc_trigram_freq(documents: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document distinct trigram-transition frequencies
+    ``(id, w1, w2, w3, tf)`` over consecutive lowercased whitespace
+    tokens.  Documents with fewer than three tokens contribute no
+    rows."""
+    col = F.col(text_col)
+    empty = F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+
+    def triples_of(tk):
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 2, F.lit(0)))
+        full = F.transform(
+            idx, lambda i: F.struct(F.element_at(tk, i).alias("w1"),
+                                    F.element_at(tk, i + 1).alias("w2"),
+                                    F.element_at(tk, i + 2).alias("w3")))
+        return F.when(F.size(tk) >= 3, full).otherwise(empty)
+
+    from mc2skos_spark.functions.textstats import _once
+    triples = _once(tokens(F.lower(col)), triples_of, empty)
+    return (documents
+            .select(F.col(id_col), F.explode(triples).alias("p"))
+            .select(F.col(id_col), F.col("p.w1").alias("w1"),
+                    F.col("p.w2").alias("w2"), F.col("p.w3").alias("w3"))
+            .groupBy(id_col, "w1", "w2", "w3")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+
+
+def trigram_nll_scores(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       lam3: float = 0.5,
+                       lam2: float = 0.25) -> DataFrame:
+    """Per-document NLL under a self-trained INTERPOLATED trigram LM —
+    the induction step from :func:`bigram_nll_scores` toward CCNet's
+    5-gram KenLM (Wenzek et al. 2020), demonstrating that the
+    distinct-transition Heaps-table shape generalizes order by order:
+
+        p(w3 | w1,w2) = lam3·(c3(w1,w2,w3)+1)/(c2(w1,w2)+V)
+                      + lam2·(c2(w2,w3)+1)/(c1(w2)+V)
+                      + (1−lam3−lam2)·(c1(w3)+1)/(total+V)
+
+    (add-1 everywhere keeps probabilities finite; defaults 0.5/0.25
+    leave an exactly-representable 0.25 unigram weight so the literal
+    expression tree is bit-identical in the DuckDB oracle).  Only full
+    trigram transitions are scored (n−2 terms per doc); docs with <3
+    tokens get no row.
+
+    Scale shape: one corpus tokenization feeding the per-doc distinct
+    TRIGRAM table (the only corpus-scale shuffle; Heaps' law keeps it
+    far below the raw token stream), corpus-wide c3/c2/c1 tables built
+    by re-aggregating it, equi-joins back on the n-gram keys (AQE
+    broadcasts the vocab-sized sides), per-transition logps
+    1e-4-quantized and summed as LONGS — the identical discipline as
+    the unigram and bigram members.
+
+    Returns ``(id_col, n_transitions3, nll3_q, avg_nll3)``.
+    """
+    lam3, lam2 = float(lam3), float(lam2)
+    lam1 = 1.0 - lam3 - lam2
+    tf3 = doc_trigram_freq(documents, id_col, text_col)
+    tf3 = tf3.localCheckpoint(eager=False)      # feeds c3/c2 + scoring
+    tf1 = doc_term_freq(documents, id_col, text_col)
+    lm1 = tf1.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    lm1 = lm1.localCheckpoint(eager=False)      # feeds stats + 2 joins
+    # context bigram counts derived from the trigram table would MISS
+    # each document's final bigram, so count them from their own pass
+    # over the bigram transitions (still Heaps-table scale)
+    tf2 = doc_bigram_freq(documents, id_col, text_col)
+    c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    c2 = c2.localCheckpoint(eager=False)        # context + continuation
+    c3 = tf3.groupBy("w1", "w2", "w3").agg(F.sum("tf").alias("c3"))
+    stats = lm1.agg(F.sum("cnt").cast("long").alias("total"),
+                    F.count(F.lit(1)).cast("long").alias("v"))
+
+    logp = (c3
+            .join(c2.select(F.col("w1"), F.col("w2"),
+                            F.col("c2").alias("c2ctx")), ["w1", "w2"])
+            .join(c2.select(F.col("w1").alias("w2"),
+                            F.col("w2").alias("w3"),
+                            F.col("c2").alias("c2cont")), ["w2", "w3"])
+            .join(lm1.select(F.col("token").alias("w2"),
+                             F.col("cnt").alias("c1w2")), "w2")
+            .join(lm1.select(F.col("token").alias("w3"),
+                             F.col("cnt").alias("c1w3")), "w3")
+            .crossJoin(F.broadcast(stats))
+            .select("w1", "w2", "w3",
+                    F.floor(F.log(
+                        lam3 * ((F.col("c3") + 1.0)
+                                / (F.col("c2ctx") + F.col("v")))
+                        + lam2 * ((F.col("c2cont") + 1.0)
+                                  / (F.col("c1w2") + F.col("v")))
+                        + lam1 * ((F.col("c1w3") + 1.0)
+                                  / (F.col("total") + F.col("v")))
+                    ) * SCALE).cast("long").alias("lp")))
+
+    return (tf3.join(logp, ["w1", "w2", "w3"])
+            .groupBy(id_col)
+            .agg(F.sum("tf").alias("n_transitions3"),
+                 (-F.sum(F.col("tf") * F.col("lp"))).alias("nll3_q"),
+                 (F.floor(-F.sum(F.col("tf") * F.col("lp"))
+                          / F.sum("tf")) / F.lit(float(SCALE)))
+                 .alias("avg_nll3")))

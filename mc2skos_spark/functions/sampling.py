@@ -37,8 +37,17 @@ def hash_fraction(id_col) -> Column:
     Precondition: ids must be NON-NEGATIVE (the documents-table
     contract).  For negative ids Spark's ``pmod``/``shiftrightunsigned``
     and ANSI-SQL's sign-preserving ``%`` / floor ``//`` diverge, so the
-    cross-engine oracle guarantee would not hold."""
-    x = F.pmod(F.pmod(id_col, F.lit(_M31)) * _MUL1 + _INC1, F.lit(_M31))
+    cross-engine oracle guarantee would not hold — enforced here with a
+    row-level ``assert_true`` (one codegen comparison) so a violation
+    fails LOUDLY at run time instead of silently returning a selection
+    that diverges from the SQL oracle."""
+    guarded = F.coalesce(
+        F.assert_true(id_col >= 0,
+                      F.lit("hash_fraction: id must be non-negative "
+                            "(negative ids break SQL-oracle parity)"))
+         .cast("long"),
+        id_col)
+    x = F.pmod(F.pmod(guarded, F.lit(_M31)) * _MUL1 + _INC1, F.lit(_M31))
     x = x.bitwiseXOR(F.shiftrightunsigned(x, 16))
     x = F.pmod(x * _MUL2, F.lit(_M31))
     x = x.bitwiseXOR(F.shiftrightunsigned(x, 16))
@@ -90,8 +99,16 @@ def mixture_weighted_sample(df: DataFrame, strata_col: str,
     be addition-order-dependent and is NOT reproducible across
     engines).  The final rate is built from two exactly-rounded
     double products and one division, parenthesized identically in
-    the SQL oracle.  An all-empty stratum (token sum 0) gets rate
-    NaN (0/0) and is dropped by the ``<`` comparison in both engines.
+    the SQL oracle.
+
+    All-empty stratum (token sum 0): the rate denominator is 0, which
+    under this session's ANSI mode would raise DIVIDE_BY_ZERO and kill
+    the job — so the division is ``try_divide`` (0/0 → NULL) and the
+    stratum is dropped EXPLICITLY by the ``<`` comparison (NULL rate →
+    NULL predicate → filtered).  Dropping is the right call: a stratum
+    with zero tokens contributes nothing to the token budget.  The
+    DuckDB oracle reaches the same outcome through float division
+    (0/0 → NaN, and ``x < NaN`` is false).
     """
     st = (df.groupBy(strata_col)
           .agg(F.sum(tokens_col).cast("long").alias("__st_tokens")))
@@ -100,12 +117,15 @@ def mixture_weighted_sample(df: DataFrame, strata_col: str,
         F.floor(F.sqrt(F.col("__st_tokens").cast("double"))).cast("long"))
     tot = st.agg(F.sum("__st_tokens").cast("long").alias("__tot"),
                  F.sum("__w").cast("long").alias("__wsum"))
-    rate = F.least(
-        F.lit(1.0),
-        (F.lit(float(budget_frac)) * F.col("__tot").cast("double")
-         * F.col("__w").cast("double"))
-        / (F.col("__wsum").cast("double")
-           * F.col("__st_tokens").cast("double")))
+    raw = F.try_divide(
+        F.lit(float(budget_frac)) * F.col("__tot").cast("double")
+        * F.col("__w").cast("double"),
+        F.col("__wsum").cast("double")
+        * F.col("__st_tokens").cast("double"))
+    # NOT F.least(1.0, raw): Spark's least/greatest SKIP nulls, so a
+    # 0/0 stratum would silently get rate 1.0 (keep everything) instead
+    # of being dropped — the when() keeps the NULL a NULL
+    rate = F.when(raw.isNotNull(), F.least(F.lit(1.0), raw))
     rates = (st.crossJoin(F.broadcast(tot))
              .select(strata_col, rate.alias("__rate")))
     return (df.join(F.broadcast(rates), strata_col)

@@ -15,7 +15,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # noqa: F401  (mapInPandas batches are pandas)
+
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 
 def _dot(a, b):
@@ -62,15 +66,49 @@ def _planes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Sign-pattern bucket id for a vector column."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(_dot(vec_col.cast("array<double>"), p) >= 0,
-                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + bit
-    return bucket
+def _vec_matrix(series) -> "np.ndarray":
+    """Arrow list column (pandas Series of per-row arrays) → n×dim
+    float64 matrix.  Vectors must share one dim (the embedding-table
+    contract); an empty batch yields a (0, 0) matrix."""
+    if len(series) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def assign_lsh_buckets(df: DataFrame, planes: list[list[float]],
+                       vec_col: str, out_col: str = "bucket") -> DataFrame:
+    """Sign-pattern LSH bucket id appended as ``out_col`` (long).
+
+    Data-driven form: the plane matrix rides a Spark broadcast variable
+    and each Arrow batch does ONE matmul + sign-pack
+    (``(V @ P.T >= 0) · 2^i``) inside ``mapInPandas`` — plan size is
+    O(1) in both num_planes and dim, vs the previous literal-unrolled
+    expression (one ``F.array(*literals)`` + dot-product HOF per plane
+    embedded in the projection).  Bit 63 wraps to the two's-complement
+    sign bit to stay a valid Spark long."""
+    num_planes = len(planes)
+    if not 0 < num_planes <= 64:
+        raise ValueError("assign_lsh_buckets: need 1..64 planes")
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(planes, dtype=np.float64))
+    out_schema = StructType(df.schema.fields
+                            + [StructField(out_col, LongType(), False)])
+    weights = np.asarray([1 << i for i in range(num_planes)],
+                         dtype=np.uint64)
+
+    def gen(batches):
+        p_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = np.zeros(0, dtype=np.int64)
+                yield pdf
+                continue
+            v = _vec_matrix(pdf[vec_col])
+            bits = (v @ p_mat.T) >= 0.0
+            pdf[out_col] = (bits.astype(np.uint64) @ weights).view(np.int64)
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
 
 
 def lsh_bucketed_topk(embeddings: DataFrame, query_vec: list[float],
@@ -84,8 +122,7 @@ def lsh_bucketed_topk(embeddings: DataFrame, query_vec: list[float],
     of the corpus)."""
     dim = len(query_vec)
     planes = _planes(dim, num_planes)
-    bucketed = embeddings.withColumn("bucket",
-                                     lsh_bucket(F.col(vec_col), planes))
+    bucketed = assign_lsh_buckets(embeddings, planes, vec_col, "bucket")
     qbits = 0
     for i, plane in enumerate(planes):
         if sum(px * qx for px, qx in zip(plane, query_vec)) >= 0:
@@ -113,34 +150,72 @@ def unit_vector(vec_col) -> "F.Column":
                                           F.lit(0.0))))
 
 
-def centroid_assign_normalized(unit_vec_col,
-                               unit_centroids: list[tuple]) -> "F.Column":
-    """Nearest-centroid id for a PRE-NORMALIZED vector column against
-    pre-normalized centroids: cosine degenerates to one dot product per
-    centroid (ties → larger cid, same as :func:`centroid_assign`)."""
-    entries = F.array(*[
-        F.struct(_dot(unit_vec_col,
-                      F.array(*[F.lit(x) for x in cvec])).alias("s"),
-                 F.lit(cid).alias("cid"))
-        for cid, cvec in unit_centroids])
-    return F.array_max(entries)["cid"]
+def _unit_rows(mat: "np.ndarray") -> "np.ndarray":
+    """Row-normalize a matrix; zero rows stay zero (parity with
+    :func:`unit_vector` / the old driver-side ``unit()`` helper)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
 
 
-def centroid_assign(vec_col, centroids: list[tuple]) -> "F.Column":
-    """Nearest-centroid id (by cosine; ties → larger cid) for a vector
-    column, as ONE linear expression.
+def assign_nearest_centroid(df: DataFrame, centroids: list[tuple],
+                            vec_col: str, out_col: str = "centroid",
+                            normalize_input: bool = True) -> DataFrame:
+    """Nearest-centroid-by-cosine id appended as ``out_col``.
 
-    argmax via ``array_max`` over (score, cid) structs: the expression
-    tree stays LINEAR in num_centroids.  (A chained
-    ``when(score > best).otherwise(best)`` references the accumulated
-    tree twice per centroid — 2^k nodes, OOM at plan build for k=16.)
+    Scale-true, data-driven form (replaces the literal-expression
+    ``centroid_assign``/``centroid_assign_normalized`` that embedded
+    every centroid as an ``F.array(*literals)`` + dot-product HOF in one
+    projection — linear plan growth that died at the 50k-centroid /
+    768-dim counts SemDeDup itself prescribes, ~38M literal doubles in
+    a single expression tree): the K×dim centroid matrix is shipped
+    ONCE per executor via a Spark broadcast variable and each Arrow
+    batch runs one matmul + argmax inside ``mapInPandas``.  Plan size
+    and build time are O(1) in K; per-row cost is the same K dot
+    products as before, now BLAS-vectorized.
+
+    Semantics unchanged: centroids are unit-normalized driver-side and
+    input vectors per batch (skip with ``normalize_input=False`` when
+    the column is already unit — e.g. :func:`unit_vector` output), so
+    the score is exactly cosine; ties → larger cid (centroid rows are
+    ordered by descending cid, so numpy's first-max argmax picks the
+    largest cid — same rule as the old ``array_max`` on (s, cid)
+    structs and the DuckDB oracles' ``ORDER BY cos DESC, cid DESC``).
+    Zero vectors score 0.0 against every centroid, matching the old
+    ``try_divide``-coalesce behavior.
+
+    ``out_col`` type follows the cid values (long for ints, else
+    string — the API allows non-numeric id columns as centroid ids).
     """
-    entries = F.array(*[
-        F.struct(cosine(vec_col, F.array(*[F.lit(x) for x in cvec]))
-                  .alias("s"),
-                 F.lit(cid).alias("cid"))
-        for cid, cvec in centroids])
-    return F.array_max(entries)["cid"]
+    if not centroids:
+        raise ValueError("assign_nearest_centroid: empty centroid list")
+    ordered = sorted(centroids, key=lambda c: c[0], reverse=True)
+    cids = [cid for cid, _ in ordered]
+    numeric = all(isinstance(c, int) for c in cids)
+    cent_mat = _unit_rows(np.vstack(
+        [np.asarray(cvec, dtype=np.float64) for _, cvec in ordered]))
+    bc = df.sparkSession.sparkContext.broadcast((cids, cent_mat))
+    out_schema = StructType(
+        df.schema.fields
+        + [StructField(out_col, LongType() if numeric else StringType(),
+                       False)])
+
+    def gen(batches):
+        cid_list, c_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = ([] if not numeric
+                                else np.zeros(0, dtype=np.int64))
+                yield pdf
+                continue
+            v = _vec_matrix(pdf[vec_col])
+            if normalize_input:
+                v = _unit_rows(v)
+            idx = (v @ c_mat.T).argmax(axis=1)
+            pdf[out_col] = [cid_list[i] for i in idx]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
 
 
 def arithmetic_centroids(embeddings: DataFrame, num_centroids: int,
@@ -215,8 +290,7 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     probe = sorted(centroids, key=lambda c: -cos_py(c[1], query_vec))[:nprobe]
     probe_ids = [cid for cid, _ in probe]
 
-    assigned = embeddings.withColumn(
-        "centroid",
-        centroid_assign(F.col(vec_col).cast("array<double>"), centroids))
+    assigned = assign_nearest_centroid(embeddings, centroids, vec_col,
+                                       "centroid", normalize_input=True)
     candidates = assigned.filter(F.col("centroid").isin(probe_ids))
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)

@@ -15,12 +15,15 @@ bit-for-bit after any shuffle.  A double-typed rank would drift in the
 last ulp depending on aggregation order.
 
 Formulation is the simplified Brin–Page iteration
-``R(v) = (1-d)/N + d * Σ R(u)/outdeg(u)``: dangling nodes (no
-out-edges) leak their damped mass instead of redistributing it — the
-usual choice when ranks are only used for ordering.  Fixed iteration
-count, not convergence-tested: PageRank at corpus scale is run for a
-budgeted number of rounds (10-20 in practice; the oracle unrolls the
-same count).
+``R(v) = (1-d)/N + d * Σ R(u)/outdeg(u)``.  Dangling nodes (no
+out-edges) leak their damped mass by default — the usual choice when
+ranks are only used for ordering; ``redistribute_dangling=True``
+switches to the mass-conserving standard form that spreads the summed
+dangling rank uniformly (``+ d·D/N`` per node, where D = Σ ranks of
+dangling nodes) at the cost of ONE extra 1-row aggregate per round —
+still integer-exact.  Fixed iteration count, not convergence-tested:
+PageRank at corpus scale is run for a budgeted number of rounds
+(10-20 in practice; the oracle unrolls the same count).
 """
 
 from __future__ import annotations
@@ -51,7 +54,8 @@ def pagerank(edges: DataFrame, iterations: int = 3,
              damping_pct: int = 85,
              src_col: str = "src", dst_col: str = "dst",
              loop_partitions: int | None = None,
-             edges_prepared: bool = False) -> DataFrame:
+             edges_prepared: bool = False,
+             redistribute_dangling: bool = False) -> DataFrame:
     """Fixed-point PageRank over an ``(src, dst)`` edge list.
 
     Returns ``(node, rank_scaled, rank)`` — ``rank_scaled`` is the
@@ -105,6 +109,15 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     base_val = (SCALE * (100 - damping_pct)) // (100 * n_nodes)
     init_val = SCALE // n_nodes
 
+    if redistribute_dangling:
+        # static dangling-node set: nodes with no out-edge.  The
+        # per-round mass aggregate is ONE row (metadata-scale) and is
+        # broadcast back into the rank update — never a driver action.
+        dangling = (nodes.join(e_deg.select("src").distinct(),
+                               nodes["node"] == F.col("src"), "left_anti")
+                    .select("node")
+                    .localCheckpoint(eager=False))
+
     # cast("long") matters: at small N the scaled literals fit int32,
     # and `r * 85` would then overflow under ANSI integer arithmetic
     ranks = nodes.select("node", F.lit(init_val).cast("long").alias("r")) \
@@ -123,11 +136,22 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                             .alias("c"))
                    .groupBy("dst")
                    .agg(F.sum("c").alias("s")))
-        ranks = (nodes
-                 .join(contrib, nodes["node"] == contrib["dst"], "left")
+        extra = F.lit(0).cast("long")
+        updated = nodes.join(contrib, nodes["node"] == contrib["dst"],
+                             "left")
+        if redistribute_dangling:
+            # Σ ranks of dangling nodes, damped and split N ways as an
+            # exact integer — the same div discipline as the edge term
+            dm = (ranks.join(dangling, "node", "left_semi")
+                  .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long")
+                       .alias("dm")))
+            updated = updated.crossJoin(F.broadcast(dm))
+            extra = F.expr(f"(dm * {damping_pct}) div (100 * {n_nodes})")
+        ranks = (updated
                  .select(F.col("node"),
                          (F.lit(base_val).cast("long")
-                          + F.coalesce(F.col("s"), F.lit(0)))
+                          + F.coalesce(F.col("s"), F.lit(0))
+                          + extra)
                          .cast("long").alias("r"))
                  .localCheckpoint())
     return ranks.select(F.col("node"),

@@ -43,7 +43,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               value_cols: Sequence[str],
               direction: str = "backward",
               tolerance_us: int | None = None,
-              right_tiebreak: str | None = None) -> DataFrame:
+              right_tiebreak: str | None = None,
+              block_us: int | None = None) -> DataFrame:
     """For each left row, attach the nearest right row per key.
 
     ``backward``: the right row with the greatest ``right_ts`` <=
@@ -62,8 +63,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     Plan shape: union → ONE Exchange on ``on`` → Sort → running
     ``last(ignorenulls)`` window → filter.  A pathologically hot key
     bounds one task (inherent to per-key ordered semantics — same
-    note as sessionize); salt upstream if a single key exceeds a
-    task's memory.
+    note as sessionize) — UNLESS ``block_us`` is set: the block-salted
+    two-phase variant (the ``reassemble_records(block_size=...)``
+    trick in time) windows within ``(key, floor(ts/block_us))`` blocks
+    so a hot key spreads over many tasks, then carries each block's
+    boundary payload forward with a second window over the
+    metadata-scale per-(key, block) summary table.  Semantics are
+    IDENTICAL to the unsalted path (equality pytest in
+    ``tests/test_temporal.py``); pick ``block_us`` so a hot key's rows
+    per block fit a task comfortably.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("asof_join: direction must be backward|forward")

@@ -818,3 +818,232 @@ def test_bigram_nll_self_trained_exact(spark):
     # note: doc 2's repeated zz<->yy transitions are *predictable*
     # under the conditional model, so its NLL is legitimately LOW —
     # exactly the conditional-vs-unigram distinction this model adds
+
+
+def test_centroid_assignment_plan_flat_in_k(spark):
+    """Scale property for SemDeDup/IVF assignment: the plan must not
+    grow with K.  The old literal-expression form embedded K×dim
+    doubles in one projection (plan build died at the 50k-centroid
+    scale the SemDeDup docstring prescribes); the broadcast-matrix
+    mapInPandas form keeps the plan O(1) in K — proven here by
+    building K=16 and K=1024 assignments over the same input and
+    asserting the analyzed plans are the same size, then actually
+    executing the K=1024 one."""
+    from mc2skos_spark.functions.similarity import assign_nearest_centroid
+
+    def lcg_vec(seed, dim=8):
+        state, out = seed, []
+        for _ in range(dim):
+            state = (state * 6364136223846793005
+                     + 1442695040888963407) % (1 << 64)
+            out.append(((state >> 33) / float(1 << 31)) - 1.0)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, lcg_vec(i + 1)) for i in range(200)],
+        "id long, vec array<double>")
+    cents_small = [(c, lcg_vec(10_000 + c)) for c in range(16)]
+    cents_big = [(c, lcg_vec(10_000 + c)) for c in range(1024)]
+
+    plan_small = (assign_nearest_centroid(df, cents_small, "vec", "_c")
+                  ._jdf.queryExecution().analyzed().toString())
+    big_df = assign_nearest_centroid(df, cents_big, "vec", "_c")
+    plan_big = big_df._jdf.queryExecution().analyzed().toString()
+    assert len(plan_big) == len(plan_small)   # plan size flat in K
+    assert "array(" not in plan_big           # no literal centroid vectors
+
+    got = {r["id"]: r["_c"] for r in big_df.collect()}
+
+    # numpy reference: unit-normalize both sides, argmax, ties → larger
+    # cid (centroid order descending + first-max argmax)
+    import numpy as np
+    v = np.vstack([lcg_vec(i + 1) for i in range(200)])
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    order = sorted(range(1024), reverse=True)
+    c = np.vstack([lcg_vec(10_000 + k) for k in order])
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    exp = {i: order[j] for i, j in enumerate((v @ c.T).argmax(axis=1))}
+    assert got == exp
+
+
+def test_centroid_assignment_tie_and_zero_semantics(spark):
+    """Parity pins for the old expression-form rules: exact score ties
+    go to the LARGER cid, and a zero vector (cosine 0.0 everywhere)
+    also lands on the largest cid."""
+    from mc2skos_spark.functions.similarity import assign_nearest_centroid
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 2.0])],
+        "id long, vec array<double>")
+    # cids 5 and 9 are the SAME direction as id 0; 9 must win the tie
+    cents = [(5, [2.0, 0.0]), (9, [4.0, 0.0]), (3, [0.0, 1.0])]
+    got = {r["id"]: r["_c"]
+           for r in assign_nearest_centroid(df, cents, "vec", "_c")
+           .collect()}
+    assert got[0] == 9   # tie between 5 and 9 → larger cid
+    assert got[1] == 9   # zero vector: all scores 0.0 → largest cid
+    assert got[2] == 3
+
+
+def test_mixture_sample_zero_token_stratum_dropped(spark):
+    """A stratum whose token sum is 0 makes the rate denominator 0 —
+    under ANSI mode the old plain division raised DIVIDE_BY_ZERO and
+    killed the job (reproduced by the round-4 advisor).  The
+    try_divide + when() form drops the stratum explicitly (NULL rate
+    never passes the ``<`` keep test), matching the DuckDB oracle's
+    0/0→NaN behavior."""
+    from mc2skos_spark.functions.sampling import mixture_weighted_sample
+    df = spark.createDataFrame(
+        [(i, "en", 20) for i in range(40)]
+        + [(100 + i, "empty", 0) for i in range(5)],
+        "doc_id long, lang string, n_tokens long")
+    rows = mixture_weighted_sample(df, "lang", budget_frac=0.5).collect()
+    assert rows                                     # job no longer crashes
+    assert all(r["lang"] == "en" for r in rows)     # empty stratum dropped
+
+
+def test_hash_fraction_rejects_negative_ids(spark):
+    """Negative ids would silently diverge from the SQL oracle (pmod vs
+    sign-preserving %); the guard must fail LOUDLY instead."""
+    from mc2skos_spark.functions.sampling import stratified_sample
+    df = spark.createDataFrame([(-1, "en"), (2, "en")],
+                               "doc_id long, lang string")
+    with pytest.raises(Exception, match="non-negative"):
+        stratified_sample(df, "lang", {"en": 0.5}).collect()
+
+
+def test_bpe_trainer_batched_equals_serial(spark):
+    """Batched rounds (the production shape — rounds are job-count
+    bound) must produce the IDENTICAL merge list as one-at-a-time
+    training on an overlap-heavy corpus: shared-symbol pairs, a==b
+    runs, cascade merges and count ties all present."""
+    from mc2skos_spark.functions.bpe import train_bpe_merges
+    texts = ["the cat sat on the mat", "the theme of the thesis",
+             "aaaa aaaa baaa!", "low lower lowest low", "a b c, c b a",
+             "zab zab zab cd cd cd", "don't stop, don't!"] * 3
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    serial = train_bpe_merges(df, n_merges=10, batch_size=1)
+    batched = train_bpe_merges(df, n_merges=10, batch_size=8)
+    assert batched == serial == _bpe_reference(texts, n_merges=10)
+
+
+def test_bpe_trainer_batched_randomized_parity(spark):
+    """Seeded random corpora over a 3-letter alphabet — maximal pair
+    overlap and constant count ties, the adversarial regime for the
+    batch-safety rules — must still match the serial reference
+    exactly."""
+    import random
+    from mc2skos_spark.functions.bpe import train_bpe_merges
+    rng = random.Random(42)
+    for trial in range(4):
+        texts = [" ".join("".join(rng.choice("abc")
+                                  for _ in range(rng.randint(1, 6)))
+                          for _ in range(30))
+                 for _ in range(6)]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+        got = train_bpe_merges(df, n_merges=12, batch_size=6)
+        exp = _bpe_reference(texts, n_merges=12)
+        assert got == exp, f"trial {trial} diverged"
+
+
+def test_bpe_trainer_batching_cuts_rounds(spark, monkeypatch):
+    """On a disjoint-heavy vocabulary (the realistic regime) batching
+    must cut the number of per-round Spark aggregates ~batch_size-fold
+    while producing the same merges."""
+    import mc2skos_spark.functions.bpe as bpe_mod
+    # 40 two-char words over 80 distinct codepoints: every pair merge
+    # is symbol-disjoint; strictly decreasing counts avoid tie stops
+    words = ["".join(chr(0x100 + 2 * i) + chr(0x101 + 2 * i))
+             for i in range(40)]
+    texts = [" ".join([w] * (50 - i)) for i, w in enumerate(words)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    calls = {"n": 0}
+    real = bpe_mod.pair_counts
+
+    def counting(words_df):
+        calls["n"] += 1
+        return real(words_df)
+
+    monkeypatch.setattr(bpe_mod, "pair_counts", counting)
+    batched = bpe_mod.train_bpe_merges(df, n_merges=32, batch_size=16)
+    batched_rounds = calls["n"]
+    calls["n"] = 0
+    serial = bpe_mod.train_bpe_merges(df, n_merges=32, batch_size=1)
+    serial_rounds = calls["n"]
+    assert batched == serial and len(batched) == 32
+    assert batched_rounds <= 3          # 32 merges in ≤3 rounds
+    assert serial_rounds == 32
+
+
+def test_select_merge_batch_safety_rules():
+    """Driver-side chooser vectors (no JVM): each rule stops exactly
+    the divergence it documents."""
+    from mc2skos_spark.functions.bpe import _select_merge_batch
+    # rule 1: prefix stops at the first symbol-sharing candidate, even
+    # when a disjoint pair follows it in rank
+    cands = [("a", "b", 10), ("z", "a", 10), ("c", "d", 6)]
+    assert _select_merge_batch(cands, set(), None, 8) == [("a", "b", 10)]
+    # rule 4: merging (a,a) creates ('aa','a')/('a','aa') pairs that
+    # tie (c,d) and precede it lexically — (c,d) must NOT batch
+    cands = [("a", "a", 20), ("c", "d", 10)]
+    assert _select_merge_batch(cands, set(), None, 8) == [("a", "a", 20)]
+    # ...but when the created pair loses the lex tie-break, batching is
+    # safe: ('z','ab') > ('c','d'), serial would pick (c,d) anyway
+    cands = [("a", "b", 10), ("c", "d", 10), ("z", "a", 10)]
+    assert _select_merge_batch(cands, set(), None, 8) == \
+        [("a", "b", 10), ("c", "d", 10)]
+    # rule 2: a concat that is already a vocabulary token goes alone
+    cands = [("a", "b", 10), ("c", "d", 10)]
+    assert _select_merge_batch(cands, {"ab"}, None, 8) == \
+        [("a", "b", 10)]
+    # rule 3: ties with the truncation boundary are rejected
+    cands = [("a", "b", 10), ("c", "d", 10)]
+    assert _select_merge_batch(cands, set(), 10, 8) == []
+    assert _select_merge_batch(cands, set(), 9, 8) == \
+        [("a", "b", 10), ("c", "d", 10)]
+    # max_n caps the batch
+    assert _select_merge_batch(cands, set(), None, 1) == [("a", "b", 10)]
+
+
+def test_trigram_nll_self_trained_exact(spark):
+    """Exact serial reference for the interpolated trigram LM —
+    0.5·trigram + 0.25·bigram-continuation + 0.25·unigram, quantized
+    logps summed as ints; docs with <3 tokens get no row."""
+    import math
+    from collections import Counter
+    from mc2skos_spark.functions.lm import trigram_nll_scores
+    texts = ["the cat sat on the mat", "the cat ran to the mat",
+             "zz yy zz yy zz", "a b", "a", ""]
+    toks = [t.lower().split() for t in texts]
+    c1 = Counter(w for tk in toks for w in tk)
+    c2 = Counter((tk[i], tk[i + 1]) for tk in toks
+                 for i in range(len(tk) - 1))
+    c3 = Counter((tk[i], tk[i + 1], tk[i + 2]) for tk in toks
+                 for i in range(len(tk) - 2))
+    total, vocab = sum(c1.values()), len(c1)
+
+    def lp(w1, w2, w3):
+        p = (0.5 * ((c3[(w1, w2, w3)] + 1) / (c2[(w1, w2)] + vocab))
+             + 0.25 * ((c2[(w2, w3)] + 1) / (c1[w2] + vocab))
+             + 0.25 * ((c1[w3] + 1) / (total + vocab)))
+        return math.floor(math.log(p) * 10000)
+
+    exp = {}
+    for i, tk in enumerate(toks):
+        if len(tk) < 3:
+            continue
+        trs = Counter((tk[j], tk[j + 1], tk[j + 2])
+                      for j in range(len(tk) - 2))
+        n = sum(trs.values())
+        q = -sum(tf * lp(*w) for w, tf in trs.items())
+        exp[i] = (n, q, math.floor(q / n) / 10000.0)
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_transitions3"], r["nll3_q"], r["avg_nll3"])
+           for r in trigram_nll_scores(df).collect()}
+    assert got == exp
+    assert {3, 4, 5}.isdisjoint(got)       # <3 tokens: no score row

@@ -188,3 +188,48 @@ def test_triangles_hub_orientation_bounds_wedges(spark):
     tri = [(0, 1), (1, 2), (2, 0)]
     got = _tri(spark, star + tri)
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def _reference_pagerank_dangling(edges, iterations, damping_pct=85):
+    """Mass-conserving variant: each round the dangling nodes' summed
+    rank is damped and split N ways (exact integer div)."""
+    nodes = sorted({n for e in edges for n in e})
+    n = len(nodes)
+    od = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    dangling = [v for v in nodes if v not in od]
+    base = (SCALE * (100 - damping_pct)) // (100 * n)
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(iterations):
+        dm = sum(r[v] for v in dangling)
+        share = (dm * damping_pct) // (100 * n)
+        contrib = {v: 0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += (r[s] * damping_pct) // (100 * od[s])
+        r = {v: base + contrib[v] + share for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize("iterations", [1, 3])
+def test_pagerank_dangling_redistribution(spark, iterations):
+    """Hand-unrolled vector: diamond + dangling sink — node 4's damped
+    mass must come back uniformly instead of leaking, raising every
+    node by exactly (dm*85)//(100*4) per round."""
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_scaled"]
+           for r in pagerank(df, iterations=iterations,
+                             redistribute_dangling=True).collect()}
+    exp = _reference_pagerank_dangling(edges, iterations)
+    assert got == exp
+    leak = _reference_pagerank(edges, iterations)
+    assert all(got[v] > leak[v] for v in got)   # strictly more mass
+    # round-1 closed form: every node gains share = (dm*85)//(100*4)
+    # where dm is node 4's initial rank SCALE//4
+    if iterations == 1:
+        share = ((SCALE // 4) * 85) // (100 * 4)
+        assert all(got[v] - leak[v] == share for v in got)
+    # mass conservation (up to integer-div truncation, strictly
+    # bounded by one unit per node per term)
+    assert abs(sum(got.values()) - SCALE) < 3 * len(got) * iterations
