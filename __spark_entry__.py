@@ -748,6 +748,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("media_id", "kind", "payload_bytes",
                         "content_digest"))
 
+    # --- REAL (stdlib) container decode: valid WAV/PNG files are
+    #     synthesized DISTRIBUTED (pandas UDF writes RIFF/IHDR bytes
+    #     from doc_id-derived parameters, no driver collect), then the
+    #     header decoders recover the planted parameters — which the
+    #     oracle recomputes from doc_id arithmetic without ever seeing
+    #     the bytes.  A decoder that misreads any field hash-fails.
+    def mm_media_decode(spark, sf_dir):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from mc2skos_spark.functions.multimodal import (
+            extract_media_features, make_png, make_wav)
+
+        # NB: no pd.Series annotations — the module's `from __future__
+        # import annotations` turns them into strings that pyspark's
+        # get_type_hints cannot resolve against module globals
+        @pandas_udf("binary")
+        def synth(mid):
+            def one(m):
+                m = int(m)
+                if m % 2 == 0:
+                    return make_wav(8000 + (m % 5) * 1000,
+                                    1 + (1 if m % 3 == 0 else 0),
+                                    100 + m)
+                return make_png(16 + m, 9 + m % 7)
+            return mid.map(one)
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.col("doc_id") % 2 == 0, "audio").otherwise("image")
+             .alias("kind"),
+            synth(F.col("doc_id")).alias("payload"),
+            F.lit(None).cast("int").alias("meta_width"),
+            F.lit(None).cast("int").alias("meta_height"),
+            F.lit(None).cast("int").alias("meta_duration_ms"))
+        return (extract_media_features(media)
+                .select("media_id", "kind", "decoded_width",
+                        "decoded_height", "decoded_bit_depth",
+                        "decoded_sample_rate", "decoded_channels",
+                        "decoded_duration_ms"))
+
+    # --- sketch aggregates at the driver surface: HLL++ distinct-token
+    #     estimate NEXT TO its exact twin per source stratum, plus an
+    #     in-plan error-envelope verdict.  Engine-specific sketch → no
+    #     cross-engine value oracle is possible (rows-only driver
+    #     check; the numeric envelope is pinned by the ok_5pct column
+    #     and by tests/test_sketches.py).  At 100 TB the sketch is the
+    #     production path: constant-size partial states combine
+    #     map-side vs the exact twin's full distinct shuffle.
+    def sketch_distinct_tokens(spark, sf_dir):
+        from mc2skos_spark.functions.textstats import tokens
+        docs = _t(spark, sf_dir, "documents")
+        toks = docs.select(
+            "source",
+            F.explode(tokens(F.lower(F.col("text")))).alias("token"))
+        return (toks.groupBy("source")
+                .agg(F.count_distinct("token").alias("exact_distinct"),
+                     F.approx_count_distinct("token", 0.02)
+                      .alias("approx_distinct"))
+                .select(
+                    "source", "exact_distinct", "approx_distinct",
+                    (F.abs(F.col("approx_distinct")
+                           - F.col("exact_distinct"))
+                     <= F.col("exact_distinct") * 0.05)
+                    .alias("ok_5pct")))
+
     # --- text analysis
     def text_tokens(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
@@ -1214,7 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     join, fine at oracle scale).
     def rj_event_overlap(spark, sf_dir):
         from mc2skos_spark.operators.sessionize import event_micros
-        from mc2skos_spark.operators.temporal import interval_join
+        from mc2skos_spark.operators.temporal import (interval_join,
+                                                      suggest_bucket_width)
         half_hour = 1_800_000_000
         events = _t(spark, sf_dir, "events")
         base = events.select(
@@ -1225,10 +1292,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", F.col("event_id").alias("b_id"),
             event_micros("ts").alias("b_s"),
             (event_micros("ts") + half_hour).alias("b_e"))
+        # width derived from the data (one percentile aggregate); on
+        # these fixed 30-min windows it lands on the interval length
+        # itself — a wrong width would change cost, never results
+        width = suggest_bucket_width(base, "a_s", "a_e")
         pairs = interval_join(base, other, on=["event_type"],
                               l_start="a_s", l_end="a_e",
                               r_start="b_s", r_end="b_e",
-                              bucket_width=half_hour)
+                              bucket_width=width)
         return (pairs.filter(F.col("a_id") < F.col("b_id"))
                 .select("event_type", "a_id", "b_id"))
 
@@ -1285,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
         "mm_media_features": mm_media_features,
+        "mm_media_decode": mm_media_decode,
+        "sketch_distinct_tokens": sketch_distinct_tokens,
         "text_tokens": text_tokens,
         "text_bpe_tokens": text_bpe_tokens,
         "text_quality": text_quality,
@@ -2192,6 +2265,32 @@ def oracle_sql() -> dict[str, str]:
                    cast(octet_length(encode(text)) AS int) AS payload_bytes,
                    sha256(text) AS content_digest
             FROM documents""",
+        # decode round-trip: expected header fields recomputed from
+        # doc_id arithmetic only — the oracle never touches the bytes,
+        # so a parser that misreads any RIFF/IHDR field hash-fails
+        "mm_media_decode": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'audio'
+                        ELSE 'image' END AS kind,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN cast(16 + doc_id AS int) END AS decoded_width,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN cast(9 + doc_id % 7 AS int)
+                        END AS decoded_height,
+                   CASE WHEN doc_id % 2 = 0 THEN 16
+                        ELSE 8 END AS decoded_bit_depth,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN cast(8000 + (doc_id % 5) * 1000 AS int)
+                        END AS decoded_sample_rate,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN cast(1 + (CASE WHEN doc_id % 3 = 0
+                                       THEN 1 ELSE 0 END) AS int)
+                        END AS decoded_channels,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN cast(((100 + doc_id) * 1000)
+                                  // (8000 + (doc_id % 5) * 1000) AS int)
+                        END AS decoded_duration_ms
+            FROM documents WHERE doc_id < 60""",
         # PageRank: 3 unrolled integer-exact rounds.  `//` (DuckDB) ==
         # `div` (Spark) on BIGINT; every term is an integer, so the
         # comparison is bit-exact with no float-order sensitivity.

@@ -139,6 +139,12 @@ def run_benchmark():
         "dsir_en_weights",
         # round 4e: interpolated bigram LM NLL
         "text_lm2_nll",
+        # round 5: trigram LM (Heaps shape one more order up),
+        # mass-conserving PageRank (per-round 1-row dangling
+        # aggregate), real WAV/PNG header decode round-trip, HLL++
+        # sketch next to its exact twin
+        "text_lm3_nll", "graph_pagerank_dangling", "mm_media_decode",
+        "sketch_distinct_tokens",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization
@@ -294,7 +300,8 @@ def assemble_baseline_md():
     --scaling and --skew can each refresh their own section."""
     parts = []
     for name in ("BENCH/_scaling.md", "BENCH/_scaling_history.md",
-                 "BENCH/_skew.md", "BENCH/_skewjoin.md"):
+                 "BENCH/_skew.md", "BENCH/_skewjoin.md",
+                 "BENCH/_asofskew.md"):
         if os.path.exists(name):
             with open(name) as fp:
                 parts.append(fp.read().rstrip() + "\n")
@@ -624,6 +631,113 @@ def run_skew_join():
                       "timings": timings, "pairs": n_pairs}))
 
 
+def run_skew_asof():
+    """Skew evidence #3: the as-of join with a planted hot key — ONE
+    user holding 75% of the probe side.  The unsalted union+window
+    plan pins the hot key's entire sort + running-last in one task;
+    ``block_us`` blocks the key by time so the same work spreads over
+    many tasks, with a metadata-scale carry table stitching block
+    boundaries (operators/temporal.py).  Identical outputs asserted
+    (row count + XOR-fold of match fingerprints).  Writes
+    BENCH/_asofskew.md → BENCH/BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from mc2skos_spark.operators.temporal import asof_join
+    from mc2skos_spark.plans.session import build_session
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count()
+    n_left = int(os.environ.get("SPARK_GRAFT_ASOF_ROWS", "3000000"))
+    hot_pct = 75
+    spark = build_session(app_name="mc2skos-asofskew",
+                          master="local[%d]" % cpus,
+                          shuffle_partitions=max(cpus, 16))
+
+    i = F.col("id")
+    hot = F.pmod(i, F.lit(100)) < hot_pct
+    # hot rows share user 0; cold rows spread over ~n/1000 users.
+    # ts is a pseudo-random spread over ~n_left microseconds so blocks
+    # fill evenly; the right side is a 1:40 thinned sample of the same
+    # keyed timeline.
+    user = F.when(hot, F.lit(0)).otherwise(
+        1 + F.pmod(i * 2654435761, F.lit(n_left // 1000)))
+    ts = F.pmod(i * 1540483477 + 12345, F.lit(n_left))
+    left = (spark.range(n_left).repartition(max(cpus, 16))
+            .select(user.alias("user_id"), ts.alias("ts"),
+                    i.alias("event_id"))
+            .localCheckpoint())
+    right = (spark.range(0, n_left, 40).repartition(max(cpus, 16))
+             .select(user.alias("user_id"), ts.alias("ts"),
+                     i.alias("p_id"))
+             .groupBy("user_id", "ts").agg(F.max("p_id").alias("p_id"))
+             .localCheckpoint())
+    block_us = max(n_left // (cpus * 32), 1)
+
+    variants = {"unsalted": None, "block_us": block_us}
+    timings: dict[str, list[float]] = {k: [] for k in variants}
+    finger: dict[str, tuple[int, int]] = {}
+
+    def join(bu):
+        return asof_join(left, right, ["user_id"], "ts", "ts",
+                         ["p_id"], block_us=bu)
+
+    join(None).write.format("noop").mode("overwrite").save()  # warm-up
+    for _ in range(3):
+        for label, bu in variants.items():
+            t0 = time.monotonic()
+            join(bu).write.format("noop").mode("overwrite").save()
+            timings[label].append(round(time.monotonic() - t0, 3))
+    for label, bu in variants.items():
+        row = join(bu).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("user_id", "ts", "event_id", "p_id",
+                                 "matched_ts")).alias("h")).collect()[0]
+        finger[label] = (int(row["n"]), int(row["h"]))
+    assert finger["unsalted"] == finger["block_us"], finger
+    n_rows_out, _ = finger["unsalted"]
+    spark.stop()
+
+    best = {k: min(v) for k, v in timings.items()}
+    speedup = best["unsalted"] / best["block_us"]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/_asofskew.md", "w") as fp:
+        fp.write(
+            "# BENCH — skew evidence #3 (as-of join, block-salted "
+            "two-phase)\n\n"
+            "Pathological input: %d probe events with ONE user holding "
+            "%d%% of\nthe table, as-of-joined (backward) against a "
+            "1:40 build side on the\nsame keyed timeline.  local[%d], "
+            "min of 3 interleaved runs, identical\noutputs asserted "
+            "(row count %d + XOR-fold of match fingerprints):\n\n"
+            "| variant | wall sec (min of 3) | all runs |\n|---|---|---|\n"
+            "| unsalted union+window (`partitionBy(user_id)`) "
+            "| %.2f | %s |\n"
+            "| block-salted two-phase (`block_us=%d`, ~%d blocks on "
+            "the hot key) | %.2f | %s |\n\n"
+            "**salted speedup on the skewed input = %.2fx** "
+            "(operators/temporal.py\n`block_us` path).  Unsalted, the "
+            "hot user's whole timeline sorts and\nruns its "
+            "last(ignorenulls) window in ONE task (~%d rows in one "
+            "JVM\nthread) — the same hot_frac x parallelism stall as "
+            "the stage-0\nevidence, pinned at 75%% here to emulate a "
+            "colder key on a\n1000-executor cluster.  Salted, phase 1 "
+            "windows within\n(user, floor(ts/block_us)) blocks in "
+            "parallel and phase 2 carries\nblock-boundary payloads "
+            "through a per-(user, block) summary table\n"
+            "(metadata-scale: one row per block), joined back "
+            "null-safely.  At\n100 TB the same knob bounds per-task "
+            "sort state by block span instead\nof by the hottest "
+            "key's history.\n"
+            % (n_left, hot_pct, cpus, n_rows_out,
+               best["unsalted"], timings["unsalted"],
+               block_us, n_left // block_us,
+               best["block_us"], timings["block_us"],
+               speedup, n_left * hot_pct // 100))
+    assemble_baseline_md()
+    print(json.dumps({"metric": "asof_skew_salted_speedup",
+                      "value": round(speedup, 3), "unit": "ratio",
+                      "timings": timings, "rows": n_rows_out}))
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         idx = sys.argv.index("--scaling-worker")
@@ -632,6 +746,8 @@ if __name__ == "__main__":
         run_scaling()
     elif "--skew-join" in sys.argv:
         run_skew_join()
+    elif "--skew-asof" in sys.argv:
+        run_skew_asof()
     elif "--skew" in sys.argv:
         run_skew()
     else:

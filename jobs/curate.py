@@ -10,6 +10,7 @@ over a documents table ``(doc_id, text, ...)``:
       → DSIR importance-weight filter           (--dsir-target)
       → benchmark-contamination filter          (--benchmark)
       → PII redaction                           (--scrub-pii)
+      → repeated-substring excision             (--scrub-spans W,D)
       → exact dedup (deterministic min-id keeper)
       → MinHash-LSH near-dup dedup (union-find keepers)
       → deterministic stratified sampling       (--sample-rates)
@@ -78,6 +79,13 @@ def main() -> None:
                         help="drop docs whose most frequent bigram "
                              "exceeds this fraction (Gopher filter)")
     parser.add_argument("--scrub-pii", action="store_true")
+    parser.add_argument("--scrub-spans", default=None,
+                        metavar="WINDOW,MIN_DOCS",
+                        help="excise exact repeated substrings (Lee et "
+                             "al.): every WINDOW-token sliding window "
+                             "appearing in >= MIN_DOCS distinct docs is "
+                             "removed from the text (maximal merged "
+                             "spans) before dedup/packing")
     parser.add_argument("--max-avg-nll", type=float, default=None,
                         help="drop docs whose per-token unigram-LM NLL "
                              "exceeds this (nats; CCNet-style filter). "
@@ -194,6 +202,25 @@ def main() -> None:
         # back) and the minhash signing a third time — without the cut
         # the 3-pattern regexp scrub would re-run per consumer
         kept = cut(kept.withColumn("text", scrub_pii(F.col("text"))))
+
+    if args.scrub_spans:
+        from mc2skos_spark.functions.dedup import scrub_substring_spans
+        try:
+            window, min_docs = (int(x) for x in
+                                args.scrub_spans.split(","))
+        except ValueError:
+            parser.error("--scrub-spans expects WINDOW,MIN_DOCS ints")
+        from mc2skos_spark.functions.textstats import token_count
+        before_tokens = kept.agg(F.sum("n_tokens")).collect()[0][0]
+        # the profiled n_tokens column is REFRESHED after surgery —
+        # packing reads it, and a stale count would mis-place every
+        # sequence boundary downstream of a scrubbed doc
+        kept = cut(scrub_substring_spans(kept, window=window,
+                                         min_docs=min_docs)
+                   .withColumn("n_tokens", token_count(F.col("text"))))
+        after_tokens = kept.agg(F.sum("n_tokens")).collect()[0][0]
+        stats["span_tokens_removed"] = int((before_tokens or 0)
+                                           - (after_tokens or 0))
 
     # exact dedup: deterministic min-id keeper per identical text —
     # grouped by sha2-256 digest so the shuffle moves 32 bytes/doc,

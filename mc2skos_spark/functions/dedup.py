@@ -574,3 +574,52 @@ def repeated_substring_spans(df: DataFrame, window: int = 8,
                  F.max("end").alias("span_end"),
                  F.count(F.lit(1)).alias("n_windows"))
             .select(id_col, "span_start", "span_end", "n_windows"))
+
+
+def scrub_substring_spans(df: DataFrame, window: int = 8,
+                          min_docs: int = 2,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """APPLY :func:`repeated_substring_spans` to the text: excise every
+    flagged token span and return the input frame with ``text_col``
+    rewritten (all other columns untouched) — the step Lee et al.
+    actually train on, not just the detection.
+
+    Excision is token-exact: the document is re-split with the SAME
+    whitespace tokenizer the span detector used (lowercasing there
+    affects only the hash keys, never token boundaries, so positions
+    line up with the original-case token sequence), tokens covered by
+    any half-open span are dropped, and the survivors re-join with
+    single spaces.  Documents with no flagged span keep their original
+    text byte-for-byte — only scrubbed documents get whitespace
+    normalized, a documented consequence of token-level surgery.
+
+    Scale shape: the span table is the output of one hash-keyed
+    detection pass (see :func:`repeated_substring_spans`); spans
+    collect per document into a tiny array (spans are maximal and
+    disjoint, so there are at most tokens/window of them) via one
+    aggregate, equi-join back on the id, and the excision itself is a
+    pure projection (filter-with-index + exists over the span array —
+    no Python, no extra shuffle).
+    """
+    spans = repeated_substring_spans(df, window=window,
+                                     min_docs=min_docs,
+                                     id_col=id_col, text_col=text_col)
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.collect_list(
+                   F.struct(F.col("span_start").alias("s"),
+                            F.col("span_end").alias("e")))
+                   .alias("__spans")))
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: t != "")
+    kept_toks = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (i >= sp["s"]) & (i < sp["e"])))
+    scrubbed = F.when(F.col("__spans").isNull(), F.col(text_col)) \
+        .otherwise(F.concat_ws(" ", kept_toks))
+    out_cols = [scrubbed.alias(c) if c == text_col else F.col(c)
+                for c in df.columns]
+    return (df.join(per_doc, id_col, "left")
+            .select(*out_cols))

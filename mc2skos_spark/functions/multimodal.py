@@ -2,16 +2,28 @@
 
 Image/audio/video ride as opaque ``binary`` columns next to typed
 metadata; decode / feature-extract run as Arrow-batch UDFs over
-``mapInPandas``.  The decode libraries (PIL/ffmpeg/etc.) are NOT in this
-container, so the decode step is a clearly-marked deterministic stub —
-but the Spark-side plumbing (schema, batch shape, partitioning, UDF
-signature) is real and tested, and a real decoder drops into
-``_decode_stub`` unchanged.
+``mapInPandas``.
+
+Two decode tiers:
+
+* **container headers — REAL decode, pure stdlib**: WAV (RIFF chunk
+  walk → sample rate / channels / bit depth / frame count / duration)
+  and PNG (signature + IHDR → width / height / bit depth), emitted as
+  typed ``decoded_*`` columns.  Malformed or foreign payloads yield
+  NULLs, never a stage crash.
+* **pixel/waveform content** (PIL resize, librosa frames, video frame
+  sampling): the codec libraries are NOT in this container, so the
+  content-feature step stays a clearly-marked deterministic stub
+  (``_decode_stub``) — the Spark-side plumbing (schema, batch shape,
+  partitioning, UDF signature) is real and tested, and a real decoder
+  drops in unchanged.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -32,7 +44,109 @@ FEATURES_SCHEMA = T.StructType([
     T.StructField("payload_bytes", T.IntegerType()),
     T.StructField("content_digest", T.StringType()),
     T.StructField("feature", T.ArrayType(T.FloatType())),
+    T.StructField("decoded_width", T.IntegerType()),
+    T.StructField("decoded_height", T.IntegerType()),
+    T.StructField("decoded_bit_depth", T.IntegerType()),
+    T.StructField("decoded_sample_rate", T.IntegerType()),
+    T.StructField("decoded_channels", T.IntegerType()),
+    T.StructField("decoded_duration_ms", T.IntegerType()),
 ])
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_wav_header(payload: bytes) -> dict | None:
+    """REAL (stdlib-only) WAV decode: walk the RIFF chunk list for
+    ``fmt `` and ``data`` and return ``{sample_rate, channels,
+    bit_depth, n_frames, duration_ms}``; None for anything that is not
+    a well-formed PCM WAV (graceful — corpus media columns always
+    contain strays)."""
+    try:
+        if len(payload) < 12 or payload[:4] != b"RIFF" \
+                or payload[8:12] != b"WAVE":
+            return None
+        pos, fmt, data_size = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8:pos + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data_size = len(body)
+            pos += 8 + size + (size & 1)     # chunks are word-aligned
+        if fmt is None or data_size is None:
+            return None
+        _tag, channels, rate, _bps, block_align, bits = fmt
+        if not channels or not rate or not block_align:
+            return None
+        n_frames = data_size // block_align
+        return {"sample_rate": rate, "channels": channels,
+                "bit_depth": bits, "n_frames": n_frames,
+                "duration_ms": n_frames * 1000 // rate}
+    except Exception:
+        return None
+
+
+def decode_png_header(payload: bytes) -> dict | None:
+    """REAL (stdlib-only) PNG decode: signature + IHDR → ``{width,
+    height, bit_depth}``; None for non-PNG bytes."""
+    try:
+        if len(payload) < 33 or payload[:8] != _PNG_SIG \
+                or payload[12:16] != b"IHDR":
+            return None
+        width, height, depth = struct.unpack_from(">IIB", payload, 16)
+        if not width or not height:
+            return None
+        return {"width": width, "height": height, "bit_depth": depth}
+    except Exception:
+        return None
+
+
+def _decode_headers(payload: bytes) -> tuple:
+    """(width, height, bit_depth, sample_rate, channels, duration_ms)
+    from whichever container signature matches — the payload's MAGIC
+    decides, not the ``kind`` tag (tags lie in scraped corpora)."""
+    png = decode_png_header(payload)
+    if png is not None:
+        return (png["width"], png["height"], png["bit_depth"],
+                None, None, None)
+    wav = decode_wav_header(payload)
+    if wav is not None:
+        return (None, None, wav["bit_depth"], wav["sample_rate"],
+                wav["channels"], wav["duration_ms"])
+    return (None, None, None, None, None, None)
+
+
+def make_wav(sample_rate: int, channels: int, n_frames: int,
+             bits: int = 16, tone: int = 0) -> bytes:
+    """Deterministic minimal PCM WAV writer (stdlib struct only) — the
+    synth side of the decode round-trip tests/oracle."""
+    block = channels * bits // 8
+    data = bytes((tone + i) % 251 for i in range(n_frames * block))
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def make_png(width: int, height: int, bit_depth: int = 8) -> bytes:
+    """Deterministic minimal grayscale PNG writer (stdlib struct +
+    zlib): real IHDR/IDAT/IEND chunks with correct CRCs."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 0, 0, 0, 0)
+    row_bytes = (width * bit_depth + 7) // 8
+    raw = b"".join(b"\x00" + bytes((x * 7) % 256
+                                   for x in range(row_bytes))
+                   for _ in range(height))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
 
 
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
@@ -63,6 +177,10 @@ def extract_media_features(media: DataFrame,
         for batch in batches:
             # NULL payloads (the schema permits them) yield NULL
             # features instead of crashing the whole stage on len(None)
+            decoded = [
+                _decode_headers(bytes(p)) if p is not None
+                else (None,) * 6
+                for p in batch["payload"]]
             out = {
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
@@ -74,6 +192,12 @@ def extract_media_features(media: DataFrame,
                 "feature": [
                     _decode_stub(bytes(p), k) if p is not None else None
                     for p, k in zip(batch["payload"], batch["kind"])],
+                "decoded_width": [d[0] for d in decoded],
+                "decoded_height": [d[1] for d in decoded],
+                "decoded_bit_depth": [d[2] for d in decoded],
+                "decoded_sample_rate": [d[3] for d in decoded],
+                "decoded_channels": [d[4] for d in decoded],
+                "decoded_duration_ms": [d[5] for d in decoded],
             }
             yield pd.DataFrame(out)
 

@@ -117,19 +117,84 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         # directions
         order = [F.col(_TS).desc_nulls_first(), F.col(_SIDE).asc(),
                  F.col("__asof_tb").asc()]
-    w = (Window.partitionBy(*on).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = (r_side.unionByName(l_side)
-               .withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
-               .filter(F.col(_SIDE) == 1))
+
+    unioned = r_side.unionByName(l_side)
+    dt = dict(unioned.dtypes)[_TS]
+    if dt == "timestamp":
+        us = F.unix_micros
+    elif dt == "timestamp_ntz":
+        us = _ntz_micros
+    else:                           # already-numeric event time
+        us = lambda c: c            # noqa: E731
+
+    if block_us is None:
+        w = (Window.partitionBy(*on).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        matched = (unioned
+                   .withColumn(_PAY,
+                               F.last(_PAY, ignorenulls=True).over(w))
+                   .filter(F.col(_SIDE) == 1))
+    else:
+        if block_us <= 0:
+            raise ValueError("asof_join: block_us must be positive")
+        blk = "__asof_blk"
+        unioned = unioned.withColumn(
+            blk, F.floor(us(F.col(_TS)) / int(block_us)).cast("long"))
+        # phase 1: the running last WITHIN each (key, time-block) —
+        # the hot key's rows now spread over len(time range)/block_us
+        # tasks instead of one
+        wb = (Window.partitionBy(*on, blk).orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        local = unioned.withColumn(
+            _PAY, F.last(_PAY, ignorenulls=True).over(wb))
+        # phase 2: per-(key, block) boundary summary — the extreme
+        # right payload of each block under the SAME total order
+        # (max_by on (ts, tb); time negated for forward so "extreme"
+        # means earliest) — then a running last over the ordered
+        # block table (metadata-scale: one row per (key, block))
+        # shifted one block back yields the carry from earlier blocks
+        ord_us = (us(F.col(_TS)) if direction == "backward"
+                  else -us(F.col(_TS)))
+        summary = (unioned.filter(F.col(_SIDE) == 0)
+                   .groupBy(*on, blk)
+                   .agg(F.max_by(_PAY, F.struct(
+                       ord_us.alias("t"),
+                       F.col("__asof_tb").alias("tb")))
+                        .alias("__blk_last")))
+        blk_order = (F.col(blk).asc() if direction == "backward"
+                     else F.col(blk).desc())
+        wc = (Window.partitionBy(*on).orderBy(blk_order)
+              .rowsBetween(Window.unboundedPreceding, -1))
+        # null-SAFE joins throughout: left rows with a null key or a
+        # null ts must survive with a null payload exactly like the
+        # unsalted window path (which groups nulls), not vanish in an
+        # equi-join
+        def _nullsafe_join(lhs, rhs, cols, how):
+            renamed = rhs
+            for c in cols:
+                renamed = renamed.withColumnRenamed(c, "__r0_" + c)
+            cond = F.lit(True)
+            for c in cols:
+                cond = cond & lhs[c].eqNullSafe(F.col("__r0_" + c))
+            return (lhs.join(renamed, cond, how)
+                    .drop(*["__r0_" + c for c in cols]))
+
+        blocks = local.select(*on, blk).distinct()
+        carry = (_nullsafe_join(blocks, summary, on + [blk], "left")
+                 .withColumn("__carry",
+                             F.last("__blk_last", ignorenulls=True)
+                             .over(wc))
+                 .select(*on, blk, "__carry"))
+        matched = (_nullsafe_join(local, carry, on + [blk], "inner")
+                   .withColumn(_PAY,
+                               F.when(F.col(_TS).isNotNull(),
+                                      F.coalesce(F.col(_PAY),
+                                                 F.col("__carry")))
+                               .otherwise(F.col(_PAY)))
+                   .filter(F.col(_SIDE) == 1)
+                   .drop(blk, "__carry"))
+
     if tolerance_us is not None:
-        dt = dict(matched.dtypes)[_TS]
-        if dt == "timestamp":
-            us = F.unix_micros
-        elif dt == "timestamp_ntz":
-            us = _ntz_micros
-        else:                       # already-numeric event time
-            us = lambda c: c        # noqa: E731
         gap = us(F.col(_TS)) - us(F.col(_PAY)["matched_ts"])
         if direction == "forward":
             gap = -gap
@@ -144,6 +209,35 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
 def _ntz_micros(c):
     from mc2skos_spark.operators.sessionize import event_micros
     return event_micros(c)
+
+
+def suggest_bucket_width(intervals: DataFrame, start: str, end: str,
+                         percentile: float = 0.75) -> int:
+    """Data-derived ``bucket_width`` for :func:`interval_join`: the
+    given percentile of interval lengths (inclusive, ``end - start +
+    1``), never below 1.
+
+    One ``percentile_approx`` aggregate over the interval table (a
+    single scan, sketch-combined map-side — cheap even at 100 TB; run
+    it on whichever side has the more typical lengths, or on a
+    sample).  Rationale: a width near the common interval length keeps
+    the explosion factor ``len/width + 1`` at ~2 for most rows while
+    longer outliers pay proportionally — the same heuristic the
+    Databricks range-join hint documentation gives for picking its
+    bin size.  A mis-guessed width never changes RESULTS (the anchor
+    rule keeps each pair exactly once at any width — pytest-pinned);
+    it only moves the cost knob, so using this helper is purely an
+    efficiency default.
+    """
+    row = (intervals
+           .filter(F.col(start) <= F.col(end))
+           .agg(F.percentile_approx(
+               F.col(end).cast("long") - F.col(start).cast("long") + 1,
+               float(percentile)).alias("w"))
+           .first())
+    if row is None or row["w"] is None:
+        return 1
+    return max(int(row["w"]), 1)
 
 
 def interval_join(left: DataFrame, right: DataFrame,

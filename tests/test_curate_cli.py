@@ -244,3 +244,46 @@ def test_train_lm_cli_feeds_curate_lm_gate(spark, tmp_path):
     kept = {r["doc_id"]
             for r in spark.read.parquet(result["output"]).collect()}
     assert kept == {1}
+
+
+def test_curate_cli_scrub_spans(spark, tmp_path):
+    """--scrub-spans W,D: a boilerplate sentence planted across many
+    docs is excised from every one of them before dedup/packing, the
+    stats line reports the removed token count, and unique text
+    survives byte-for-byte."""
+    boiler = ("subscribe to our newsletter for updates and offers "
+              "every single week")                       # 11 tokens
+    # fully distinct per-doc prefixes: no cross-doc window outside the
+    # planted boilerplate, and far below any near-dup threshold
+    uniq = [" ".join("w%d%d" % (i, j) for j in range(8))
+            for i in range(4)]
+    docs = [(i, uniq[i] + " " + boiler) for i in range(4)] \
+        + [(9, "completely unrelated standalone document text here")]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "docs"))
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", str(tmp_path / "docs"),
+         "--output", str(tmp_path / "out"),
+         "--scrub-spans", "4,3",
+         "--capacity", "16"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+
+    # 4 docs x 11 boilerplate tokens excised; lineage/counters agree
+    assert result["stats"]["span_tokens_removed"] == 4 * 11
+    assert result["stats"]["input"] == 5
+    assert result["stats"]["output"] == 5    # all unique after scrub
+
+    corpus = spark.read.parquet(result["output"]).collect()
+    by_id = {r["doc_id"]: r["text"] for r in corpus}
+    assert set(by_id) == {0, 1, 2, 3, 9}
+    for i in range(4):
+        assert by_id[i] == uniq[i]           # boilerplate gone
+        assert "newsletter" not in by_id[i]
+    assert by_id[9] == docs[4][1]            # untouched doc byte-equal
+    # token accounting flows into packing
+    assert result["total_tokens"] == sum(len(t.split())
+                                         for t in by_id.values())

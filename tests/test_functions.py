@@ -1047,3 +1047,74 @@ def test_trigram_nll_self_trained_exact(spark):
            for r in trigram_nll_scores(df).collect()}
     assert got == exp
     assert {3, 4, 5}.isdisjoint(got)       # <3 tokens: no score row
+
+
+def test_scrub_substring_spans_unit(spark):
+    """Library-surface unit for the span excision: cross-doc repeated
+    windows are cut token-exactly (maximal merged spans), untouched
+    docs stay byte-identical, non-text columns pass through."""
+    from mc2skos_spark.functions.dedup import scrub_substring_spans
+    boiler = "aa bb cc dd ee"
+    df = spark.createDataFrame(
+        [(1, "one1 two1 " + boiler + " tail1", "en"),
+         (2, "one2  two2 " + boiler, "de"),      # double space: doc IS
+         (3, "solo text with  no repeats", "fr")],  # ...scrubbed → norm
+        "doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["text"], r["lang"])
+           for r in scrub_substring_spans(df, window=3,
+                                          min_docs=2).collect()}
+    assert got[1] == ("one1 two1 tail1", "en")
+    # scrubbed docs get whitespace-normalized (documented)
+    assert got[2] == ("one2 two2", "de")
+    # untouched doc keeps its original bytes, double space included
+    assert got[3] == ("solo text with  no repeats", "fr")
+
+
+def test_multimodal_real_header_decode(spark):
+    """REAL stdlib container decode: WAV params round-trip through an
+    independent reader (Python's wave module reads our writer's bytes),
+    PNG headers parse exactly, and garbage/truncated/mistagged payloads
+    degrade to NULLs instead of crashing the stage."""
+    import io
+    import wave as wave_mod
+    from mc2skos_spark.functions.multimodal import (
+        decode_png_header, decode_wav_header, extract_media_features,
+        make_png, make_wav)
+
+    wav = make_wav(11000, 2, 137)
+    # independent reader agrees with the writer...
+    with wave_mod.open(io.BytesIO(wav)) as wf:
+        assert (wf.getframerate(), wf.getnchannels(),
+                wf.getnframes(), wf.getsampwidth()) == (11000, 2, 137, 2)
+    # ...and our parser recovers the same fields
+    assert decode_wav_header(wav) == {
+        "sample_rate": 11000, "channels": 2, "bit_depth": 16,
+        "n_frames": 137, "duration_ms": 137 * 1000 // 11000}
+    assert decode_png_header(make_png(640, 480)) == {
+        "width": 640, "height": 480, "bit_depth": 8}
+
+    rows = [
+        (0, "audio", bytearray(make_wav(8000, 1, 50)), None, None, None),
+        (1, "image", bytearray(make_png(20, 10)), None, None, None),
+        (2, "audio", bytearray(b"garbage not a container"), None, None,
+         None),
+        (3, "image", bytearray(make_png(20, 10)[:20]), None, None, None),
+        (4, "video", None, None, None, None),
+        # mistagged: magic wins over the kind column
+        (5, "image", bytearray(make_wav(9000, 1, 90)), None, None, None),
+    ]
+    from mc2skos_spark.functions.multimodal import MEDIA_SCHEMA
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict()
+           for r in extract_media_features(media).collect()}
+    assert got[0]["decoded_sample_rate"] == 8000
+    assert got[0]["decoded_duration_ms"] == 50 * 1000 // 8000
+    assert (got[1]["decoded_width"], got[1]["decoded_height"]) == (20, 10)
+    for bad in (2, 3, 4):
+        assert all(got[bad]["decoded_%s" % f] is None
+                   for f in ("width", "height", "bit_depth",
+                             "sample_rate", "channels", "duration_ms"))
+    assert got[5]["decoded_sample_rate"] == 9000   # magic beats tag
+    # the original plumbing columns are untouched
+    assert got[2]["payload_bytes"] == len(b"garbage not a container")
+    assert got[4]["content_digest"] is None

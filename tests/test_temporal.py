@@ -139,3 +139,75 @@ def test_plans_never_nested_loop(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("block_us", [1, 3, 7, 1000])
+def test_asof_block_salted_equals_unsalted(spark, direction, block_us):
+    """The block-salted two-phase path (hot-key mitigation) must be
+    semantically IDENTICAL to the single-window path at every block
+    width — including widths of 1 (every row its own block, pure
+    carry) and 1000 (one block, pure window) — on a fixture with
+    inclusive boundaries, unmatched keys and cross-block matches."""
+    left, right = _asof_fixture(spark)
+    base = {(r["k"], r["ts"]): (r["v"], r["matched_ts"])
+            for r in asof_join(left, right, ["k"], "ts", "ts", ["v"],
+                               direction=direction).collect()}
+    salted = {(r["k"], r["ts"]): (r["v"], r["matched_ts"])
+              for r in asof_join(left, right, ["k"], "ts", "ts", ["v"],
+                                 direction=direction,
+                                 block_us=block_us).collect()}
+    assert salted == base
+
+
+def test_asof_block_salted_hot_key_ties_tolerance_nulls(spark):
+    """Planted 75%-hot key with (key, ts) ties, a tolerance cut, null
+    left keys and null left timestamps — every row must carry the
+    exact same verdict through the salted path."""
+    rows = [(1, t) for t in range(0, 300)] + \
+        [(2, t) for t in range(0, 50)] + \
+        [(None, 10), (1, None)]
+    left = spark.createDataFrame(rows, "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, t, t, f"r{t}") for t in range(0, 300, 20)]
+        + [(1, 40, 999, "dup_hi"), (2, 25, 0, "x")],
+        "k long, ts long, seq long, v string")
+    for kwargs in ({}, {"tolerance_us": 30},
+                   {"direction": "forward"},
+                   {"right_tiebreak": "seq"}):
+        base = {(r["k"], r["ts"]): (r["v"], r["matched_ts"])
+                for r in asof_join(left, right, ["k"], "ts", "ts",
+                                   ["v"], **kwargs).collect()}
+        salted = {(r["k"], r["ts"]): (r["v"], r["matched_ts"])
+                  for r in asof_join(left, right, ["k"], "ts", "ts",
+                                     ["v"], block_us=16,
+                                     **kwargs).collect()}
+        assert salted == base, f"diverged for {kwargs}"
+
+
+def test_interval_join_width_invariance_and_suggestion(spark):
+    """A 10x-wrong bucket_width must return the IDENTICAL pair set
+    (the anchor rule is width-independent), and suggest_bucket_width
+    picks a width near the typical interval length from one
+    percentile aggregate."""
+    from mc2skos_spark.operators.temporal import suggest_bucket_width
+    lrows = [(100 * k + i, k, i * 10, i * 10 + 14)
+             for k in (1, 2) for i in range(8)]
+    left = _ivl(spark, lrows, "l")
+    right = _ivl(spark, [(i + 500, k, s + 5, e + 5)
+                         for i, k, s, e in lrows], "r")
+
+    def pairs(width):
+        return {(r["k"], r["lid"], r["rid"])
+                for r in interval_join(left, right, ["k"],
+                                       "ls", "le", "rs", "re",
+                                       bucket_width=width).collect()}
+
+    w = suggest_bucket_width(left, "ls", "le")
+    assert w == 15                       # inclusive length of [s, s+14]
+    exact = pairs(w)
+    assert exact and pairs(w * 10) == exact and pairs(max(w // 10, 1)) \
+        == exact
+    # degenerate/empty inputs fall back to 1, never 0
+    assert suggest_bucket_width(left.filter(F.lit(False)),
+                                "ls", "le") == 1
