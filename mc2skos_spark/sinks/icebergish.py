@@ -227,6 +227,73 @@ class IcebergishCatalog:
             rows, "stage string, snapshot_id int, part_id int, file string,"
                   " input_min string, input_max string, row_count long")
 
+    # ------------------------------------------------------ maintenance
+
+    def compact(self, table: str, target_files: int | None = None,
+                rows_per_file: int = 4_000_000,
+                lineage_key: str | None = None) -> dict:
+        """Rewrite the current snapshot's accumulated data files into
+        ONE fresh snapshot — Iceberg's ``rewrite_data_files``
+        maintenance action, the cure for the small-file buildup every
+        append-per-batch flow (incremental signature indexes, CDC
+        merges) creates: at 100 TB a table touched by thousands of
+        micro-batches otherwise degrades every scan with
+        file-open/footer overhead and per-file lineage bloat.
+
+        Row-identical by construction (one read, one write, no
+        transformation — equality pytest-pinned); table properties and
+        the partition spec carry over; lineage is rebuilt over the new
+        files.  The commit is the same single atomic manifest rename,
+        so a kill mid-compact leaves the previous snapshot current and
+        the half-written dir invisible (resume-safe, same argument as
+        ``write``).  ``target_files`` overrides the row-count-derived
+        file budget (``ceil(row_count / rows_per_file)``).
+        """
+        current = self.current_manifest(table)
+        if current is None:
+            raise FileNotFoundError("no committed snapshot for table %r"
+                                    % table)
+        n_files = target_files or max(
+            1, -(-current["row_count"] // int(rows_per_file)))
+        df = self.read(table)
+        # coalesce, not repartition: compaction must not pay a full
+        # shuffle of the table — file merging is a read-concat-write
+        df = df.coalesce(int(n_files))
+        return self._write_snapshot(
+            table, df, current["partition_by"] or None, lineage_key,
+            dict(current["properties"]), base=None)
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
+        """Drop all but the last ``keep_last`` manifests and delete
+        every snapshot directory no KEPT manifest references —
+        Iceberg's ``expire_snapshots`` + ``remove_orphan_files``.
+        Append chains share directories across manifests, so removal
+        is reference-counted against the kept set, never
+        age-based.  Returns ``{kept_manifests, removed_dirs}``."""
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1")
+        tdir = self._table_dir(table)
+        manifests = self._list_manifests(table)
+        if not manifests:
+            raise FileNotFoundError("no committed snapshot for table %r"
+                                    % table)
+        kept, dropped = manifests[-keep_last:], manifests[:-keep_last]
+        referenced: set[str] = set()
+        for name in kept:
+            with open(os.path.join(tdir, name)) as fp:
+                m = json.load(fp)
+            referenced.update(m.get("dirs", [m["dir"]]))
+        for name in dropped:
+            os.remove(os.path.join(tdir, name))
+        removed = []
+        for entry in sorted(os.listdir(tdir)):
+            path = os.path.join(tdir, entry)
+            if (os.path.isdir(path) and entry.startswith("snap-")
+                    and entry not in referenced):
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(entry)
+        return {"kept_manifests": len(kept), "removed_dirs": removed}
+
     # ---------------------------------------------------------- cleanup
 
     def drop(self, table: str) -> None:

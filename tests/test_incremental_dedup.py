@@ -277,3 +277,83 @@ def test_incremental_keepers_equal_from_scratch(spark, tmp_path,
     assert cat.current_manifest("idx_keepers")["snapshot_id"] == snap
     assert {(r["id"], r["keeper_id"])
             for r in current_keepers(cat, "idx").collect()} == expected
+
+
+def test_catalog_compact_and_expire(spark, tmp_path):
+    """Maintenance actions for the append-per-batch flows: compaction
+    rewrites accumulated small files into one snapshot with identical
+    rows (properties + lineage preserved/rebuilt), a kill mid-compact
+    leaves the previous snapshot current, and snapshot expiry removes
+    exactly the unreferenced directories."""
+    from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+    import os
+
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    base = spark.range(0, 40).selectExpr("id", "id * 2 AS v")
+    cat.write("t", base, lineage_key="id", properties={"cfg": "x"})
+    for lo in (40, 80, 120):
+        cat.append("t", spark.range(lo, lo + 40)
+                   .selectExpr("id", "id * 2 AS v"), lineage_key="id")
+    before = cat.current_manifest("t")
+    assert len(before["dirs"]) == 4            # 1 write + 3 appends
+    rows_before = sorted((r["id"], r["v"]) for r in cat.read("t").collect())
+
+    m = cat.compact("t", target_files=2, lineage_key="id")
+    assert len(m["dirs"]) == 1                 # one fresh snapshot dir
+    assert len(m["lineage"]) <= 2              # file budget respected
+    assert m["lineage"]  and m["row_count"] == 160
+    assert m["properties"] == {"cfg": "x"}     # properties carried over
+    rows_after = sorted((r["id"], r["v"]) for r in cat.read("t").collect())
+    assert rows_after == rows_before           # row-identical
+
+    # appends still work after compaction (schema unchanged)
+    cat.append("t", spark.range(160, 170).selectExpr("id", "id * 2 AS v"),
+               lineage_key="id")
+    assert cat.current_manifest("t")["row_count"] == 170
+
+    # expiry: keep only the current manifest; every directory not
+    # referenced by it is removed, every referenced one survives
+    tdir = os.path.join(str(tmp_path / "wh"), "t")
+    out = cat.expire_snapshots("t", keep_last=1)
+    assert out["kept_manifests"] == 1
+    current = cat.current_manifest("t")
+    on_disk = {d for d in os.listdir(tdir) if d.startswith("snap-")}
+    assert on_disk == set(current["dirs"])     # exactly the live dirs
+    assert sorted((r["id"], r["v"]) for r in cat.read("t").collect()) \
+        == rows_before + [(i, 2 * i) for i in range(160, 170)]
+    # the original pre-compaction dirs are among the removed
+    assert set(before["dirs"]) <= set(out["removed_dirs"])
+
+
+def test_catalog_compact_kill_before_commit_resume_safe(spark, tmp_path):
+    """A compaction whose manifest commit never lands must leave the
+    table exactly as it was (snapshot isolation) — simulated by
+    restoring the pre-compact manifests, as invalidate() does for
+    writes."""
+    from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+    import os
+    import shutil
+
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    cat.write("t", spark.range(0, 30).selectExpr("id", "id AS v"),
+              lineage_key="id")
+    cat.append("t", spark.range(30, 60).selectExpr("id", "id AS v"),
+               lineage_key="id")
+    tdir = os.path.join(str(tmp_path / "wh"), "t")
+    saved = {f: open(os.path.join(tdir, f)).read()
+             for f in os.listdir(tdir) if f.startswith("manifest-")}
+    rows = sorted(r["id"] for r in cat.read("t").collect())
+
+    cat.compact("t")
+    # simulate the kill: the compacted manifest never became current
+    for f in os.listdir(tdir):
+        if f.startswith("manifest-") and f not in saved:
+            os.remove(os.path.join(tdir, f))
+    assert sorted(r["id"] for r in cat.read("t").collect()) == rows
+    # rerunning compaction converges; expiry then clears the orphan
+    # half-committed dir
+    m = cat.compact("t")
+    cat.expire_snapshots("t", keep_last=1)
+    on_disk = {d for d in os.listdir(tdir) if d.startswith("snap-")}
+    assert on_disk == set(m["dirs"])
+    assert sorted(r["id"] for r in cat.read("t").collect()) == rows
