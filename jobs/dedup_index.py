@@ -19,6 +19,11 @@ files (functions/incremental.py, streaming/dedup_stream.py).
     # continuous: Structured Streaming over a landing directory
     spark-submit ... jobs/dedup_index.py stream --input /landing \\
         --warehouse /wh --checkpoint /ckpt --name docs_minhash
+
+    # periodic maintenance: compact append-per-batch small files and
+    # expire unreferenced snapshots across the index's tables
+    spark-submit ... jobs/dedup_index.py maintain \\
+        --warehouse /wh --name docs_minhash [--rows-per-file N]
 """
 
 from __future__ import annotations
@@ -33,9 +38,11 @@ def main() -> None:
     parser = argparse.ArgumentParser(
         description="Persisted MinHash dedup index: create / ingest / "
                     "stream")
-    parser.add_argument("mode", choices=["create", "ingest", "stream"])
-    parser.add_argument("--input", required=True,
-                        help="documents parquet path (stream: directory)")
+    parser.add_argument("mode",
+                        choices=["create", "ingest", "stream", "maintain"])
+    parser.add_argument("--input", default=None,
+                        help="documents parquet path (stream: directory; "
+                             "unused by maintain)")
     parser.add_argument("--warehouse", required=True,
                         help="Icebergish catalog root")
     parser.add_argument("--name", default="docs_minhash")
@@ -66,7 +73,15 @@ def main() -> None:
                              "append-only keeper/remap cluster state "
                              "(the dedup DECISION, not just pair "
                              "detection)")
+    parser.add_argument("--rows-per-file", type=int, default=4_000_000,
+                        help="maintain: compaction file budget — "
+                             "ceil(rows / rows-per-file) files per table")
+    parser.add_argument("--keep-snapshots", type=int, default=1,
+                        help="maintain: manifests to retain per table "
+                             "after compaction")
     args = parser.parse_args()
+    if args.mode != "maintain" and not args.input:
+        parser.error("--input is required for create/ingest/stream")
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo not in sys.path:
@@ -121,6 +136,25 @@ def main() -> None:
         stats["committed"] = not args.no_commit
         stats["index_rows"] = catalog.current_manifest(
             args.name + BUCKET_SUFFIX)["row_count"]
+    elif args.mode == "maintain":
+        # compaction + snapshot expiry over every table of this index
+        # (signatures, buckets, keeper/remap state, streamed pair
+        # snapshots): the cure for append-per-batch small-file buildup.
+        # Row counts are asserted unchanged before expiry drops the old
+        # manifests.
+        stats["tables"] = {}
+        for table in catalog.tables(prefix=args.name):
+            before = catalog.current_manifest(table)
+            m = catalog.compact(table, rows_per_file=args.rows_per_file)
+            assert m["row_count"] == before["row_count"], table
+            gc = catalog.expire_snapshots(table,
+                                          keep_last=args.keep_snapshots)
+            stats["tables"][table] = {
+                "rows": m["row_count"],
+                "files_before": len(before["lineage"]),
+                "files_after": len(m["lineage"]),
+                "dirs_removed": len(gc["removed_dirs"]),
+            }
     else:  # stream
         if not args.checkpoint:
             parser.error("stream mode requires --checkpoint")

@@ -26,6 +26,42 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+_NULL_FLAGS = ("nullable", "containsNull", "valueContainsNull")
+
+
+def _strip_null_flags(node):
+    """Schema-JSON with every nullability flag removed — the
+    shape-equality half of the append compatibility check."""
+    if isinstance(node, dict):
+        return {k: _strip_null_flags(v) for k, v in node.items()
+                if k not in _NULL_FLAGS}
+    if isinstance(node, list):
+        return [_strip_null_flags(x) for x in node]
+    return node
+
+
+def _nullability_superset(committed, incoming):
+    """True when every nullability flag in ``committed`` is at least as
+    permissive as ``incoming``'s (call only after shape equality).
+    Writing REQUIRED data into an OPTIONAL column is safe (Iceberg
+    allows it — and Spark's parquet reader widens nullability on every
+    read, so round-tripped frames are always the permissive side);
+    the reverse would let nulls hide under a non-null manifest schema.
+    """
+    if isinstance(committed, dict):
+        for k, v in committed.items():
+            iv = incoming.get(k) if isinstance(incoming, dict) else None
+            if k in _NULL_FLAGS:
+                if (not v) and iv:
+                    return False
+            elif not _nullability_superset(v, iv):
+                return False
+        return True
+    if isinstance(committed, list):
+        return all(_nullability_superset(c, i)
+                   for c, i in zip(committed, incoming))
+    return True
+
 
 class IcebergishCatalog:
 
@@ -106,15 +142,18 @@ class IcebergishCatalog:
                                         properties, base=None)
         # names AND types: a name-only check would commit e.g. an
         # int-typed id into a long-typed table and only fail (or
-        # silently coerce) at a much later read
-        committed = [(f["name"], f["type"])
-                     for f in current["schema"]["fields"]]
-        incoming = [(f["name"], f["type"])
-                    for f in df.schema.jsonValue()["fields"]]
-        if committed != incoming:
+        # silently coerce) at a much later read.  Nullability compares
+        # DIRECTIONALLY: required-into-optional is accepted (compacted
+        # tables are always on the optional side — the parquet reader
+        # widens every flag), optional-into-required is rejected.
+        committed = current["schema"]
+        incoming = df.schema.jsonValue()
+        if (_strip_null_flags(committed) != _strip_null_flags(incoming)
+                or not _nullability_superset(committed, incoming)):
             raise ValueError(
                 "append schema mismatch for table %r: committed %s "
-                "vs incoming %s" % (table, committed, incoming))
+                "vs incoming %s" % (table, committed["fields"],
+                                    incoming["fields"]))
         if current["partition_by"]:
             # directory-partitioned values live in dir names, and a
             # multi-root read cannot re-infer them reliably — a real
@@ -131,7 +170,8 @@ class IcebergishCatalog:
                         partition_by: list[str] | None,
                         lineage_key: str | None,
                         properties: dict | None,
-                        base: dict | None) -> dict:
+                        base: dict | None,
+                        schema_json: dict | None = None) -> dict:
         tdir = self._table_dir(table)
         os.makedirs(tdir, exist_ok=True)
         current = self.current_manifest(table)
@@ -175,7 +215,7 @@ class IcebergishCatalog:
         merged_props.update(properties or {})
         manifest = {
             "table": table,
-            "schema": df.schema.jsonValue(),
+            "schema": schema_json or df.schema.jsonValue(),
             "snapshot_id": snapshot_id,
             "dir": os.path.basename(snap_dir),
             "dirs": base_dirs + [os.path.basename(snap_dir)],
@@ -259,9 +299,14 @@ class IcebergishCatalog:
         # coalesce, not repartition: compaction must not pay a full
         # shuffle of the table — file merging is a read-concat-write
         df = df.coalesce(int(n_files))
+        # the manifest keeps the COMMITTED schema verbatim: Spark's
+        # parquet reader widens every nullability flag, and letting
+        # that leak into the manifest would silently relax the table's
+        # contract on every compaction
         return self._write_snapshot(
             table, df, current["partition_by"] or None, lineage_key,
-            dict(current["properties"]), base=None)
+            dict(current["properties"]), base=None,
+            schema_json=current["schema"])
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
         """Drop all but the last ``keep_last`` manifests and delete

@@ -76,3 +76,44 @@ def test_ingest_with_keepers_cli(spark, tmp_path):
                 "--batch-id", "1"])
     assert got["batch_docs"] == 2
     assert got["batch_dups"] == 1  # 11 collapses onto corpus doc 1
+
+
+def test_maintain_cli_compacts_and_preserves_answers(spark, tmp_path):
+    """maintain: after several appends the index tables compact to one
+    snapshot dir each (fewer files, identical rows), old snapshots are
+    expired, and a subsequent ingest still answers exactly as before —
+    the maintenance action must be invisible to the dedup semantics."""
+    corpus = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+              (2, "one two three four five six seven eight nine")]
+    b1 = [(11, "unique first batch text nothing shared at all")]
+    b2 = [(21, "second batch also fully unique content rows")]
+    probe = [(31, "alpha beta gamma delta epsilon zeta eta theta")]
+    for name, rows in (("corpus", corpus), ("b1", b1), ("b2", b2),
+                       ("probe", probe)):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(str(tmp_path / name))
+
+    wh = str(tmp_path / "wh")
+    _run(["create", "--input", str(tmp_path / "corpus"),
+          "--warehouse", wh, "--n", "2", "--num-hashes", "16",
+          "--bands", "4"])
+    _run(["ingest", "--input", str(tmp_path / "b1"), "--warehouse", wh,
+          "--batch-id", "1"])
+    _run(["ingest", "--input", str(tmp_path / "b2"), "--warehouse", wh,
+          "--batch-id", "2"])
+
+    maintained = _run(["maintain", "--warehouse", wh])
+    tables = maintained["tables"]
+    assert tables, "maintain saw no tables"
+    for t, st in tables.items():
+        assert st["files_after"] <= st["files_before"], t
+        assert st["dirs_removed"] >= 1, t       # old snapshots expired
+    # the compacted index still answers identically
+    got = _run(["ingest", "--input", str(tmp_path / "probe"),
+                "--warehouse", wh, "--batch-id", "3",
+                "--pairs-out", str(tmp_path / "pairs")])
+    assert got["pairs"] == 1
+    rows = {(r["id_a"], r["id_b"]) for r in
+            spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    assert rows == {(1, 31)}
+    assert got["index_rows"] == 5 * 4           # 5 docs x 4 bands

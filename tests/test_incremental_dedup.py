@@ -357,3 +357,39 @@ def test_catalog_compact_kill_before_commit_resume_safe(spark, tmp_path):
     on_disk = {d for d in os.listdir(tdir) if d.startswith("snap-")}
     assert on_disk == set(m["dirs"])
     assert sorted(r["id"] for r in cat.read("t").collect()) == rows
+
+
+def test_catalog_append_nullability_direction(spark, tmp_path):
+    """Append compatibility is DIRECTIONAL on nullability: writing
+    required data into an optional column is fine (parquet read-backs
+    are always the optional side), but optional into required is
+    rejected — nulls must never hide under a non-null manifest schema.
+    Compaction preserves the committed schema verbatim, so strict
+    appends keep working afterwards (the regression the maintain CLI
+    test originally caught)."""
+    from pyspark.sql import functions as F
+    from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+    import pytest as _pt
+
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    strict = spark.range(3).select(
+        "id", F.transform(F.sequence(F.lit(1), F.lit(2)),
+                          lambda i: i + F.col("id")).alias("sig"))
+    assert strict.schema["sig"].dataType.containsNull is False
+    cat.write("t", strict, lineage_key="id")
+    m = cat.compact("t")
+    # committed schema NOT widened by the read-back
+    assert m["schema"]["fields"][1]["type"]["containsNull"] is False
+    cat.append("t", strict, lineage_key="id")        # strict OK
+    assert cat.current_manifest("t")["row_count"] == 6
+
+    # optional → required is rejected
+    widened = cat.read("t")                          # parquet: widened
+    assert widened.schema["sig"].dataType.containsNull is True
+    with _pt.raises(ValueError, match="schema mismatch"):
+        cat.append("t", widened.limit(1), lineage_key="id")
+
+    # required → optional is accepted on a widened table
+    cat.write("t2", widened, lineage_key="id")       # optional table
+    cat.append("t2", strict, lineage_key="id")
+    assert cat.current_manifest("t2")["row_count"] == 9
