@@ -597,10 +597,17 @@ def scrub_substring_spans(df: DataFrame, window: int = 8,
     Scale shape: the span table is the output of one hash-keyed
     detection pass (see :func:`repeated_substring_spans`); spans
     collect per document into a tiny array (spans are maximal and
-    disjoint, so there are at most tokens/window of them) via one
+    disjoint, so there are at most ~tokens/(window+1) of them) via one
     aggregate, equi-join back on the id, and the excision itself is a
     pure projection (filter-with-index + exists over the span array —
     no Python, no extra shuffle).
+
+    Per-row cost is O(tokens × spans) — fine for real documents (span
+    MERGING keeps the count small: a fully-boilerplate doc has ONE
+    span), with a worst case of alternating flagged/clean runs at
+    O(tokens²/window) for a single pathological row; if a corpus
+    exhibits that, chunk such docs first (``chunk_documents``) — the
+    spans are position-local, so chunk-wise excision composes.
     """
     spans = repeated_substring_spans(df, window=window,
                                      min_docs=min_docs,

@@ -63,7 +63,23 @@ def stratified_sample(df: DataFrame, strata_col: str,
 
     ``rates`` maps stratum value → keep rate in [0, 1]; unlisted
     strata use ``default_rate``.
+
+    Plan-size note: the rates become a ``when``-chain — O(len(rates))
+    literals in ONE codegen filter, which is the right trade for a
+    CONFIG-sized dict (per-language rates: dozens) because the scan
+    keeps its no-shuffle, no-join shape.  It is deliberately NOT the
+    shape for data-derived strata (thousands+): that is
+    :func:`mixture_weighted_sample`'s broadcast-join path, where the
+    rate table is data.  Enforced with a hard cap so the literal
+    expression tree can never creep toward plan-build failure the way
+    unbounded literal embedding does.
     """
+    if len(rates) > 256:
+        raise ValueError(
+            "stratified_sample: %d rates — a when-chain is for "
+            "config-sized rate maps; derive rates as data and join "
+            "them (see mixture_weighted_sample) instead"
+            % len(rates))
     rate = F.lit(float(default_rate))
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(float(r))) \

@@ -186,6 +186,14 @@ def assign_nearest_centroid(df: DataFrame, centroids: list[tuple],
 
     ``out_col`` type follows the cid values (long for ints, else
     string — the API allows non-numeric id columns as centroid ids).
+
+    Memory at the paper's scale: 50k centroids × 768 dims ≈ 0.3 GB of
+    float64 — one broadcast per EXECUTOR (not per task), comfortably
+    inside executor memory, and the per-batch matmul is the same
+    arithmetic a faiss flat index would do.  Past ~1M centroids the
+    right structure changes (shard the centroid table and assign via
+    an exploded equi-join + ``max_by``, or go hierarchical); this
+    function is the dense-matrix regime.
     """
     if not centroids:
         raise ValueError("assign_nearest_centroid: empty centroid list")

@@ -1118,3 +1118,12 @@ def test_multimodal_real_header_decode(spark):
     # the original plumbing columns are untouched
     assert got[2]["payload_bytes"] == len(b"garbage not a container")
     assert got[4]["content_digest"] is None
+
+
+def test_stratified_sample_rate_map_cap():
+    """The when-chain is for CONFIG-sized rate maps only — the hard cap
+    fires before any plan is built (no JVM needed)."""
+    from mc2skos_spark.functions.sampling import stratified_sample
+    with pytest.raises(ValueError, match="when-chain"):
+        stratified_sample(None, "lang",
+                          {"l%d" % i: 0.5 for i in range(300)})
