@@ -43,7 +43,8 @@ class StreamingDeduper:
                  id_col: str = "doc_id", text_col: str = "text",
                  threshold: float = 0.9, n: int = 3,
                  num_hashes: int = 32, bands: int = 8,
-                 assign_keepers: bool = False):
+                 assign_keepers: bool = False,
+                 compact_every: int | None = None):
         self.warehouse = warehouse
         self.name = name
         self.id_col = id_col
@@ -56,6 +57,15 @@ class StreamingDeduper:
         #: batch (incremental_keeper_assign) — the full dedup DECISION
         #: on the stream, not just pair detection
         self.assign_keepers = assign_keepers
+        #: every N batches, compact + expire the index's tables —
+        #: streaming is where append-per-batch small-file buildup bites
+        #: hardest (one parquet file per table per micro-batch).
+        #: Maintenance runs AFTER the batch's guarded commits and is
+        #: replay-transparent: compaction preserves rows, properties
+        #: (incl. the last_batch_id guards) and the committed schema,
+        #: and a kill mid-compaction leaves the previous snapshot
+        #: current — the next trigger simply retries the maintenance.
+        self.compact_every = compact_every
 
     def replay_applied(self, batch: DataFrame, batch_id: int,
                        catalog: IcebergishCatalog | None = None) -> bool:
@@ -112,6 +122,7 @@ class StreamingDeduper:
             incremental_keeper_assign(
                 catalog, self.name, batch, self.id_col, self.text_col,
                 threshold=self.threshold, batch_id=batch_id)
+            self._maybe_maintain(catalog, batch_id)
             return
         # sign the batch ONCE; pair join and index append share it
         pre = batch_index_rows(catalog, self.name, batch,
@@ -123,6 +134,19 @@ class StreamingDeduper:
         catalog.write(PAIRS_TABLE % batch_id, pairs, lineage_key="id_a")
         append_batch_to_index(catalog, self.name, batch_id=batch_id,
                               precomputed=pre)
+        self._maybe_maintain(catalog, batch_id)
+
+    def _maybe_maintain(self, catalog: IcebergishCatalog,
+                        batch_id: int) -> None:
+        """Compact + expire every table of this index after each
+        ``compact_every``-th batch (see ``compact_every``).  Only
+        tables under the index's name prefix are touched — per-batch
+        pair snapshots are single-write tables that never fragment."""
+        if not self.compact_every or (batch_id + 1) % self.compact_every:
+            return
+        for table in catalog.tables(prefix=self.name):
+            catalog.compact(table)
+            catalog.expire_snapshots(table, keep_last=1)
 
 
 def start_stream(spark: SparkSession, input_dir: str,
