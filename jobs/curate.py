@@ -23,7 +23,7 @@ Cluster deployment:
     spark-submit --master <cluster> --py-files mc2skos_spark.zip \\
         jobs/curate.py --input docs.parquet --output <dir> \\
         [--benchmark bench.parquet] [--min-quality 0.2]
-        [--max-top-bigram 0.5] [--scrub-pii]
+        [--max-top-bigram 0.5] [--scrub-pii] [--scrub-spans 8,2]
         [--max-avg-nll 9.0 [--lm unigram.parquet]]
         [--dsir-target en [--dsir-min-logw 0]]
         [--sample-rates en=1.0,es=0.5] [--default-rate 1.0]

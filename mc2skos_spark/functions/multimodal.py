@@ -150,12 +150,16 @@ def make_png(width: int, height: int, bit_depth: int = 8) -> bytes:
 
 
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
-    """STUB decoder: deterministic 8-dim feature from a content digest.
+    """STUB content-feature decoder: deterministic 8-dim feature from a
+    content digest.
 
-    Replace with a real decode (PIL resize / librosa frames / frame
-    sampling) when the codec libraries are available; the function
-    contract — bytes in, fixed-dim float feature out — is what the
-    pipeline depends on.
+    Container HEADERS are genuinely decoded (:func:`decode_wav_header`
+    / :func:`decode_png_header` feed the ``decoded_*`` columns); this
+    stub stands in only for pixel/waveform CONTENT features (PIL
+    resize / librosa frames / frame sampling), whose codec libraries
+    are not in this container.  The function contract — bytes in,
+    fixed-dim float feature out — is what the pipeline depends on; a
+    real decoder drops in unchanged.
     """
     digest = hashlib.sha256(payload + kind.encode()).digest()
     return [b / 255.0 for b in digest[:8]]
