@@ -1127,3 +1127,28 @@ def test_stratified_sample_rate_map_cap():
     with pytest.raises(ValueError, match="when-chain"):
         stratified_sample(None, "lang",
                           {"l%d" % i: 0.5 for i in range(300)})
+
+
+def test_wav_decoder_chunk_walk_edges():
+    """Pure-Python RIFF edges (no JVM): an odd-sized LIST chunk before
+    fmt must be word-aligned past correctly; missing data chunk, zero
+    block_align and non-RIFF prefixes all yield None."""
+    import struct
+    from mc2skos_spark.functions.multimodal import (decode_wav_header,
+                                                    make_wav)
+    base = make_wav(8000, 1, 10)
+    # splice an odd-sized junk chunk between 'WAVE' and 'fmt '
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    body = base[12:]
+    spliced = (b"RIFF" + struct.pack("<I", len(junk) + len(body) + 4)
+               + b"WAVE" + junk + body)
+    assert decode_wav_header(spliced) == decode_wav_header(base)
+    # fmt present but data chunk missing
+    no_data = base[:12 + 8 + 16]
+    assert decode_wav_header(no_data) is None
+    # zero block_align must not divide-by-zero
+    broken = bytearray(base)
+    broken[12 + 8 + 12:12 + 8 + 14] = struct.pack("<H", 0)
+    assert decode_wav_header(bytes(broken)) is None
+    assert decode_wav_header(b"RIFX" + base[4:]) is None
+    assert decode_wav_header(b"") is None
