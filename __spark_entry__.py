@@ -1150,6 +1150,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return dsir_logweights(docs, F.col("lang") == "en")
 
+    # --- fastText-style quality-classifier gate: model scoring as a
+    #     broadcast join — hashed {1,2}-gram bucket counts equi-join a
+    #     256-row quantized weight table; the decision statistic is
+    #     the exact integer logit (sigmoid is monotone, so no exp()
+    #     parity bet).  Weights here are a fixed arithmetic function
+    #     of the bucket id so the oracle recomputes them inline; the
+    #     MLlib-trained path produces the same table shape
+    #     (pytest-verified train → quantize → relational-score loop).
+    def quality_classifier_scores(spark, sf_dir):
+        from mc2skos_spark.functions.classifier import linear_text_scores
+        docs = _t(spark, sf_dir, "documents")
+        weights = {b: (b % 17) - 8 for b in range(256)}
+        return linear_text_scores(docs, weights, bias_q=3)
+
     # --- pivot: long → wide with a PINNED value list — no extra
     #     distinct-values job.  Spark plans two phases: pre-aggregate
     #     by (source, lang) then pivot-aggregate by source; the
@@ -1393,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm2_nll": text_lm2_nll,
         "text_lm3_nll": text_lm3_nll,
         "dsir_en_weights": dsir_en_weights,
+        "quality_classifier_scores": quality_classifier_scores,
         "pivot_lang_matrix": pivot_lang_matrix,
         "unpivot_doc_metrics": unpivot_doc_metrics,
     }
@@ -2780,6 +2795,35 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(cnt * dlp) AS BIGINT) AS logw_q
             FROM docb JOIN ratio USING (bucket)
             GROUP BY doc_id""",
+        # linear classifier gate: same md5-bucket machinery as DSIR;
+        # weights are the inline arithmetic (bucket % 17 - 8), logit is
+        # an exact integer sum — order-independent, float-free
+        "quality_classifier_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            grams AS (
+                SELECT doc_id, t.g AS g
+                FROM toks, unnest(tk) AS t(g)
+                UNION ALL
+                SELECT doc_id,
+                       array_to_string(tk[i : i + 1], ' ') AS g
+                FROM toks, unnest(range(1, len(tk))) AS r(i)),
+            hx AS (SELECT i::INT AS bucket, printf('%02x', i) AS h
+                   FROM range(256) t(i)),
+            docb AS (
+                SELECT doc_id, bucket, count(*)::BIGINT AS cnt
+                FROM grams JOIN hx ON substr(md5(g), 1, 2) = hx.h
+                GROUP BY doc_id, bucket)
+            SELECT doc_id,
+                   cast(sum(cnt) AS BIGINT) AS n_grams,
+                   cast(3 + sum(cnt * (bucket % 17 - 8)) AS BIGINT)
+                       AS logit_q,
+                   (3 + sum(cnt * (bucket % 17 - 8))) >= 0 AS keep
+            FROM docb GROUP BY doc_id""",
         # pivot == one conditional-count hash aggregate
         "pivot_lang_matrix": """
             SELECT source,

@@ -145,6 +145,8 @@ def run_benchmark():
         # sketch next to its exact twin
         "text_lm3_nll", "graph_pagerank_dangling", "mm_media_decode",
         "sketch_distinct_tokens",
+        # round 5: classifier gate (model scoring as a broadcast join)
+        "quality_classifier_scores",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization

@@ -1,0 +1,144 @@
+"""fastText-style linear quality classifier over hashed n-gram features.
+
+The CCNet / LLaMA-pipeline corpus gate: a linear classifier trained to
+recognize "wiki-like" text (fastText supervised in the papers) scores
+every pool document, and only documents above a threshold survive.
+Re-expressed Spark-first in two halves:
+
+* :func:`linear_text_scores` — INFERENCE as pure relational ops: the
+  per-document hashed {1,2}-gram bucket counts (the same one-scan
+  feature table DSIR uses — ``functions/dsir.py:hashed_ngram_buckets``)
+  equi-join a broadcast ``(bucket, w_q)`` weight table, and the
+  decision statistic is the exact integer logit
+  ``logit_q = bias_q + Σ_b cnt_b · w_q[b]``.  Sigmoid is monotone, so
+  gating on ``logit_q ≥ τ_q`` IS gating on the model probability —
+  with no cross-engine ``exp()`` parity bet and no floats anywhere:
+  the driver oracle hash-matches the scores under any shuffle order.
+  At 100 TB this is one corpus scan, a ≤ buckets-row broadcast, and a
+  per-doc integer aggregate — model scoring as a broadcast join.
+* :func:`train_quality_classifier` — TRAINING via ``pyspark.ml``
+  LogisticRegression over the same bucket-count vectors: LBFGS on a
+  buckets-dim problem is a driver-side optimization over distributed
+  gradient aggregates, exactly what MLlib is for.  Returns the
+  quantized weight rows :func:`linear_text_scores` consumes, so the
+  train → quantize → relational-inference loop is closed (pytest
+  proves the quantized relational scorer reproduces the MLlib model's
+  decisions on a margin-separated corpus).
+
+Quantization: weights/bias are floor-scaled by 1e4 (the repo-wide
+``SCALE`` discipline).  A count-weighted sum of 1e-4-quantized weights
+differs from the float logit by < 1e-4·n_grams — negligible against
+any real decision margin, and in exchange the score is exactly
+reproducible across engines, shuffles and reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mc2skos_spark.functions.dsir import SCALE, hashed_ngram_buckets
+
+
+def linear_text_scores(documents: DataFrame,
+                       weights: dict[int, int],
+                       bias_q: int = 0,
+                       buckets: int = 256,
+                       id_col: str = "doc_id",
+                       text_col: str = "text",
+                       hash_fn: str = "md5") -> DataFrame:
+    """Score every document with a linear model over hashed
+    {1,2}-gram bucket counts.
+
+    ``weights`` maps bucket id → 1e-4-quantized integer weight
+    (buckets absent from the map weigh 0); ``bias_q`` is the quantized
+    intercept.  Returns ``(id_col, n_grams, logit_q, keep)`` where
+    ``logit_q = bias_q + Σ cnt·w_q`` is an exact long and ``keep`` is
+    the ``logit_q >= 0`` gate verdict.  Documents with no tokens get
+    no row (no features → no evidence; gate them by length upstream).
+
+    Plan: one scan → (doc, bucket, cnt) explode-aggregate → broadcast
+    equi-join of the ≤ ``buckets``-row weight table → per-doc integer
+    sum.  Nothing here is model-serving infrastructure — the model IS
+    a dimension table.
+    """
+    if not weights:
+        raise ValueError("linear_text_scores: empty weight map")
+    bad = [b for b in weights if not 0 <= int(b) < buckets]
+    if bad:
+        raise ValueError("linear_text_scores: bucket ids outside "
+                         "[0, %d): %s" % (buckets, sorted(bad)[:5]))
+    spark = documents.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(b), int(w)) for b, w in sorted(weights.items())],
+        "bucket int, w_q long")
+    db = hashed_ngram_buckets(documents, buckets, id_col, text_col,
+                              hash_fn=hash_fn)
+    scored = (db.join(F.broadcast(wdf), "bucket", "left")
+              .groupBy(id_col)
+              .agg(F.sum("cnt").alias("n_grams"),
+                   (F.lit(int(bias_q)).cast("long")
+                    + F.sum(F.col("cnt")
+                            * F.coalesce(F.col("w_q"), F.lit(0))))
+                   .cast("long").alias("logit_q")))
+    return scored.withColumn("keep", F.col("logit_q") >= 0)
+
+
+def _bucket_vectors(documents: DataFrame, buckets: int,
+                    id_col: str, text_col: str, label: Column,
+                    hash_fn: str) -> DataFrame:
+    """(id, label, features) rows for MLlib: per-doc bucket counts
+    assembled into a SparseVector.  One row per DOCUMENT reaches the
+    assembly UDF (never per-gram), so the Python step is
+    O(docs × distinct buckets/doc) — training-side only; inference
+    never touches it."""
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    db = hashed_ngram_buckets(
+        documents.withColumn("__label", label.cast("double")),
+        buckets, id_col, text_col, keep_cols=["__label"],
+        hash_fn=hash_fn)
+    packed = (db.groupBy(id_col, "__label")
+              .agg(F.map_from_entries(
+                  F.sort_array(F.collect_list(
+                      F.struct(F.col("bucket"), F.col("cnt")))))
+                  .alias("__counts")))
+
+    @F.udf(VectorUDT())
+    def to_vec(counts):
+        items = sorted((int(b), float(c)) for b, c in counts.items())
+        return SparseVector(buckets, [b for b, _ in items],
+                            [c for _, c in items])
+
+    return packed.select(F.col(id_col), F.col("__label").alias("label"),
+                         to_vec("__counts").alias("features"))
+
+
+def train_quality_classifier(documents: DataFrame, is_positive: Column,
+                             buckets: int = 256,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             hash_fn: str = "md5",
+                             reg_param: float = 0.0,
+                             max_iter: int = 100) -> tuple[dict[int, int],
+                                                           int]:
+    """Train the gate: MLlib LogisticRegression over hashed-bucket
+    count vectors, labels from the ``is_positive`` predicate (your
+    trusted "wiki-like" slice vs the pool).  Returns
+    ``(weights, bias_q)`` quantized for :func:`linear_text_scores` —
+    the model leaves training as a plain dimension table, so inference
+    at 100 TB is the relational plan above, not a model server.
+
+    Docs with no tokens contribute nothing (no feature rows — same
+    contract as scoring)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    train = _bucket_vectors(documents, buckets, id_col, text_col,
+                            is_positive, hash_fn)
+    model = LogisticRegression(
+        maxIter=int(max_iter), regParam=float(reg_param),
+        standardization=False).fit(train)
+    import math
+    weights = {b: math.floor(float(w) * SCALE)
+               for b, w in enumerate(model.coefficients) if w != 0.0}
+    bias_q = math.floor(float(model.intercept) * SCALE)
+    return weights, bias_q

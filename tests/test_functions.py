@@ -1152,3 +1152,48 @@ def test_wav_decoder_chunk_walk_edges():
     assert decode_wav_header(bytes(broken)) is None
     assert decode_wav_header(b"RIFX" + base[4:]) is None
     assert decode_wav_header(b"") is None
+
+
+def test_quality_classifier_train_score_loop(spark):
+    """The gate's full production loop: MLlib LogisticRegression over
+    hashed-bucket count vectors → quantized weight table → RELATIONAL
+    scoring (broadcast join + integer logit).  On a margin-separated
+    corpus the quantized relational scorer must reproduce the trained
+    model's decisions on held-out docs, and the keep verdict must
+    gate exactly at logit_q >= 0."""
+    from mc2skos_spark.functions.classifier import (linear_text_scores,
+                                                    train_quality_classifier)
+    wiki = ["the history of %s is documented in several sources" % w
+            for w in ("rome", "cairo", "kyoto", "paris", "lima",
+                      "oslo", "quito", "dakar")]
+    spam = ["click buy cheap %s now limited offer deal win" % w
+            for w in ("pills", "watches", "tickets", "coins", "phones",
+                      "rings", "bags", "shoes")]
+    train = [(i, t, 1) for i, t in enumerate(wiki[:6])] + \
+        [(100 + i, t, 0) for i, t in enumerate(spam[:6])]
+    hold = [(200, wiki[6], 1), (201, wiki[7], 1),
+            (210, spam[6], 0), (211, spam[7], 0)]
+    train_df = spark.createDataFrame(
+        train, "doc_id long, text string, y int")
+    hold_df = spark.createDataFrame(
+        hold, "doc_id long, text string, y int")
+
+    weights, bias_q = train_quality_classifier(
+        train_df, F.col("y") == 1, max_iter=50)
+    assert weights and isinstance(next(iter(weights)), int)
+
+    scored = {r["doc_id"]: r for r in
+              linear_text_scores(hold_df, weights, bias_q).collect()}
+    truth = {i: y for i, _, y in hold}
+    texts = {i: t for i, t, _ in hold}
+    for doc_id, row in scored.items():
+        assert (row["logit_q"] >= 0) == bool(truth[doc_id]), doc_id
+        assert row["keep"] == (row["logit_q"] >= 0)
+        assert row["n_grams"] == 2 * len(
+            texts[doc_id].split()) - 1             # {1,2}-gram count
+
+    # bad bucket ids and empty maps fail fast
+    with pytest.raises(ValueError, match="empty weight"):
+        linear_text_scores(hold_df, {})
+    with pytest.raises(ValueError, match="outside"):
+        linear_text_scores(hold_df, {999: 1})
