@@ -140,13 +140,18 @@ def main() -> None:
         # compaction + snapshot expiry over every table of this index
         # (signatures, buckets, keeper/remap state, streamed pair
         # snapshots): the cure for append-per-batch small-file buildup.
-        # Row counts are asserted unchanged before expiry drops the old
-        # manifests.
+        # Row counts are checked unchanged before expiry drops the old
+        # manifests (an explicit raise, not `assert` — expiry would
+        # otherwise destroy the only pre-compaction snapshots under -O).
         stats["tables"] = {}
         for table in catalog.tables(prefix=args.name):
             before = catalog.current_manifest(table)
             m = catalog.compact(table, rows_per_file=args.rows_per_file)
-            assert m["row_count"] == before["row_count"], table
+            if m["row_count"] != before["row_count"]:
+                raise RuntimeError(
+                    "compaction changed row count for %s: %d -> %d; "
+                    "refusing to expire pre-compaction snapshots"
+                    % (table, before["row_count"], m["row_count"]))
             gc = catalog.expire_snapshots(table,
                                           keep_last=args.keep_snapshots)
             stats["tables"][table] = {

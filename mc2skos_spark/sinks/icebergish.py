@@ -135,7 +135,17 @@ class IcebergishCatalog:
         signature indexes).  Lineage part ids continue from the prior
         snapshot; falls back to a plain ``write`` when the table does
         not exist yet.  The commit is still one atomic manifest rename,
-        so a mid-append kill leaves the previous snapshot intact."""
+        so a mid-append kill leaves the previous snapshot intact.
+
+        BREAKING CHANGE (round 5): the schema check now compares
+        nullability directionally — optional-into-required is REJECTED
+        where the old (name, type)-only check accepted it.  A caller
+        whose first write committed non-nullable columns (``spark.range``
+        output, aggregates) and later appends parquet-read-back frames
+        (always nullable) will newly raise: either pin the first write's
+        schema nullable (``spark.createDataFrame(df.rdd, nullable_schema)``
+        -free route: write/read-back once) or widen it before the first
+        commit.  In-repo flows all commit nullable-first."""
         current = self.current_manifest(table)
         if current is None:
             return self._write_snapshot(table, df, None, lineage_key,

@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from ..functions.incremental import (BUCKET_SUFFIX, SIG_SUFFIX,
+from ..functions.incremental import (BUCKET_SUFFIX, KEEPER_SUFFIX,
+                                     REMAP_SUFFIX, SIG_SUFFIX,
                                      append_batch_to_index,
                                      batch_index_rows,
                                      create_minhash_index,
@@ -138,13 +139,21 @@ class StreamingDeduper:
 
     def _maybe_maintain(self, catalog: IcebergishCatalog,
                         batch_id: int) -> None:
-        """Compact + expire every table of this index after each
-        ``compact_every``-th batch (see ``compact_every``).  Only
-        tables under the index's name prefix are touched — per-batch
-        pair snapshots are single-write tables that never fragment."""
+        """Compact + expire this index's tables after each
+        ``compact_every``-th batch (see ``compact_every``).  Only the
+        index's OWN tables (its four known suffixes) are touched — an
+        open-ended prefix match would also sweep up a sibling index
+        named e.g. ``<name>_v2`` in the same warehouse and expire its
+        snapshot history.  Per-batch pair snapshots are single-write
+        tables that never fragment, so they are skipped too."""
         if not self.compact_every or (batch_id + 1) % self.compact_every:
             return
-        for table in catalog.tables(prefix=self.name):
+        existing = set(catalog.tables(prefix=self.name))
+        for suffix in (SIG_SUFFIX, BUCKET_SUFFIX, KEEPER_SUFFIX,
+                       REMAP_SUFFIX):
+            table = self.name + suffix
+            if table not in existing:
+                continue
             catalog.compact(table)
             catalog.expire_snapshots(table, keep_last=1)
 
