@@ -790,13 +790,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "decoded_duration_ms"))
 
     # --- sketch aggregates at the driver surface: HLL++ distinct-token
-    #     estimate NEXT TO its exact twin per source stratum, plus an
-    #     in-plan error-envelope verdict.  Engine-specific sketch → no
-    #     cross-engine value oracle is possible (rows-only driver
-    #     check; the numeric envelope is pinned by the ok_5pct column
-    #     and by tests/test_sketches.py).  At 100 TB the sketch is the
-    #     production path: constant-size partial states combine
-    #     map-side vs the exact twin's full distinct shuffle.
+    #     estimate computed NEXT TO its exact twin per source stratum,
+    #     reduced to an in-plan error-envelope VERDICT.  The raw sketch
+    #     value is engine-specific (no DuckDB twin), so it is dropped
+    #     from the projection: the output is (source, exact_distinct,
+    #     ok_5pct) and the oracle computes the exact count and pins
+    #     ok_5pct = TRUE — HLL++ is deterministic for fixed input +
+    #     implementation, so a Spark sketch-impl drift past the 5%
+    #     envelope fails the hash compare LOUDLY instead of silently
+    #     (tests/test_sketches.py pins the numeric envelope itself).
+    #     At 100 TB the sketch is the production path: constant-size
+    #     partial states combine map-side vs the exact twin's full
+    #     distinct shuffle.
     def sketch_distinct_tokens(spark, sf_dir):
         from mc2skos_spark.functions.textstats import tokens
         docs = _t(spark, sf_dir, "documents")
@@ -808,7 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.approx_count_distinct("token", 0.02)
                       .alias("approx_distinct"))
                 .select(
-                    "source", "exact_distinct", "approx_distinct",
+                    "source", "exact_distinct",
                     (F.abs(F.col("approx_distinct")
                            - F.col("exact_distinct"))
                      <= F.col("exact_distinct") * 0.05)
@@ -1831,6 +1836,22 @@ def oracle_sql() -> dict[str, str]:
                        regexp_split_to_array(text, '\\s+'),
                        x -> x != '')) AS int) AS n_tokens
             FROM documents""",
+        # HLL++ sketch row: the oracle computes the EXACT distinct count
+        # and pins ok_5pct = TRUE.  The sketch value itself never leaves
+        # the Spark plan; its 5%-envelope verdict does — a sketch-impl
+        # drift past the envelope flips ok_5pct and fails the hash
+        # compare loudly (the sketch is deterministic for fixed input +
+        # implementation, so this is a stable gate, not a flaky one).
+        "sketch_distinct_tokens": """
+            SELECT source,
+                   count(DISTINCT token) AS exact_distinct,
+                   TRUE AS ok_5pct
+            FROM (SELECT source,
+                         unnest(list_filter(
+                             regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x != '')) AS token
+                  FROM documents)
+            GROUP BY source""",
         "text_quality": quality,
         "text_langid": langid,
         # Gopher-style intra-document repetition signals.  The oracle
