@@ -1143,6 +1143,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         return trigram_nll_scores(docs)
 
+    # --- order-5 member from the SAME parameterized builder — CCNet's
+    #     actual KenLM order (Wenzek et al. 2020).  Weights halve per
+    #     order (0.5/0.25/0.125/0.0625 + 0.0625 unigram remainder, all
+    #     exactly-representable doubles), so the interpolated
+    #     probability is the identical literal expression tree in both
+    #     engines; logps 1e-4-quantized and summed as longs.  Scale
+    #     shape unchanged from the lower orders: per-doc distinct
+    #     5-gram Heaps table is the only corpus-scale shuffle, the
+    #     c5..c1 vocab tables equi-join back (2(n−1) joins, AQE
+    #     broadcasts the small sides).
+    def text_lm5_nll(spark, sf_dir):
+        from mc2skos_spark.functions.lm import ngram_nll_scores
+        docs = _t(spark, sf_dir, "documents")
+        out = ngram_nll_scores(docs, 5)
+        return out.select(
+            "doc_id",
+            F.col("n_transitions").alias("n_transitions5"),
+            F.col("nll_q").alias("nll5_q"),
+            F.col("avg_nll").alias("avg_nll5"))
+
     # --- DSIR importance weights (Xie et al. 2023): hashed {1,2}-gram
     #     bucket counts (md5 first byte — engine-portable), target =
     #     the lang='en' slice, raw = the whole pool; per-bucket
@@ -1411,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_nll_xlm": text_lm_nll_xlm,
         "text_lm2_nll": text_lm2_nll,
         "text_lm3_nll": text_lm3_nll,
+        "text_lm5_nll": text_lm5_nll,
         "dsir_en_weights": dsir_en_weights,
         "quality_classifier_scores": quality_classifier_scores,
         "pivot_lang_matrix": pivot_lang_matrix,
@@ -2768,6 +2789,79 @@ def oracle_sql() -> dict[str, str]:
                    floor((-sum(tf * lp))::DOUBLE
                          / sum(tf)::DOUBLE) / 10000.0 AS avg_nll3
             FROM tf3 JOIN logp USING (w1, w2, w3)
+            GROUP BY doc_id""",
+        # order-5 LM: same literal interpolated-probability tree as the
+        # Spark side (0.5/0.25/0.125/0.0625/0.0625 — all weights
+        # exactly representable); every lower-order context table is
+        # counted from its OWN token-stream pass (deriving c_{k-1} from
+        # c_k would miss each doc's final (k-1)-gram)
+        "text_lm5_nll": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            tr5 AS (
+                SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+                       tk[i + 2] AS w3, tk[i + 3] AS w4, tk[i + 4] AS w5
+                FROM toks, unnest(range(1, len(tk) - 3)) AS r(i)),
+            tf5 AS (
+                SELECT doc_id, w1, w2, w3, w4, w5,
+                       count(*)::BIGINT AS tf
+                FROM tr5 GROUP BY doc_id, w1, w2, w3, w4, w5),
+            c5 AS (SELECT w1, w2, w3, w4, w5, sum(tf)::BIGINT AS c5
+                   FROM tf5 GROUP BY w1, w2, w3, w4, w5),
+            c4 AS (SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+                          tk[i + 3] AS w4, count(*)::BIGINT AS c4
+                   FROM toks, unnest(range(1, len(tk) - 2)) AS r(i)
+                   GROUP BY 1, 2, 3, 4),
+            c3 AS (SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+                          count(*)::BIGINT AS c3
+                   FROM toks, unnest(range(1, len(tk) - 1)) AS r(i)
+                   GROUP BY 1, 2, 3),
+            c2 AS (SELECT tk[i] AS w1, tk[i + 1] AS w2,
+                          count(*)::BIGINT AS c2
+                   FROM toks, unnest(range(1, len(tk))) AS r(i)
+                   GROUP BY 1, 2),
+            lm1 AS (SELECT t.w AS w, count(*)::BIGINT AS cnt
+                    FROM toks, unnest(tk) AS t(w) GROUP BY t.w),
+            stats AS (SELECT sum(cnt)::BIGINT AS total,
+                             count(*)::BIGINT AS v
+                      FROM lm1),
+            logp AS (
+                SELECT c5.w1, c5.w2, c5.w3, c5.w4, c5.w5,
+                       CAST(floor(ln(
+                           0.5 * ((c5 + 1)::DOUBLE
+                                  / (x4.c4 + v)::DOUBLE)
+                         + 0.25 * ((s4.c4 + 1)::DOUBLE
+                                   / (x3.c3 + v)::DOUBLE)
+                         + 0.125 * ((s3.c3 + 1)::DOUBLE
+                                    / (x2.c2 + v)::DOUBLE)
+                         + 0.0625 * ((s2.c2 + 1)::DOUBLE
+                                     / (x1.cnt + v)::DOUBLE)
+                         + 0.0625 * ((s1.cnt + 1)::DOUBLE
+                                     / (total + v)::DOUBLE)) * 10000)
+                            AS BIGINT) AS lp
+                FROM c5 JOIN c4 x4 ON x4.w1 = c5.w1 AND x4.w2 = c5.w2
+                                  AND x4.w3 = c5.w3 AND x4.w4 = c5.w4
+                        JOIN c4 s4 ON s4.w1 = c5.w2 AND s4.w2 = c5.w3
+                                  AND s4.w3 = c5.w4 AND s4.w4 = c5.w5
+                        JOIN c3 x3 ON x3.w1 = c5.w2 AND x3.w2 = c5.w3
+                                  AND x3.w3 = c5.w4
+                        JOIN c3 s3 ON s3.w1 = c5.w3 AND s3.w2 = c5.w4
+                                  AND s3.w3 = c5.w5
+                        JOIN c2 x2 ON x2.w1 = c5.w3 AND x2.w2 = c5.w4
+                        JOIN c2 s2 ON s2.w1 = c5.w4 AND s2.w2 = c5.w5
+                        JOIN lm1 x1 ON x1.w = c5.w4
+                        JOIN lm1 s1 ON s1.w = c5.w5
+                        CROSS JOIN stats)
+            SELECT doc_id,
+                   cast(sum(tf) AS BIGINT) AS n_transitions5,
+                   cast(-sum(tf * lp) AS BIGINT) AS nll5_q,
+                   floor((-sum(tf * lp))::DOUBLE
+                         / sum(tf)::DOUBLE) / 10000.0 AS avg_nll5
+            FROM tf5 JOIN logp USING (w1, w2, w3, w4, w5)
             GROUP BY doc_id""",
         # DSIR log-weights: the oracle maps md5's first byte to a
         # bucket via a printf('%02x') lookup table where Spark uses

@@ -1,14 +1,16 @@
 """Language-model quality filtering for training-data pipelines.
 
 The CCNet-style corpus filter (Wenzek et al. 2020): score every
-document by its negative log-likelihood under a unigram language model
-and gate on the score — documents far from the reference distribution
+document by its negative log-likelihood under a language model and gate
+on the score — documents far from the reference distribution
 (boilerplate, lorem-ipsum, non-language noise) score high and are
-dropped.  CCNet uses a 5-gram KenLM; the distributed re-expression here
-is the unigram member of that family (the n-gram generalization is the
-same join with :func:`~mc2skos_spark.functions.textstats.word_ngrams`
-keys), which is what the scale shape — not the smoothing order — is
-about.
+dropped.  CCNet uses a 5-gram KenLM; :func:`ngram_nll_scores` is the
+order-parameterized distributed re-expression (one transition-table
+builder for every order — the bigram/trigram members are thin wrappers
+and order 5 is CCNet's actual configuration), while
+:func:`lm_nll_scores` keeps the unigram member separate because it is
+the one that supports an EXTERNAL reference-corpus LM with an OOV
+fallback.
 
 Scale shape (100 TB):
 
@@ -129,187 +131,178 @@ def lm_nll_scores(documents: DataFrame, lm: DataFrame | None = None,
                  .alias("avg_nll")))
 
 
-def doc_bigram_freq(documents: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
-    """Per-document distinct-transition frequencies
-    ``(id, w1, w2, tf)`` over consecutive lowercased whitespace tokens.
-    Documents with fewer than two tokens contribute no rows."""
-    col = F.col(text_col)
+def doc_ngram_freq(documents: DataFrame, n: int,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-document distinct n-gram-transition frequencies
+    ``(id, w1..wn, tf)`` over consecutive lowercased whitespace tokens.
+    Documents with fewer than ``n`` tokens contribute no rows; ``n=1``
+    is :func:`doc_term_freq` with the column renamed."""
+    n = int(n)
+    if n < 1:
+        raise ValueError("n-gram order must be >= 1, got %d" % n)
+    if n == 1:
+        return (doc_term_freq(documents, id_col, text_col)
+                .select(F.col(id_col), F.col("token").alias("w1"), "tf"))
+    names = ["w%d" % (i + 1) for i in range(n)]
+    empty = F.array().cast(
+        "array<struct<%s>>" % ",".join("%s:string" % w for w in names))
 
-    def pairs_of(tk):
-        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(0)))
+    def grams_of(tk):
+        idx = F.sequence(F.lit(1),
+                         F.greatest(F.size(tk) - (n - 1), F.lit(0)))
         full = F.transform(
-            idx, lambda i: F.struct(F.element_at(tk, i).alias("w1"),
-                                    F.element_at(tk, i + 1).alias("w2")))
-        return F.when(F.size(tk) >= 2, full).otherwise(
-            F.array().cast("array<struct<w1:string,w2:string>>"))
+            idx, lambda i: F.struct(
+                *[F.element_at(tk, i + j).alias(names[j])
+                  for j in range(n)]))
+        return F.when(F.size(tk) >= n, full).otherwise(empty)
 
     from mc2skos_spark.functions.textstats import _once
-    pairs = _once(tokens(F.lower(col)), pairs_of,
-                  F.array().cast("array<struct<w1:string,w2:string>>"))
+    grams = _once(tokens(F.lower(F.col(text_col))), grams_of, empty)
     return (documents
-            .select(F.col(id_col), F.explode(pairs).alias("p"))
-            .select(F.col(id_col), F.col("p.w1").alias("w1"),
-                    F.col("p.w2").alias("w2"))
-            .groupBy(id_col, "w1", "w2")
+            .select(F.col(id_col), F.explode(grams).alias("p"))
+            .select(F.col(id_col),
+                    *[F.col("p." + w).alias(w) for w in names])
+            .groupBy(id_col, *names)
             .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+
+
+def doc_bigram_freq(documents: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """``(id, w1, w2, tf)`` — the order-2 member of
+    :func:`doc_ngram_freq`."""
+    return doc_ngram_freq(documents, 2, id_col, text_col)
+
+
+def doc_trigram_freq(documents: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """``(id, w1, w2, w3, tf)`` — the order-3 member of
+    :func:`doc_ngram_freq`."""
+    return doc_ngram_freq(documents, 3, id_col, text_col)
+
+
+def ngram_nll_scores(documents: DataFrame, order: int,
+                     lams: list | None = None,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document NLL under a self-trained INTERPOLATED order-n LM —
+    the distributed re-expression of CCNet's KenLM filter (Wenzek et
+    al. 2020; their production order is 5), one builder for every
+    order:
+
+        p(wn | w1..wn−1) = Σ_{k=n..2} lam_k·(c_k(last k)+1)/(c_{k−1}(k−1
+                           words ending at wn−1)+V)
+                         + lam_1·(c_1(wn)+1)/(total+V)
+
+    (add-1 everywhere keeps probabilities finite).  ``lams`` gives the
+    weights for the order-n..2 terms; the unigram weight is the
+    remainder.  The default halves order by order — 0.5, 0.25, … — so
+    every weight (including the remainder, 2^−(n−1)) is an exactly-
+    representable double and the literal probability expression tree is
+    bit-identical in the DuckDB oracle.  Only full order-n transitions
+    are scored; docs with < n tokens get no row.
+
+    Scale shape (the same at every order): one corpus tokenization per
+    gram length feeding per-doc DISTINCT-transition tables (Heaps' law
+    keeps them far below the raw token stream — they are the only
+    corpus-scale shuffles); corpus-wide c_n..c_1 tables are vocab-sized
+    re-aggregations; the logp table is built with 2(n−1) equi-joins on
+    n-gram keys (AQE broadcasts the small sides) and joined back once;
+    per-transition logps are 1e-4-quantized and summed as LONGS so the
+    per-doc sum is order-independent.  Lower-order context counts come
+    from their OWN token-stream pass — deriving c_{n−1} from the
+    c_n table would miss each document's final (n−1)-gram.
+
+    Returns ``(id_col, n_transitions, nll_q, avg_nll)`` (callers
+    wanting order-suffixed names alias them — see
+    :func:`bigram_nll_scores` / :func:`trigram_nll_scores`).
+    """
+    n = int(order)
+    if n < 2:
+        raise ValueError(
+            "order must be >= 2 (use lm_nll_scores for the unigram "
+            "member, which also supports an external LM), got %d" % n)
+    if lams is None:
+        lams = [2.0 ** -(j + 1) for j in range(n - 1)]
+    lams = [float(x) for x in lams]
+    if len(lams) != n - 1:
+        raise ValueError("need %d interpolation weights for order %d "
+                         "(terms n..2), got %d" % (n - 1, n, len(lams)))
+    lam1 = 1.0
+    for x in lams:          # same left fold as `1.0 - lam3 - lam2`
+        lam1 -= x
+
+    names = ["w%d" % (i + 1) for i in range(n)]
+    tfn = doc_ngram_freq(documents, n, id_col, text_col)
+    tfn = tfn.localCheckpoint(eager=False)      # feeds c_n + scoring
+    # corpus-wide suffix/context count tables, one per lower order;
+    # each is consumed 2-3x (continuation + context joins, c_1 also
+    # the stats aggregate) — cut lineage so each shuffles once
+    cks = {}
+    for k in range(1, n):
+        ck = (doc_ngram_freq(documents, k, id_col, text_col)
+              .groupBy(*names[:k])
+              .agg(F.sum("tf").alias("c%d" % k)))
+        cks[k] = ck.localCheckpoint(eager=False)
+    cn = tfn.groupBy(*names).agg(F.sum("tf").alias("c%d" % n))
+    stats = cks[1].agg(F.sum("c1").cast("long").alias("total"),
+                       F.count(F.lit(1)).cast("long").alias("v"))
+
+    # join every lower-order table twice against the c_n rows: once on
+    # the length-k SUFFIX (term numerators) and once on the k words
+    # ENDING AT wn−1 (term denominators)
+    logp = cn
+    for k in range(1, n):
+        suffix, ctx = names[n - k:], names[n - k - 1:n - 1]
+        logp = logp.join(
+            cks[k].select(*[F.col(names[i]).alias(suffix[i])
+                            for i in range(k)],
+                          F.col("c%d" % k).alias("s%d" % k)), suffix)
+        logp = logp.join(
+            cks[k].select(*[F.col(names[i]).alias(ctx[i])
+                            for i in range(k)],
+                          F.col("c%d" % k).alias("x%d" % k)), ctx)
+    terms = lams[0] * ((F.col("c%d" % n) + 1.0)
+                       / (F.col("x%d" % (n - 1)) + F.col("v")))
+    for j in range(n - 1, 1, -1):               # terms n−1 .. 2
+        terms = terms + lams[n - j] * (
+            (F.col("s%d" % j) + 1.0)
+            / (F.col("x%d" % (j - 1)) + F.col("v")))
+    terms = terms + lam1 * ((F.col("s1") + 1.0)
+                            / (F.col("total") + F.col("v")))
+    logp = (logp.crossJoin(F.broadcast(stats))
+            .select(*names,
+                    F.floor(F.log(terms) * SCALE)
+                    .cast("long").alias("lp")))
+
+    return (tfn.join(logp, names)
+            .groupBy(id_col)
+            .agg(F.sum("tf").alias("n_transitions"),
+                 (-F.sum(F.col("tf") * F.col("lp"))).alias("nll_q"),
+                 (F.floor(-F.sum(F.col("tf") * F.col("lp"))
+                          / F.sum("tf")) / F.lit(float(SCALE)))
+                 .alias("avg_nll")))
 
 
 def bigram_nll_scores(documents: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       lam: float = 0.5) -> DataFrame:
-    """Per-document NLL under a self-trained INTERPOLATED bigram LM —
-    the conditional-model step toward CCNet's 5-gram KenLM, with the
-    same scale shape as :func:`lm_nll_scores` one order up:
-
-        p(w2 | w1) = lam·(c2(w1,w2)+1)/(c1(w1)+V)
-                   + (1−lam)·(c1(w2)+1)/(total+V)
-
-    (add-1 in both terms keeps everything finite; the interpolation is
-    the standard stupid-backoff-ish smoothing).  Only transitions are
-    scored (n−1 terms per doc); docs with <2 tokens get no row.
-
-    Scale shape: the corpus shuffles as the per-doc DISTINCT-transition
-    table (Heaps' law again); the bigram-vocab logp table is built with
-    two unigram-count joins and equi-joins back on (w1, w2).  Per-
-    transition logps are 1e-4-quantized and summed as LONGS — and the
-    interpolated probability is the same literal expression tree in
-    Spark and the DuckDB oracle, so the one-IEEE-op-per-step argument
-    carries through the +.
-
-    Returns ``(id_col, n_transitions, nll2_q, avg_nll2)``.
-    """
-    tf2 = doc_bigram_freq(documents, id_col, text_col)
-    tf2 = tf2.localCheckpoint(eager=False)      # feeds c2 + scoring
-    tf1 = doc_term_freq(documents, id_col, text_col)
-    lm1 = tf1.groupBy("token").agg(F.sum("tf").alias("cnt"))
-    lm1 = lm1.localCheckpoint(eager=False)      # feeds stats + 2 joins
-    c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
-    stats = lm1.agg(F.sum("cnt").cast("long").alias("total"),
-                    F.count(F.lit(1)).cast("long").alias("v"))
-
-    lam = float(lam)
-    logp = (c2
-            .join(lm1.select(F.col("token").alias("w1"),
-                             F.col("cnt").alias("c1w1")), "w1")
-            .join(lm1.select(F.col("token").alias("w2"),
-                             F.col("cnt").alias("c1w2")), "w2")
-            .crossJoin(F.broadcast(stats))
-            .select("w1", "w2",
-                    F.floor(F.log(
-                        lam * ((F.col("c2") + 1.0)
-                               / (F.col("c1w1") + F.col("v")))
-                        + (1.0 - lam) * ((F.col("c1w2") + 1.0)
-                                         / (F.col("total") + F.col("v")))
-                    ) * SCALE).cast("long").alias("lp")))
-
-    return (tf2.join(logp, ["w1", "w2"])
-            .groupBy(id_col)
-            .agg(F.sum("tf").alias("n_transitions"),
-                 (-F.sum(F.col("tf") * F.col("lp"))).alias("nll2_q"),
-                 (F.floor(-F.sum(F.col("tf") * F.col("lp"))
-                          / F.sum("tf")) / F.lit(float(SCALE)))
-                 .alias("avg_nll2")))
-
-
-def doc_trigram_freq(documents: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Per-document distinct trigram-transition frequencies
-    ``(id, w1, w2, w3, tf)`` over consecutive lowercased whitespace
-    tokens.  Documents with fewer than three tokens contribute no
-    rows."""
-    col = F.col(text_col)
-    empty = F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
-
-    def triples_of(tk):
-        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 2, F.lit(0)))
-        full = F.transform(
-            idx, lambda i: F.struct(F.element_at(tk, i).alias("w1"),
-                                    F.element_at(tk, i + 1).alias("w2"),
-                                    F.element_at(tk, i + 2).alias("w3")))
-        return F.when(F.size(tk) >= 3, full).otherwise(empty)
-
-    from mc2skos_spark.functions.textstats import _once
-    triples = _once(tokens(F.lower(col)), triples_of, empty)
-    return (documents
-            .select(F.col(id_col), F.explode(triples).alias("p"))
-            .select(F.col(id_col), F.col("p.w1").alias("w1"),
-                    F.col("p.w2").alias("w2"), F.col("p.w3").alias("w3"))
-            .groupBy(id_col, "w1", "w2", "w3")
-            .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    """Order-2 member of :func:`ngram_nll_scores` with its historical
+    column names ``(id_col, n_transitions, nll2_q, avg_nll2)``."""
+    out = ngram_nll_scores(documents, 2, [lam], id_col, text_col)
+    return out.select(F.col(id_col), "n_transitions",
+                      F.col("nll_q").alias("nll2_q"),
+                      F.col("avg_nll").alias("avg_nll2"))
 
 
 def trigram_nll_scores(documents: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        lam3: float = 0.5,
                        lam2: float = 0.25) -> DataFrame:
-    """Per-document NLL under a self-trained INTERPOLATED trigram LM —
-    the induction step from :func:`bigram_nll_scores` toward CCNet's
-    5-gram KenLM (Wenzek et al. 2020), demonstrating that the
-    distinct-transition Heaps-table shape generalizes order by order:
-
-        p(w3 | w1,w2) = lam3·(c3(w1,w2,w3)+1)/(c2(w1,w2)+V)
-                      + lam2·(c2(w2,w3)+1)/(c1(w2)+V)
-                      + (1−lam3−lam2)·(c1(w3)+1)/(total+V)
-
-    (add-1 everywhere keeps probabilities finite; defaults 0.5/0.25
-    leave an exactly-representable 0.25 unigram weight so the literal
-    expression tree is bit-identical in the DuckDB oracle).  Only full
-    trigram transitions are scored (n−2 terms per doc); docs with <3
-    tokens get no row.
-
-    Scale shape: one corpus tokenization feeding the per-doc distinct
-    TRIGRAM table (the only corpus-scale shuffle; Heaps' law keeps it
-    far below the raw token stream), corpus-wide c3/c2/c1 tables built
-    by re-aggregating it, equi-joins back on the n-gram keys (AQE
-    broadcasts the vocab-sized sides), per-transition logps
-    1e-4-quantized and summed as LONGS — the identical discipline as
-    the unigram and bigram members.
-
-    Returns ``(id_col, n_transitions3, nll3_q, avg_nll3)``.
-    """
-    lam3, lam2 = float(lam3), float(lam2)
-    lam1 = 1.0 - lam3 - lam2
-    tf3 = doc_trigram_freq(documents, id_col, text_col)
-    tf3 = tf3.localCheckpoint(eager=False)      # feeds c3/c2 + scoring
-    tf1 = doc_term_freq(documents, id_col, text_col)
-    lm1 = tf1.groupBy("token").agg(F.sum("tf").alias("cnt"))
-    lm1 = lm1.localCheckpoint(eager=False)      # feeds stats + 2 joins
-    # context bigram counts derived from the trigram table would MISS
-    # each document's final bigram, so count them from their own pass
-    # over the bigram transitions (still Heaps-table scale)
-    tf2 = doc_bigram_freq(documents, id_col, text_col)
-    c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
-    c2 = c2.localCheckpoint(eager=False)        # context + continuation
-    c3 = tf3.groupBy("w1", "w2", "w3").agg(F.sum("tf").alias("c3"))
-    stats = lm1.agg(F.sum("cnt").cast("long").alias("total"),
-                    F.count(F.lit(1)).cast("long").alias("v"))
-
-    logp = (c3
-            .join(c2.select(F.col("w1"), F.col("w2"),
-                            F.col("c2").alias("c2ctx")), ["w1", "w2"])
-            .join(c2.select(F.col("w1").alias("w2"),
-                            F.col("w2").alias("w3"),
-                            F.col("c2").alias("c2cont")), ["w2", "w3"])
-            .join(lm1.select(F.col("token").alias("w2"),
-                             F.col("cnt").alias("c1w2")), "w2")
-            .join(lm1.select(F.col("token").alias("w3"),
-                             F.col("cnt").alias("c1w3")), "w3")
-            .crossJoin(F.broadcast(stats))
-            .select("w1", "w2", "w3",
-                    F.floor(F.log(
-                        lam3 * ((F.col("c3") + 1.0)
-                                / (F.col("c2ctx") + F.col("v")))
-                        + lam2 * ((F.col("c2cont") + 1.0)
-                                  / (F.col("c1w2") + F.col("v")))
-                        + lam1 * ((F.col("c1w3") + 1.0)
-                                  / (F.col("total") + F.col("v")))
-                    ) * SCALE).cast("long").alias("lp")))
-
-    return (tf3.join(logp, ["w1", "w2", "w3"])
-            .groupBy(id_col)
-            .agg(F.sum("tf").alias("n_transitions3"),
-                 (-F.sum(F.col("tf") * F.col("lp"))).alias("nll3_q"),
-                 (F.floor(-F.sum(F.col("tf") * F.col("lp"))
-                          / F.sum("tf")) / F.lit(float(SCALE)))
-                 .alias("avg_nll3")))
+    """Order-3 member of :func:`ngram_nll_scores` with its historical
+    column names ``(id_col, n_transitions3, nll3_q, avg_nll3)``."""
+    out = ngram_nll_scores(documents, 3, [lam3, lam2], id_col, text_col)
+    return out.select(F.col(id_col),
+                      F.col("n_transitions").alias("n_transitions3"),
+                      F.col("nll_q").alias("nll3_q"),
+                      F.col("avg_nll").alias("avg_nll3"))

@@ -1049,6 +1049,49 @@ def test_trigram_nll_self_trained_exact(spark):
     assert {3, 4, 5}.isdisjoint(got)       # <3 tokens: no score row
 
 
+def test_ngram_nll_order5_self_trained_exact(spark):
+    """Exact serial reference for the parameterized order-n builder at
+    CCNet's actual order (5): default weights halve per order
+    (0.5/0.25/0.125/0.0625 + 0.0625 unigram remainder — all exactly-
+    representable doubles), quantized logps summed as ints; docs with
+    <5 tokens get no row."""
+    import math
+    from collections import Counter
+    from mc2skos_spark.functions.lm import ngram_nll_scores
+    texts = ["the cat sat on the mat and the cat ran",
+             "the cat sat on the rug and then slept",
+             "zz yy zz yy zz yy zz", "a b c d", "one", ""]
+    toks = [t.lower().split() for t in texts]
+    cnt = {k: Counter(tuple(tk[i:i + k]) for tk in toks
+                      for i in range(len(tk) - k + 1))
+           for k in range(1, 6)}
+    total, vocab = sum(cnt[1].values()), len(cnt[1])
+
+    def lp(g):
+        p = (0.5 * ((cnt[5][g] + 1) / (cnt[4][g[:4]] + vocab))
+             + 0.25 * ((cnt[4][g[1:]] + 1) / (cnt[3][g[1:4]] + vocab))
+             + 0.125 * ((cnt[3][g[2:]] + 1) / (cnt[2][g[2:4]] + vocab))
+             + 0.0625 * ((cnt[2][g[3:]] + 1) / (cnt[1][g[3:4]] + vocab))
+             + 0.0625 * ((cnt[1][g[4:]] + 1) / (total + vocab)))
+        return math.floor(math.log(p) * 10000)
+
+    exp = {}
+    for i, tk in enumerate(toks):
+        if len(tk) < 5:
+            continue
+        trs = Counter(tuple(tk[j:j + 5]) for j in range(len(tk) - 4))
+        n = sum(trs.values())
+        q = -sum(tf * lp(g) for g, tf in trs.items())
+        exp[i] = (n, q, math.floor(q / n) / 10000.0)
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_transitions"], r["nll_q"], r["avg_nll"])
+           for r in ngram_nll_scores(df, 5).collect()}
+    assert got == exp
+    assert {3, 4, 5}.isdisjoint(got)       # <5 tokens: no score row
+
+
 def test_scrub_substring_spans_unit(spark):
     """Library-surface unit for the span excision: cross-doc repeated
     windows are cut token-exactly (maximal merged spans), untouched
