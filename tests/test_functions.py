@@ -1225,6 +1225,16 @@ def test_quality_classifier_train_score_loop(spark):
         train_df, F.col("y") == 1, max_iter=50)
     assert weights and isinstance(next(iter(weights)), int)
 
+    # the training-side vector assembly is JVM-side (map→dense-array
+    # expansion + array_to_vector): no row-at-a-time Python ANYWHERE in
+    # the repo, training DAG included (docs/PLANS.md's claim)
+    from mc2skos_spark.functions.classifier import _bucket_vectors
+    vec_plan = (_bucket_vectors(train_df, 256, "doc_id", "text",
+                                F.col("y") == 1, "md5")
+                ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in vec_plan
+    assert "ArrowEvalPython" not in vec_plan
+
     scored = {r["doc_id"]: r for r in
               linear_text_scores(hold_df, weights, bias_q).collect()}
     truth = {i: y for i, _, y in hold}
