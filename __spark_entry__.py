@@ -640,6 +640,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(wh, ignore_errors=True)
 
+    def dedup_incremental_semantic(spark, sf_dir):
+        # The incremental SemDeDup shape: the corpus's (id, centroid,
+        # unit-vector) rows persisted once with centroids FIXED from
+        # the corpus slice; the arriving batch is assigned via the
+        # broadcast matmul-argmax and scored against its centroid
+        # buckets only (equi-join on centroid — batch×corpus +
+        # batch×batch, never all-pairs).  Batch = fresh vecs 400-449
+        # plus jittered copies of corpus vecs < 50 (same transform as
+        # dedup_semantic), so cross-batch near-pairs are guaranteed;
+        # output = every semantic pair touching the batch.
+        import shutil
+        import tempfile
+        from mc2skos_spark.functions.incremental import (
+            create_semantic_index, incremental_semantic_pairs)
+        from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+        emb = _t(spark, sf_dir, "embeddings")
+        base = emb.select("vec_id", F.col("embedding")
+                          .cast("array<double>").alias("embedding"))
+        corpus = base.filter(F.col("vec_id") < 400)
+        planted = (base.filter(F.col("vec_id") < 50)
+                   .select((F.col("vec_id") + 100000).alias("vec_id"),
+                           F.zip_with("embedding", F.reverse("embedding"),
+                                      lambda x, y: x + F.lit(0.15) * y)
+                            .alias("embedding")))
+        batch = (base.filter((F.col("vec_id") >= 400)
+                             & (F.col("vec_id") < 450))
+                 .unionByName(planted))
+        wh = tempfile.mkdtemp(prefix="mc2skos_incrs_")
+        try:
+            catalog = IcebergishCatalog(wh, spark)
+            create_semantic_index(catalog, "docs_semantic", corpus,
+                                  "vec_id", "embedding",
+                                  num_centroids=16, centroid_mod=8)
+            # commit=True materializes pairs before the append, so the
+            # temp warehouse can be deleted before the driver collects
+            return incremental_semantic_pairs(
+                catalog, "docs_semantic", batch, "vec_id", "embedding",
+                threshold=0.97)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
     def dedup_simhash(spark, sf_dir):
         # Verified at the scale-realistic radius k=3 (16-bit pigeonhole
         # blocks, 65k values per band — see the band-cardinality bound
@@ -1387,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_clusters": dedup_near_clusters,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_incremental_minhash": dedup_incremental_minhash,
+        "dedup_incremental_semantic": dedup_incremental_semantic,
         "dedup_incremental_keepers": dedup_incremental_keepers,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1741,6 +1783,48 @@ def oracle_sql() -> dict[str, str]:
             FROM aug a
             LEFT JOIN (SELECT id, min(peer) AS mn FROM reach GROUP BY id) r
                    ON r.id = a.vec_id""",
+        # incremental SemDeDup: the oracle recomputes the same split —
+        # centroids from the CORPUS slice only (they are fixed at index
+        # creation), assignment over corpus ∪ batch, within-centroid
+        # pairs restricted to those touching the batch.  Same
+        # list_cosine_similarity-vs-unit-dot parity bet as
+        # dedup_semantic (green at both SFs; see COVERAGE.md).
+        "dedup_incremental_semantic": """
+            WITH base AS (
+                SELECT vec_id, cast(embedding AS double[]) AS v
+                FROM embeddings),
+            corpus AS (SELECT vec_id, v FROM base WHERE vec_id < 400),
+            planted AS (
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(list_zip(v, list_reverse(v)),
+                                      x -> x[1] + 0.15::DOUBLE * x[2]) AS v
+                FROM base WHERE vec_id < 50),
+            batch AS (
+                SELECT vec_id, v FROM base
+                WHERE vec_id >= 400 AND vec_id < 450
+                UNION ALL SELECT vec_id, v FROM planted),
+            cent AS (
+                SELECT vec_id AS cid, v AS cv FROM corpus
+                WHERE vec_id % 8 = 0 ORDER BY vec_id LIMIT 16),
+            allv AS (
+                SELECT vec_id, v, FALSE AS is_batch FROM corpus
+                UNION ALL SELECT vec_id, v, TRUE FROM batch),
+            assigned AS (
+                SELECT a.vec_id, a.v, a.is_batch,
+                       (SELECT c.cid FROM cent c
+                        ORDER BY list_cosine_similarity(a.v, c.cv) DESC,
+                                 c.cid DESC
+                        LIMIT 1) AS centroid
+                FROM allv a)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.centroid AS centroid,
+                   floor(list_cosine_similarity(a.v, b.v) * 10000)
+                       / 10000.0 AS cosine
+            FROM assigned a JOIN assigned b
+                 ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+            WHERE (a.is_batch OR b.is_batch)
+              AND floor(list_cosine_similarity(a.v, b.v) * 10000)
+                  >= 9700""",
         "st_completeness_gate": """
             WITH turns AS (
                 SELECT user_id AS conv_id,

@@ -293,14 +293,29 @@ def incremental_keeper_assign(catalog: IcebergishCatalog, name: str,
     pairs = incremental_minhash_pairs(
         catalog, name, batch, id_col, text_col, threshold=threshold,
         commit=False, precomputed=pre).localCheckpoint()
+    batch_assign = _assign_and_commit_keepers(
+        catalog, name, pairs, batch.select(F.col(id_col).alias("id")),
+        batch_id, commit)
+    if commit:
+        append_batch_to_index(catalog, name, batch_id=batch_id,
+                              precomputed=pre)
+    return batch_assign
+
+
+def _assign_and_commit_keepers(catalog: IcebergishCatalog, name: str,
+                               pairs: DataFrame, batch_ids: DataFrame,
+                               batch_id: int | None,
+                               commit: bool) -> DataFrame:
+    """The index-agnostic half of the keeper decision, shared by the
+    MinHash and semantic paths: batch pairs + persisted cluster state →
+    keeper assignment + remaps, committed append-only under the same
+    per-table ``last_batch_id`` replay guard."""
     if catalog.exists(name + KEEPER_SUFFIX):
         assigned = current_keepers(catalog, name)
     else:
-        assigned = batch.sparkSession.createDataFrame(
+        assigned = pairs.sparkSession.createDataFrame(
             [], "id long, keeper_id long")
-    batch_assign, remap = keeper_updates(
-        pairs, assigned,
-        batch.select(F.col(id_col).alias("id")))
+    batch_assign, remap = keeper_updates(pairs, assigned, batch_ids)
     batch_assign = batch_assign.localCheckpoint()
     remap = remap.localCheckpoint()
     if commit:
@@ -309,6 +324,187 @@ def incremental_keeper_assign(catalog: IcebergishCatalog, name: str,
         if remap.count() or catalog.exists(name + REMAP_SUFFIX):
             _guarded_append(catalog, name + REMAP_SUFFIX, remap,
                             "old", batch_id)
-        append_batch_to_index(catalog, name, batch_id=batch_id,
-                              precomputed=pre)
+    return batch_assign
+
+
+# --------------------------------------------- semantic (embedding) index
+#
+# The SemDeDup counterpart of the MinHash index above (Abbas et al.
+# 2023): the persisted state is one row per ingested document —
+# ``(id, centroid, vn)``, its assigned centroid bucket and its
+# unit-normalized embedding — plus the K-row centroid table picked once
+# from the seed corpus and held FIXED for the index's lifetime (every
+# batch must bucket against the same partition of the space, or
+# cross-batch near-pairs straddling a centroid re-pick would be
+# missed).  Each arriving batch is assigned via the same broadcast-
+# matrix matmul-argmax as the from-scratch path
+# (``similarity.assign_nearest_centroid``) and scored against its
+# centroid bucket ONLY — candidate generation stays an equi-join on
+# ``centroid``, linear in batch size + bucket cohabitants, never
+# all-pairs over the corpus.
+
+VEC_SUFFIX = "_vecs"
+CENTROID_SUFFIX = "_centroids"
+
+
+def _assign_unit(df: DataFrame, centroids: list[tuple],
+                 id_col: str, vec_col: str) -> DataFrame:
+    """``(id, vn, centroid)``: unit-normalize once per row, assign via
+    the broadcast centroid matrix.  The SAME two steps (and helpers) as
+    the from-scratch ``semantic_dedup_pairs``, so incremental == batch
+    holds by construction when the centroid sets agree."""
+    from .similarity import assign_nearest_centroid, unit_vector
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        unit_vector(F.col(vec_col).cast("array<double>")).alias("vn"))
+    return assign_nearest_centroid(base, centroids, "vn", "centroid",
+                                   normalize_input=False)
+
+
+def create_semantic_index(catalog: IcebergishCatalog, name: str,
+                          df: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          num_centroids: int = 16,
+                          centroid_mod: int = 8,
+                          centroid_source: DataFrame | None = None
+                          ) -> dict:
+    """Pick centroids (``similarity.arithmetic_centroids`` over
+    ``centroid_source``, default the seed itself), persist them as
+    ``<name>_centroids``, assign + unit-normalize the seed corpus and
+    commit ``<name>_vecs``.  ``centroid_source`` exists for the
+    streaming bootstrap: the index is created EMPTY (``df =
+    batch.limit(0)``) with centroids from the first batch, which then
+    flows through the same incremental path as every later batch."""
+    from .similarity import arithmetic_centroids
+
+    cents = arithmetic_centroids(centroid_source if centroid_source
+                                 is not None else df,
+                                 num_centroids, centroid_mod,
+                                 id_col, vec_col)
+    props = {"num_centroids": num_centroids,
+             "centroid_mod": centroid_mod}
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in cents],
+        "cid long, cvec array<double>")
+    catalog.write(name + CENTROID_SUFFIX, cent_df, lineage_key="cid",
+                  properties=props)
+    return catalog.write(name + VEC_SUFFIX,
+                         _assign_unit(df, cents, id_col, vec_col),
+                         lineage_key="id", properties=props)
+
+
+def read_centroids(catalog: IcebergishCatalog, name: str) -> list[tuple]:
+    """The index's committed centroid list (metadata-scale: K rows)."""
+    if not catalog.exists(name + CENTROID_SUFFIX):
+        raise FileNotFoundError("no committed semantic index %r" % name)
+    rows = catalog.read(name + CENTROID_SUFFIX).collect()
+    return [(r["cid"], [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def batch_vec_rows(catalog: IcebergishCatalog, name: str,
+                   batch: DataFrame, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """Assign ONE batch against the index's committed centroids,
+    lazily checkpointed so the pair join and the index append share a
+    single normalize+assign materialization."""
+    cents = read_centroids(catalog, name)
+    return (_assign_unit(batch, cents, id_col, vec_col)
+            .localCheckpoint(eager=False))
+
+
+def append_batch_to_semantic_index(catalog: IcebergishCatalog,
+                                   name: str,
+                                   precomputed: DataFrame,
+                                   batch_id: int | None = None) -> None:
+    """Append one batch's ``(id, centroid, vn)`` rows, replay-guarded
+    per table by ``last_batch_id`` (same contract as the MinHash
+    index)."""
+    _guarded_append(catalog, name + VEC_SUFFIX, precomputed, "id",
+                    batch_id)
+
+
+def incremental_semantic_pairs(catalog: IcebergishCatalog, name: str,
+                               batch: DataFrame,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               threshold: float = 0.97,
+                               commit: bool = True,
+                               batch_id: int | None = None,
+                               precomputed: DataFrame | None = None
+                               ) -> DataFrame:
+    """Semantic near-dup pairs for one arriving batch vs the persisted
+    index (plus batch-internal pairs): ``(id_a, id_b, centroid,
+    cosine)`` with ``id_a < id_b``, cosine floor-truncated to 4
+    decimals, ≥ threshold; ids must be globally unique across batches.
+
+    Scoring searches the batch's centroid BUCKETS only — one equi-join
+    on ``centroid`` against (persisted corpus ∪ batch), exactly the
+    from-scratch ``semantic_dedup_pairs`` restricted to pairs touching
+    the batch; each candidate pair costs one dot product (both sides
+    pre-normalized).  The commit/replay contract is the MinHash one:
+    pairs materialize before the append, a half-applied replay is
+    anti-joined off the corpus side, ``batch_id`` makes the append
+    exactly-once."""
+    if precomputed is None:
+        precomputed = batch_vec_rows(catalog, name, batch,
+                                     id_col, vec_col)
+    new_vecs = precomputed
+    corpus = catalog.read(name + VEC_SUFFIX)
+    new_ids = F.broadcast(new_vecs.select("id"))
+    corpus = corpus.join(new_ids, "id", "left_anti")
+
+    from .similarity import _dot
+    right = corpus.unionByName(new_vecs)
+    thr = int(round(threshold * 10000))
+    # batch×batch pairs arrive twice (a,b swapped); least/greatest +
+    # the commutative, identically-ordered dot fold make both rows
+    # byte-identical, so distinct() collapses them
+    scored = (new_vecs.alias("a")
+              .join(right.alias("b"), "centroid")
+              .filter(F.col("a.id") != F.col("b.id"))
+              .select(F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                      F.greatest(F.col("a.id"),
+                                 F.col("b.id")).alias("id_b"),
+                      "centroid",
+                      F.floor(_dot(F.col("a.vn"), F.col("b.vn"))
+                              * 10000).alias("_c4"))
+              .distinct())
+    pairs = (scored.filter(F.col("_c4") >= thr)
+             .select("id_a", "id_b", "centroid",
+                     (F.col("_c4").cast("double") / 10000)
+                     .alias("cosine")))
+    if commit:
+        pairs = pairs.localCheckpoint()  # materialize BEFORE the commit
+        append_batch_to_semantic_index(catalog, name, precomputed,
+                                       batch_id=batch_id)
+    return pairs
+
+
+def incremental_semantic_keeper_assign(catalog: IcebergishCatalog,
+                                       name: str, batch: DataFrame,
+                                       id_col: str = "vec_id",
+                                       vec_col: str = "embedding",
+                                       threshold: float = 0.97,
+                                       batch_id: int | None = None,
+                                       commit: bool = True) -> DataFrame:
+    """The full incremental SemDeDup DECISION for one batch — the
+    embedding twin of :func:`incremental_keeper_assign`, sharing the
+    same keeper/remap state machinery (``keeper_updates`` /
+    ``current_keepers`` / the pointer-jumped remap chains).  After N
+    batches, ``current_keepers(catalog, name)`` equals the from-scratch
+    ``semantic_dedup_keepers`` over the full corpus whenever the
+    centroid sets agree (pytest-asserted, including a cross-batch
+    cluster merge)."""
+    pre = batch_vec_rows(catalog, name, batch, id_col, vec_col)
+    pairs = incremental_semantic_pairs(
+        catalog, name, batch, id_col, vec_col, threshold=threshold,
+        commit=False, precomputed=pre).localCheckpoint()
+    batch_assign = _assign_and_commit_keepers(
+        catalog, name, pairs, batch.select(F.col(id_col).alias("id")),
+        batch_id, commit)
+    if commit:
+        append_batch_to_semantic_index(catalog, name, pre,
+                                       batch_id=batch_id)
     return batch_assign

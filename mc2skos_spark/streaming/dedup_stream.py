@@ -27,14 +27,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.incremental import (BUCKET_SUFFIX, KEEPER_SUFFIX,
-                                     REMAP_SUFFIX, SIG_SUFFIX,
+                                     REMAP_SUFFIX, SIG_SUFFIX, VEC_SUFFIX,
                                      append_batch_to_index,
-                                     batch_index_rows,
+                                     append_batch_to_semantic_index,
+                                     batch_index_rows, batch_vec_rows,
                                      create_minhash_index,
-                                     incremental_minhash_pairs)
+                                     create_semantic_index,
+                                     incremental_minhash_pairs,
+                                     incremental_semantic_pairs)
 from ..sinks.icebergish import IcebergishCatalog
 
 PAIRS_TABLE = "dedup_pairs_batch_%06d"
+SEM_PAIRS_TABLE = "semdedup_pairs_batch_%06d"
 
 
 class StreamingDeduper:
@@ -158,6 +162,107 @@ class StreamingDeduper:
             catalog.expire_snapshots(table, keep_last=1)
 
 
+class StreamingSemanticDeduper:
+    """foreachBatch handler for the EMBEDDING stream — the SemDeDup
+    twin of :class:`StreamingDeduper`.  Persisted state is the
+    ``(id, centroid, vn)`` vec table plus the centroid table picked
+    from the FIRST batch and held fixed (see
+    ``functions/incremental.py``'s semantic-index section); each
+    micro-batch is assigned via the broadcast centroid matmul-argmax
+    and scored against its centroid buckets only.  Same replay /
+    bootstrap / checkpoint-mismatch / maintenance contracts as the
+    MinHash handler."""
+
+    def __init__(self, warehouse: str, name: str = "docs_semantic",
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 threshold: float = 0.97, num_centroids: int = 16,
+                 centroid_mod: int = 8,
+                 assign_keepers: bool = False,
+                 compact_every: int | None = None):
+        self.warehouse = warehouse
+        self.name = name
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        self.params = {"num_centroids": num_centroids,
+                       "centroid_mod": centroid_mod}
+        self.assign_keepers = assign_keepers
+        self.compact_every = compact_every
+
+    def replay_applied(self, batch: DataFrame, batch_id: int,
+                       catalog: IcebergishCatalog | None = None) -> bool:
+        """Bootstrap when absent (EMPTY vec table + centroids from this
+        first batch — it then flows through the same incremental path
+        as every later batch); True on a genuine replay; raise on a
+        checkpoint/warehouse mismatch (never-seen ids under an
+        already-applied batch id)."""
+        catalog = catalog or IcebergishCatalog(self.warehouse,
+                                               batch.sparkSession)
+        vecs = catalog.current_manifest(self.name + VEC_SUFFIX)
+        if vecs is None:
+            create_semantic_index(catalog, self.name, batch.limit(0),
+                                  self.id_col, self.vec_col,
+                                  centroid_source=batch, **self.params)
+            return False
+        if vecs["properties"].get("last_batch_id", -1) >= batch_id:
+            missing = (batch.select(F.col(self.id_col).alias("id"))
+                       .join(catalog.read(self.name + VEC_SUFFIX)
+                             .select("id"), "id", "left_anti")
+                       .limit(1).count())
+            if missing:
+                raise RuntimeError(
+                    "semantic dedup stream checkpoint/warehouse "
+                    "mismatch: batch %d carries ids the index "
+                    "(last_batch_id=%s) has never seen — the stream "
+                    "checkpoint was reset against an existing "
+                    "warehouse.  Restart with the original checkpoint, "
+                    "or a fresh warehouse."
+                    % (batch_id, vecs["properties"].get("last_batch_id")))
+            return True
+        return False
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        catalog = IcebergishCatalog(self.warehouse, batch.sparkSession)
+        if self.replay_applied(batch, batch_id, catalog):
+            return
+        if self.assign_keepers:
+            from ..functions.incremental import (
+                incremental_semantic_keeper_assign)
+            incremental_semantic_keeper_assign(
+                catalog, self.name, batch, self.id_col, self.vec_col,
+                threshold=self.threshold, batch_id=batch_id)
+            self._maybe_maintain(catalog, batch_id)
+            return
+        # assign the batch ONCE; pair join and index append share it
+        pre = batch_vec_rows(catalog, self.name, batch,
+                             self.id_col, self.vec_col)
+        pairs = incremental_semantic_pairs(
+            catalog, self.name, batch, self.id_col, self.vec_col,
+            threshold=self.threshold, commit=False,
+            precomputed=pre).localCheckpoint()
+        catalog.write(SEM_PAIRS_TABLE % batch_id, pairs,
+                      lineage_key="id_a")
+        append_batch_to_semantic_index(catalog, self.name, pre,
+                                       batch_id=batch_id)
+        self._maybe_maintain(catalog, batch_id)
+
+    def _maybe_maintain(self, catalog: IcebergishCatalog,
+                        batch_id: int) -> None:
+        """Compact + expire the vec/keeper/remap tables every
+        ``compact_every``-th batch — the centroid table is single-write
+        and never fragments, so it is skipped (same suffix-scoped rule
+        as the MinHash handler)."""
+        if not self.compact_every or (batch_id + 1) % self.compact_every:
+            return
+        existing = set(catalog.tables(prefix=self.name))
+        for suffix in (VEC_SUFFIX, KEEPER_SUFFIX, REMAP_SUFFIX):
+            table = self.name + suffix
+            if table not in existing:
+                continue
+            catalog.compact(table)
+            catalog.expire_snapshots(table, keep_last=1)
+
+
 def start_stream(spark: SparkSession, input_dir: str,
                  checkpoint_dir: str, handler,
                  schema: str | None = None,
@@ -212,3 +317,25 @@ def stream_documents(spark: SparkSession, input_dir: str, warehouse: str,
 def streamed_pairs(spark: SparkSession, warehouse: str) -> DataFrame:
     """Union of all committed per-batch pair snapshots."""
     return union_snapshots(spark, warehouse, "dedup_pairs_batch_")
+
+
+def stream_embeddings(spark: SparkSession, input_dir: str,
+                      warehouse: str, checkpoint_dir: str,
+                      schema: str | None = None,
+                      available_now: bool = True,
+                      max_files_per_trigger: int = 1,
+                      **dedup_kwargs):
+    """Start (and by default drain) a streaming SEMANTIC dedup over an
+    embeddings directory."""
+    deduper = StreamingSemanticDeduper(warehouse, **dedup_kwargs)
+    return start_stream(
+        spark, input_dir, checkpoint_dir, deduper.process_batch,
+        schema=schema or "vec_id long, embedding array<double>",
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger)
+
+
+def streamed_semantic_pairs(spark: SparkSession,
+                            warehouse: str) -> DataFrame:
+    """Union of all committed per-batch semantic-pair snapshots."""
+    return union_snapshots(spark, warehouse, "semdedup_pairs_batch_")
