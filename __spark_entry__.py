@@ -766,6 +766,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  emb.filter(F.col("vec_id") == 0).first()["embedding"]]
         return ivf_topk(emb, query, k=10, num_centroids=16, nprobe=4)
 
+    # --- ANN probe QUALITY as a driver row: recall@10 of both ANN
+    #     variants against the brute-force twin, computed relationally
+    #     (broadcast semi-join of the two deterministic top-k sets; all
+    #     three queries are themselves hash-pinned driver rows, so this
+    #     row quantifies the probes without re-deriving them).  VALUES
+    #     oracle (the ANN sides hash with the seeded LCG planes /
+    #     xxhash centroid sampling DuckDB can't run).
+    def sim_ann_recall(spark, sf_dir):
+        from mc2skos_spark.functions.similarity import (cosine_topk,
+                                                        ivf_topk,
+                                                        lsh_bucketed_topk)
+        emb = _t(spark, sf_dir, "embeddings")
+        query = [float(x) for x in
+                 emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        brute = cosine_topk(emb, query, k=10).select("vec_id")
+        brute = F.broadcast(brute.localCheckpoint(eager=False))
+        out = None
+        for method, ann in (
+                ("lsh", lsh_bucketed_topk(emb, query, k=10,
+                                          num_planes=8, multiprobe=2)),
+                ("ivf", ivf_topk(emb, query, k=10, num_centroids=16,
+                                 nprobe=4))):
+            row = (ann.select("vec_id")
+                   .join(brute, "vec_id", "semi")
+                   .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+                   .select(F.lit(method).alias("method"), "hits",
+                           (F.col("hits") / F.lit(10.0))
+                           .alias("recall_at_10")))
+            out = row if out is None else out.unionByName(row)
+        return out
+
     # --- multimodal plumbing: binary payload column + typed metadata →
     #     Arrow-batch feature extraction (the decode itself is a
     #     deterministic digest stub — codec libs absent — but the
@@ -1436,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": sim_cosine_topk,
         "sim_ann_lsh_topk": sim_ann_lsh_topk,
         "sim_ann_ivf_topk": sim_ann_ivf_topk,
+        "sim_ann_recall": sim_ann_recall,
         "mm_media_features": mm_media_features,
         "mm_media_decode": mm_media_decode,
         "sketch_distinct_tokens": sketch_distinct_tokens,

@@ -46,6 +46,11 @@ SPECS = {
     # the output
     "sim_ann_lsh_topk": [("vec_id", "BIGINT"), ("cosine", "DOUBLE")],
     "sim_ann_ivf_topk": [("vec_id", "BIGINT"), ("cosine", "DOUBLE")],
+    # recall@10 of both ANN variants vs the brute-force twin (the
+    # relational semi-join row in __spark_entry__.py) — deterministic
+    # for the same reasons as the two rows above
+    "sim_ann_recall": [("method", "VARCHAR"), ("hits", "BIGINT"),
+                       ("recall_at_10", "DOUBLE")],
 }
 
 # kg_golden_triples is NOT dumped from Spark output: its expected rows
