@@ -79,6 +79,21 @@ def main() -> None:
     parser.add_argument("--keep-snapshots", type=int, default=1,
                         help="maintain: manifests to retain per table "
                              "after compaction")
+    parser.add_argument("--max-files", type=int, default=None,
+                        help="maintain: compact a table only when its "
+                             "current snapshot holds MORE than this "
+                             "many data files (manifest-stat policy; "
+                             "omit both policy flags for an "
+                             "unconditional sweep)")
+    parser.add_argument("--min-rows-per-file", type=int, default=None,
+                        help="maintain: compact a table only when its "
+                             "MEDIAN data file holds fewer rows than "
+                             "this (manifest-stat policy)")
+    parser.add_argument("--expire-older-than", type=float, default=None,
+                        help="maintain: additionally retain any "
+                             "manifest committed at or after this "
+                             "epoch-seconds timestamp (age-based "
+                             "expiry, Iceberg older_than semantics)")
     args = parser.parse_args()
     if args.mode != "maintain" and not args.input:
         parser.error("--input is required for create/ingest/stream")
@@ -140,26 +155,18 @@ def main() -> None:
         # compaction + snapshot expiry over every table of this index
         # (signatures, buckets, keeper/remap state, streamed pair
         # snapshots): the cure for append-per-batch small-file buildup.
-        # Row counts are checked unchanged before expiry drops the old
-        # manifests (an explicit raise, not `assert` — expiry would
-        # otherwise destroy the only pre-compaction snapshots under -O).
+        # catalog.maintain checks row counts unchanged BEFORE expiry
+        # drops the old manifests (an explicit raise, not `assert`),
+        # and with --max-files / --min-rows-per-file it compacts only
+        # the tables whose manifest stats trip the policy.
         stats["tables"] = {}
         for table in catalog.tables(prefix=args.name):
-            before = catalog.current_manifest(table)
-            m = catalog.compact(table, rows_per_file=args.rows_per_file)
-            if m["row_count"] != before["row_count"]:
-                raise RuntimeError(
-                    "compaction changed row count for %s: %d -> %d; "
-                    "refusing to expire pre-compaction snapshots"
-                    % (table, before["row_count"], m["row_count"]))
-            gc = catalog.expire_snapshots(table,
-                                          keep_last=args.keep_snapshots)
-            stats["tables"][table] = {
-                "rows": m["row_count"],
-                "files_before": len(before["lineage"]),
-                "files_after": len(m["lineage"]),
-                "dirs_removed": len(gc["removed_dirs"]),
-            }
+            stats["tables"][table] = catalog.maintain(
+                table, max_files=args.max_files,
+                min_rows_per_file=args.min_rows_per_file,
+                keep_last=args.keep_snapshots,
+                older_than=args.expire_older_than,
+                rows_per_file=args.rows_per_file)
     else:  # stream
         if not args.checkpoint:
             parser.error("stream mode requires --checkpoint")

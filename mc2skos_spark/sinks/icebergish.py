@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -227,6 +228,11 @@ class IcebergishCatalog:
             "table": table,
             "schema": schema_json or df.schema.jsonValue(),
             "snapshot_id": snapshot_id,
+            # commit wall time (epoch seconds): what age-based
+            # expire_snapshots(older_than=...) keys on.  The DATA stays
+            # replay-deterministic (sorted lineage, stable part ids);
+            # only this ops-metadata field varies between replays.
+            "committed_at": time.time(),
             "dir": os.path.basename(snap_dir),
             "dirs": base_dirs + [os.path.basename(snap_dir)],
             "row_count": row_count,
@@ -318,13 +324,19 @@ class IcebergishCatalog:
             dict(current["properties"]), base=None,
             schema_json=current["schema"])
 
-    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
-        """Drop all but the last ``keep_last`` manifests and delete
-        every snapshot directory no KEPT manifest references —
-        Iceberg's ``expire_snapshots`` + ``remove_orphan_files``.
-        Append chains share directories across manifests, so removal
-        is reference-counted against the kept set, never
-        age-based.  Returns ``{kept_manifests, removed_dirs}``."""
+    def expire_snapshots(self, table: str, keep_last: int = 1,
+                         older_than: float | None = None) -> dict:
+        """Drop old manifests and delete every snapshot directory no
+        KEPT manifest references — Iceberg's ``expire_snapshots`` +
+        ``remove_orphan_files``.  The last ``keep_last`` manifests are
+        always kept; with ``older_than`` (epoch seconds — Iceberg's
+        ``older_than`` timestamp), manifests committed AT OR AFTER the
+        cutoff are additionally retained, so only history that is both
+        beyond ``keep_last`` and genuinely old is dropped (manifests
+        predating the ``committed_at`` field count as age 0 — old).
+        Append chains share directories across manifests, so directory
+        removal is reference-counted against the kept set.  Returns
+        ``{kept_manifests, removed_dirs}``."""
         if keep_last < 1:
             raise ValueError("expire_snapshots: keep_last must be >= 1")
         tdir = self._table_dir(table)
@@ -332,7 +344,15 @@ class IcebergishCatalog:
         if not manifests:
             raise FileNotFoundError("no committed snapshot for table %r"
                                     % table)
-        kept, dropped = manifests[-keep_last:], manifests[:-keep_last]
+        kept, dropped = list(manifests[-keep_last:]), []
+        for name in manifests[:-keep_last]:
+            if older_than is not None:
+                with open(os.path.join(tdir, name)) as fp:
+                    committed = json.load(fp).get("committed_at", 0.0)
+                if committed >= older_than:
+                    kept.append(name)
+                    continue
+            dropped.append(name)
         referenced: set[str] = set()
         for name in kept:
             with open(os.path.join(tdir, name)) as fp:
@@ -348,6 +368,70 @@ class IcebergishCatalog:
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(entry)
         return {"kept_manifests": len(kept), "removed_dirs": removed}
+
+    def file_stats(self, table: str) -> dict:
+        """Manifest-only file statistics — no data pass: ``{n_files,
+        row_count, median_rows, min_rows}`` over the current snapshot's
+        data files.  What compaction POLICY decisions key on."""
+        current = self.current_manifest(table)
+        if current is None:
+            raise FileNotFoundError("no committed snapshot for table %r"
+                                    % table)
+        counts = sorted(p["row_count"] for p in current["lineage"]) or [0]
+        n = len(counts)
+        median = (counts[n // 2] if n % 2
+                  else (counts[n // 2 - 1] + counts[n // 2]) / 2.0)
+        return {"n_files": n, "row_count": current["row_count"],
+                "median_rows": median, "min_rows": counts[0]}
+
+    def needs_compaction(self, table: str, max_files: int | None = None,
+                         min_rows_per_file: int | None = None) -> bool:
+        """Manifest-stat compaction policy (Iceberg's
+        ``rewrite_data_files`` trigger conditions): True when the
+        current snapshot holds more than ``max_files`` data files, or
+        when the MEDIAN file has fewer than ``min_rows_per_file`` rows
+        (median, not mean — one legitimately large seed file must not
+        mask a tail of per-batch slivers).  With neither bound given
+        the answer is False: an unconditional sweep stays an explicit
+        ``compact()`` call."""
+        stats = self.file_stats(table)
+        if max_files is not None and stats["n_files"] > int(max_files):
+            return True
+        if (min_rows_per_file is not None
+                and stats["median_rows"] < int(min_rows_per_file)):
+            return True
+        return False
+
+    def maintain(self, table: str, max_files: int | None = None,
+                 min_rows_per_file: int | None = None,
+                 keep_last: int = 1, older_than: float | None = None,
+                 rows_per_file: int = 4_000_000) -> dict:
+        """Policy-driven maintenance: compact IFF the manifest stats
+        say so (:meth:`needs_compaction` — with no bounds given,
+        always), verify the rewrite preserved the row count BEFORE any
+        history is dropped, then expire snapshots.  The decision reads
+        only the manifest, so calling this every micro-batch costs one
+        JSON read when the policy says no.  Returns ``{compacted,
+        files_before, files_after, rows, dirs_removed}``."""
+        before = self.file_stats(table)
+        unconditional = max_files is None and min_rows_per_file is None
+        if not (unconditional or self.needs_compaction(
+                table, max_files, min_rows_per_file)):
+            return {"compacted": False, "files_before": before["n_files"],
+                    "files_after": before["n_files"],
+                    "rows": before["row_count"], "dirs_removed": 0}
+        m = self.compact(table, rows_per_file=rows_per_file)
+        if m["row_count"] != before["row_count"]:
+            raise RuntimeError(
+                "compaction changed row count for %s: %d -> %d; "
+                "refusing to expire pre-compaction snapshots"
+                % (table, before["row_count"], m["row_count"]))
+        gc = self.expire_snapshots(table, keep_last=keep_last,
+                                   older_than=older_than)
+        return {"compacted": True, "files_before": before["n_files"],
+                "files_after": len(m["lineage"]),
+                "rows": m["row_count"],
+                "dirs_removed": len(gc["removed_dirs"])}
 
     # ---------------------------------------------------------- cleanup
 

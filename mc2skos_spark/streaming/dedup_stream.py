@@ -49,7 +49,8 @@ class StreamingDeduper:
                  threshold: float = 0.9, n: int = 3,
                  num_hashes: int = 32, bands: int = 8,
                  assign_keepers: bool = False,
-                 compact_every: int | None = None):
+                 compact_every: int | None = None,
+                 compact_policy: dict | None = None):
         self.warehouse = warehouse
         self.name = name
         self.id_col = id_col
@@ -71,6 +72,14 @@ class StreamingDeduper:
         #: and a kill mid-compaction leaves the previous snapshot
         #: current — the next trigger simply retries the maintenance.
         self.compact_every = compact_every
+        #: manifest-STAT-driven alternative to the blind counter:
+        #: kwargs for ``IcebergishCatalog.maintain`` (``max_files`` /
+        #: ``min_rows_per_file``), evaluated after EVERY batch — the
+        #: check reads only the manifest JSON, and compaction fires
+        #: exactly when the policy says (e.g. a skewed append pattern
+        #: fragments one table long before its siblings).  Takes
+        #: precedence over ``compact_every`` when both are set.
+        self.compact_policy = compact_policy
 
     def replay_applied(self, batch: DataFrame, batch_id: int,
                        catalog: IcebergishCatalog | None = None) -> bool:
@@ -143,23 +152,42 @@ class StreamingDeduper:
 
     def _maybe_maintain(self, catalog: IcebergishCatalog,
                         batch_id: int) -> None:
-        """Compact + expire this index's tables after each
-        ``compact_every``-th batch (see ``compact_every``).  Only the
-        index's OWN tables (its four known suffixes) are touched — an
-        open-ended prefix match would also sweep up a sibling index
-        named e.g. ``<name>_v2`` in the same warehouse and expire its
-        snapshot history.  Per-batch pair snapshots are single-write
-        tables that never fragment, so they are skipped too."""
-        if not self.compact_every or (batch_id + 1) % self.compact_every:
-            return
-        existing = set(catalog.tables(prefix=self.name))
-        for suffix in (SIG_SUFFIX, BUCKET_SUFFIX, KEEPER_SUFFIX,
-                       REMAP_SUFFIX):
-            table = self.name + suffix
-            if table not in existing:
-                continue
-            catalog.compact(table)
-            catalog.expire_snapshots(table, keep_last=1)
+        """Compact + expire this index's tables — manifest-stat policy
+        or every-``compact_every``-th batch (see the two __init__
+        attributes).  Only the index's OWN tables (its four known
+        suffixes) are touched — an open-ended prefix match would also
+        sweep up a sibling index named e.g. ``<name>_v2`` in the same
+        warehouse and expire its snapshot history.  Per-batch pair
+        snapshots are single-write tables that never fragment, so they
+        are skipped too."""
+        _maintain_suffixes(catalog, self.name,
+                           (SIG_SUFFIX, BUCKET_SUFFIX, KEEPER_SUFFIX,
+                            REMAP_SUFFIX),
+                           self.compact_every, self.compact_policy,
+                           batch_id)
+
+
+def _maintain_suffixes(catalog: IcebergishCatalog, name: str,
+                       suffixes: tuple, compact_every: int | None,
+                       compact_policy: dict | None,
+                       batch_id: int) -> None:
+    """Shared per-batch maintenance dispatch for the streaming
+    handlers: a manifest-stat policy (``compact_policy`` →
+    ``catalog.maintain``, evaluated after EVERY batch — the no-op case
+    costs one manifest JSON read per table, and only the tables whose
+    stats trip the policy are rewritten) or the blind every-N counter
+    (``compact_every``).  Policy wins when both are set."""
+    existing = set(catalog.tables(prefix=name))
+    targets = [name + s for s in suffixes if name + s in existing]
+    if compact_policy:
+        for table in targets:
+            catalog.maintain(table, keep_last=1, **compact_policy)
+        return
+    if not compact_every or (batch_id + 1) % compact_every:
+        return
+    for table in targets:
+        catalog.compact(table)
+        catalog.expire_snapshots(table, keep_last=1)
 
 
 class StreamingSemanticDeduper:
@@ -178,7 +206,8 @@ class StreamingSemanticDeduper:
                  threshold: float = 0.97, num_centroids: int = 16,
                  centroid_mod: int = 8,
                  assign_keepers: bool = False,
-                 compact_every: int | None = None):
+                 compact_every: int | None = None,
+                 compact_policy: dict | None = None):
         self.warehouse = warehouse
         self.name = name
         self.id_col = id_col
@@ -188,6 +217,7 @@ class StreamingSemanticDeduper:
                        "centroid_mod": centroid_mod}
         self.assign_keepers = assign_keepers
         self.compact_every = compact_every
+        self.compact_policy = compact_policy
 
     def replay_applied(self, batch: DataFrame, batch_id: int,
                        catalog: IcebergishCatalog | None = None) -> bool:
@@ -248,19 +278,14 @@ class StreamingSemanticDeduper:
 
     def _maybe_maintain(self, catalog: IcebergishCatalog,
                         batch_id: int) -> None:
-        """Compact + expire the vec/keeper/remap tables every
-        ``compact_every``-th batch — the centroid table is single-write
-        and never fragments, so it is skipped (same suffix-scoped rule
-        as the MinHash handler)."""
-        if not self.compact_every or (batch_id + 1) % self.compact_every:
-            return
-        existing = set(catalog.tables(prefix=self.name))
-        for suffix in (VEC_SUFFIX, KEEPER_SUFFIX, REMAP_SUFFIX):
-            table = self.name + suffix
-            if table not in existing:
-                continue
-            catalog.compact(table)
-            catalog.expire_snapshots(table, keep_last=1)
+        """Compact + expire the vec/keeper/remap tables — manifest-stat
+        policy or every-``compact_every``-th batch; the centroid table
+        is single-write and never fragments, so it is skipped (same
+        suffix-scoped rule as the MinHash handler)."""
+        _maintain_suffixes(catalog, self.name,
+                           (VEC_SUFFIX, KEEPER_SUFFIX, REMAP_SUFFIX),
+                           self.compact_every, self.compact_policy,
+                           batch_id)
 
 
 def start_stream(spark: SparkSession, input_dir: str,

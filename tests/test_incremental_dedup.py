@@ -359,6 +359,88 @@ def test_catalog_compact_kill_before_commit_resume_safe(spark, tmp_path):
     assert sorted(r["id"] for r in cat.read("t").collect()) == rows
 
 
+def test_catalog_policy_maintain(spark, tmp_path):
+    """Manifest-STAT-driven maintenance: a skewed append pattern (one
+    healthy seed file + a tail of per-batch slivers) trips the policy
+    exactly when the stats say — max_files on count, min_rows_per_file
+    on the MEDIAN (the big seed must not mask the sliver tail) — and
+    the no-op case touches nothing (one JSON read, no new snapshot)."""
+    from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    cat.write("t", spark.range(0, 1000).selectExpr("id", "id AS v")
+              .coalesce(1), lineage_key="id")
+    rows_before = sorted(r["id"] for r in cat.read("t").collect())
+
+    # under both bounds: maintain is a pure no-op
+    assert not cat.needs_compaction("t", max_files=4,
+                                    min_rows_per_file=10)
+    snap_before = cat.current_manifest("t")["snapshot_id"]
+    out = cat.maintain("t", max_files=4, min_rows_per_file=10)
+    assert out["compacted"] is False and out["dirs_removed"] == 0
+    assert cat.current_manifest("t")["snapshot_id"] == snap_before
+
+    # sliver tail: 4 tiny appends → 5 files, median collapses to tiny
+    for lo in (1000, 1003, 1006, 1009):
+        cat.append("t", spark.range(lo, lo + 3)
+                   .selectExpr("id", "id AS v").coalesce(1),
+                   lineage_key="id")
+    st = cat.file_stats("t")
+    assert st["n_files"] == 5 and st["median_rows"] == 3
+    assert cat.needs_compaction("t", max_files=4)          # count bound
+    assert cat.needs_compaction("t", min_rows_per_file=10)  # median bound
+    assert not cat.needs_compaction("t", max_files=10,
+                                    min_rows_per_file=2)   # under both
+    assert not cat.needs_compaction("t")                   # no bounds
+
+    out = cat.maintain("t", max_files=4, min_rows_per_file=10)
+    assert out["compacted"] is True
+    assert out["files_before"] == 5 and out["files_after"] == 1
+    assert out["rows"] == 1012 and out["dirs_removed"] >= 1
+    assert sorted(r["id"] for r in cat.read("t").collect()) == \
+        rows_before + list(range(1000, 1003)) + \
+        list(range(1003, 1006)) + list(range(1006, 1009)) + \
+        list(range(1009, 1012))
+    # post-compaction the policy is satisfied again
+    assert not cat.needs_compaction("t", max_files=4,
+                                    min_rows_per_file=10)
+
+
+def test_catalog_expire_older_than(spark, tmp_path):
+    """Age-based snapshot expiry (Iceberg older_than semantics):
+    manifests committed at or after the cutoff are retained beyond
+    keep_last; genuinely old ones are dropped with their unreferenced
+    directories."""
+    import os
+    import time
+    from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    cat.write("t", spark.range(0, 10).selectExpr("id"), lineage_key="id")
+    cat.append("t", spark.range(10, 20).selectExpr("id"),
+               lineage_key="id")
+    cat.append("t", spark.range(20, 30).selectExpr("id"),
+               lineage_key="id")
+    tdir = os.path.join(str(tmp_path / "wh"), "t")
+    n_manifests = len([f for f in os.listdir(tdir)
+                       if f.startswith("manifest-")])
+    assert n_manifests == 3
+
+    # cutoff at epoch 0: every manifest is newer → all retained
+    out = cat.expire_snapshots("t", keep_last=1, older_than=0.0)
+    assert out["kept_manifests"] == 3 and out["removed_dirs"] == []
+
+    # cutoff in the future: only keep_last survives, orphans removed
+    out = cat.expire_snapshots("t", keep_last=1,
+                               older_than=time.time() + 3600)
+    assert out["kept_manifests"] == 1
+    current = cat.current_manifest("t")
+    on_disk = {d for d in os.listdir(tdir) if d.startswith("snap-")}
+    assert on_disk == set(current["dirs"])
+    assert sorted(r["id"] for r in cat.read("t").collect()) == \
+        list(range(30))
+
+
 def test_catalog_append_nullability_direction(spark, tmp_path):
     """Append compatibility is DIRECTIONAL on nullability: writing
     required data into an optional column is fine (parquet read-backs

@@ -218,3 +218,38 @@ def test_stream_dedup_with_auto_compaction(spark, tmp_path):
     dedup = StreamingDeduper(wh, threshold=0.9, **PARAMS)
     b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
     assert dedup.replay_applied(b2, 1) is True
+
+
+def test_stream_dedup_with_policy_maintenance(spark, tmp_path):
+    """compact_policy: maintenance fires from MANIFEST STATS (file
+    count), not a batch counter — after draining, the fragmented index
+    tables are compacted with the replay guard intact and the dedup
+    answer identical to the maintenance-free run."""
+    src = tmp_path / "docs_in"
+    spark.createDataFrame(BATCH1, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(BATCH2, "doc_id long, text string") \
+        .coalesce(1).write.parquet(str(src / "f2"))
+
+    wh = str(tmp_path / "wh")
+    stream_documents(spark, str(src) + "/*", wh,
+                     str(tmp_path / "ckpt"), threshold=0.9,
+                     compact_policy={"max_files": 1}, **PARAMS)
+
+    got = {(r["id_a"], r["id_b"], r["est_jaccard"])
+           for r in streamed_pairs(spark, wh).collect()}
+    assert got == _expected_full(spark)
+
+    catalog = IcebergishCatalog(wh, spark)
+    for suffix in (SIG_SUFFIX, BUCKET_SUFFIX):
+        m = catalog.current_manifest("docs_minhash" + suffix)
+        assert len(m["lineage"]) == 1          # policy compacted to 1 file
+        assert int(m["properties"]["last_batch_id"]) == 1
+        # the policy is satisfied again → another maintain is a no-op
+        assert not catalog.needs_compaction("docs_minhash" + suffix,
+                                            max_files=1)
+    assert catalog.current_manifest(
+        "docs_minhash" + SIG_SUFFIX)["row_count"] == 7
+    dedup = StreamingDeduper(wh, threshold=0.9, **PARAMS)
+    b2 = spark.createDataFrame(BATCH2, "doc_id long, text string")
+    assert dedup.replay_applied(b2, 1) is True
