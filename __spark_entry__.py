@@ -820,17 +820,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("media_id", "kind", "payload_bytes",
                         "content_digest"))
 
-    # --- REAL (stdlib) container decode: valid WAV/PNG files are
-    #     synthesized DISTRIBUTED (pandas UDF writes RIFF/IHDR bytes
-    #     from doc_id-derived parameters, no driver collect), then the
-    #     header decoders recover the planted parameters — which the
-    #     oracle recomputes from doc_id arithmetic without ever seeing
-    #     the bytes.  A decoder that misreads any field hash-fails.
+    # --- REAL (stdlib) container decode: valid WAV/PNG/JPEG files are
+    #     synthesized DISTRIBUTED (pandas UDF writes RIFF/IHDR/SOF0
+    #     bytes from doc_id-derived parameters, no driver collect),
+    #     then the header decoders recover the planted parameters —
+    #     which the oracle recomputes from doc_id arithmetic without
+    #     ever seeing the bytes.  A decoder that misreads any field
+    #     hash-fails.
     def mm_media_decode(spark, sf_dir):
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
         from mc2skos_spark.functions.multimodal import (
-            extract_media_features, make_png, make_wav)
+            extract_media_features, make_jpeg, make_png, make_wav)
 
         # NB: no pd.Series annotations — the module's `from __future__
         # import annotations` turns them into strings that pyspark's
@@ -839,17 +840,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         def synth(mid):
             def one(m):
                 m = int(m)
-                if m % 2 == 0:
+                if m % 3 == 0:
                     return make_wav(8000 + (m % 5) * 1000,
-                                    1 + (1 if m % 3 == 0 else 0),
+                                    1 + (1 if m % 2 == 0 else 0),
                                     100 + m)
-                return make_png(16 + m, 9 + m % 7)
+                if m % 3 == 1:
+                    return make_png(16 + m, 9 + m % 7)
+                return make_jpeg(32 + m, 20 + m % 9,
+                                 components=1 + m % 4)
             return mid.map(one)
 
         docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
         media = docs.select(
             F.col("doc_id").alias("media_id"),
-            F.when(F.col("doc_id") % 2 == 0, "audio").otherwise("image")
+            F.when(F.col("doc_id") % 3 == 0, "audio").otherwise("image")
              .alias("kind"),
             synth(F.col("doc_id")).alias("payload"),
             F.lit(None).cast("int").alias("meta_width"),
@@ -2443,23 +2447,30 @@ def oracle_sql() -> dict[str, str]:
         # so a parser that misreads any RIFF/IHDR field hash-fails
         "mm_media_decode": """
             SELECT doc_id AS media_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'audio'
+                   CASE WHEN doc_id % 3 = 0 THEN 'audio'
                         ELSE 'image' END AS kind,
-                   CASE WHEN doc_id % 2 = 1
-                        THEN cast(16 + doc_id AS int) END AS decoded_width,
-                   CASE WHEN doc_id % 2 = 1
+                   CASE WHEN doc_id % 3 = 1
+                        THEN cast(16 + doc_id AS int)
+                        WHEN doc_id % 3 = 2
+                        THEN cast(32 + doc_id AS int)
+                        END AS decoded_width,
+                   CASE WHEN doc_id % 3 = 1
                         THEN cast(9 + doc_id % 7 AS int)
+                        WHEN doc_id % 3 = 2
+                        THEN cast(20 + doc_id % 9 AS int)
                         END AS decoded_height,
-                   CASE WHEN doc_id % 2 = 0 THEN 16
+                   CASE WHEN doc_id % 3 = 0 THEN 16
                         ELSE 8 END AS decoded_bit_depth,
-                   CASE WHEN doc_id % 2 = 0
+                   CASE WHEN doc_id % 3 = 0
                         THEN cast(8000 + (doc_id % 5) * 1000 AS int)
                         END AS decoded_sample_rate,
-                   CASE WHEN doc_id % 2 = 0
-                        THEN cast(1 + (CASE WHEN doc_id % 3 = 0
+                   CASE WHEN doc_id % 3 = 0
+                        THEN cast(1 + (CASE WHEN doc_id % 2 = 0
                                        THEN 1 ELSE 0 END) AS int)
+                        WHEN doc_id % 3 = 2
+                        THEN cast(1 + doc_id % 4 AS int)
                         END AS decoded_channels,
-                   CASE WHEN doc_id % 2 = 0
+                   CASE WHEN doc_id % 3 = 0
                         THEN cast(((100 + doc_id) * 1000)
                                   // (8000 + (doc_id % 5) * 1000) AS int)
                         END AS decoded_duration_ms

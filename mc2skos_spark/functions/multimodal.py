@@ -7,10 +7,12 @@ metadata; decode / feature-extract run as Arrow-batch UDFs over
 Two decode tiers:
 
 * **container headers — REAL decode, pure stdlib**: WAV (RIFF chunk
-  walk → sample rate / channels / bit depth / frame count / duration)
-  and PNG (signature + IHDR → width / height / bit depth), emitted as
-  typed ``decoded_*`` columns.  Malformed or foreign payloads yield
-  NULLs, never a stage crash.
+  walk → sample rate / channels / bit depth / frame count / duration),
+  PNG (signature + IHDR → width / height / bit depth) and JPEG
+  (marker-segment walk to the first SOF frame header → width / height /
+  precision / component count), emitted as typed ``decoded_*``
+  columns.  Malformed or foreign payloads yield NULLs, never a stage
+  crash.
 * **pixel/waveform content** (PIL resize, librosa frames, video frame
   sampling): the codec libraries are NOT in this container, so the
   content-feature step stays a clearly-marked deterministic stub
@@ -103,14 +105,65 @@ def decode_png_header(payload: bytes) -> dict | None:
         return None
 
 
+def decode_jpeg_header(payload: bytes) -> dict | None:
+    """REAL (stdlib-only) JPEG decode: walk the marker segments (ITU
+    T.81 §B) to the first SOF0..SOF15 frame header and return
+    ``{width, height, bit_depth, components}`` (bit_depth = sample
+    precision); None for non-JPEG bytes or a stream whose entropy data
+    starts before any frame header."""
+    try:
+        if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        while pos + 2 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xFF:                  # fill byte
+                pos += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2                        # standalone, no length
+                continue
+            if marker == 0xD9:                  # EOI before any SOF
+                return None
+            if pos + 4 > len(payload):
+                return None
+            (size,) = struct.unpack_from(">H", payload, pos + 2)
+            if size < 2:
+                return None
+            # SOF0..SOF15 minus the non-frame C-class markers
+            # DHT (C4) / JPG (C8) / DAC (CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                         0xCC):
+                precision, height, width, ncomp = struct.unpack_from(
+                    ">BHHB", payload, pos + 4)
+                if not width or not height:
+                    return None
+                return {"width": width, "height": height,
+                        "bit_depth": precision, "components": ncomp}
+            if marker == 0xDA:                  # SOS: SOF must precede
+                return None
+            pos += 2 + size
+        return None
+    except Exception:
+        return None
+
+
 def _decode_headers(payload: bytes) -> tuple:
     """(width, height, bit_depth, sample_rate, channels, duration_ms)
     from whichever container signature matches — the payload's MAGIC
-    decides, not the ``kind`` tag (tags lie in scraped corpora)."""
+    decides, not the ``kind`` tag (tags lie in scraped corpora).  JPEG
+    reports its component count in the ``channels`` slot (the same
+    physical meaning: interleaved sample streams)."""
     png = decode_png_header(payload)
     if png is not None:
         return (png["width"], png["height"], png["bit_depth"],
                 None, None, None)
+    jpg = decode_jpeg_header(payload)
+    if jpg is not None:
+        return (jpg["width"], jpg["height"], jpg["bit_depth"],
+                None, jpg["components"], None)
     wav = decode_wav_header(payload)
     if wav is not None:
         return (None, None, wav["bit_depth"], wav["sample_rate"],
@@ -147,6 +200,24 @@ def make_png(width: int, height: int, bit_depth: int = 8) -> bytes:
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
+
+
+def make_jpeg(width: int, height: int, components: int = 3,
+              precision: int = 8) -> bytes:
+    """Deterministic minimal JPEG header writer (stdlib struct only):
+    SOI + JFIF APP0 + SOF0 frame header with per-component specs +
+    EOI — the synth side of the decode round-trip tests/oracle (no
+    entropy-coded scan; the header walk is what's under test)."""
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    app0 = (b"JFIF\x00" + bytes([1, 2, 0])
+            + struct.pack(">HH", 72, 72) + b"\x00\x00")
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(components))
+    sof0 = struct.pack(">BHHB", precision, height, width,
+                       components) + comps
+    return b"\xff\xd8" + seg(0xE0, app0) + seg(0xC0, sof0) + b"\xff\xd9"
 
 
 def _decode_stub(payload: bytes, kind: str) -> list[float]:

@@ -1136,6 +1136,11 @@ def test_multimodal_real_header_decode(spark):
     assert decode_png_header(make_png(640, 480)) == {
         "width": 640, "height": 480, "bit_depth": 8}
 
+    from mc2skos_spark.functions.multimodal import (decode_jpeg_header,
+                                                    make_jpeg)
+    assert decode_jpeg_header(make_jpeg(800, 600, components=3)) == {
+        "width": 800, "height": 600, "bit_depth": 8, "components": 3}
+
     rows = [
         (0, "audio", bytearray(make_wav(8000, 1, 50)), None, None, None),
         (1, "image", bytearray(make_png(20, 10)), None, None, None),
@@ -1145,6 +1150,8 @@ def test_multimodal_real_header_decode(spark):
         (4, "video", None, None, None, None),
         # mistagged: magic wins over the kind column
         (5, "image", bytearray(make_wav(9000, 1, 90)), None, None, None),
+        (6, "image", bytearray(make_jpeg(64, 48, components=1)),
+         None, None, None),
     ]
     from mc2skos_spark.functions.multimodal import MEDIA_SCHEMA
     media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
@@ -1158,9 +1165,46 @@ def test_multimodal_real_header_decode(spark):
                    for f in ("width", "height", "bit_depth",
                              "sample_rate", "channels", "duration_ms"))
     assert got[5]["decoded_sample_rate"] == 9000   # magic beats tag
+    assert (got[6]["decoded_width"], got[6]["decoded_height"],
+            got[6]["decoded_channels"]) == (64, 48, 1)
     # the original plumbing columns are untouched
     assert got[2]["payload_bytes"] == len(b"garbage not a container")
     assert got[4]["content_digest"] is None
+
+
+def test_jpeg_decoder_marker_walk_edges():
+    """Pure-Python JPEG marker-walk edges (no JVM): fill bytes and
+    restart markers are stepped over, DHT (a C-class NON-frame marker)
+    is not mistaken for SOF, progressive SOF2 parses, and SOS-before-
+    SOF / EOI-only / truncated / zero-dim streams yield None."""
+    import struct
+    from mc2skos_spark.functions.multimodal import (decode_jpeg_header,
+                                                    make_jpeg)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    sof_body = struct.pack(">BHHB", 8, 48, 64, 3) + \
+        b"".join(bytes([i + 1, 0x11, 0]) for i in range(3))
+    # DHT (0xC4) before SOF must be walked over, not parsed as a frame
+    dht_first = (b"\xff\xd8" + seg(0xC4, b"\x00" * 19)
+                 + b"\xff\xff"                  # fill byte run
+                 + b"\xff\xd0"                  # standalone RST0
+                 + seg(0xC2, sof_body)          # progressive SOF2
+                 + b"\xff\xd9")
+    assert decode_jpeg_header(dht_first) == {
+        "width": 64, "height": 48, "bit_depth": 8, "components": 3}
+    # entropy data before any frame header: undecodable
+    sos_first = b"\xff\xd8" + seg(0xDA, b"\x01\x01\x00") + b"\xff\xd9"
+    assert decode_jpeg_header(sos_first) is None
+    assert decode_jpeg_header(b"\xff\xd8\xff\xd9") is None  # EOI only
+    assert decode_jpeg_header(make_jpeg(64, 48)[:8]) is None
+    zero_dim = b"\xff\xd8" + seg(
+        0xC0, struct.pack(">BHHB", 8, 0, 64, 1) + b"\x01\x11\x00")
+    assert decode_jpeg_header(zero_dim) is None
+    assert decode_jpeg_header(b"") is None
+    assert decode_jpeg_header(b"not a jpeg at all") is None
 
 
 def test_stratified_sample_rate_map_cap():
