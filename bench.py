@@ -303,7 +303,7 @@ def assemble_baseline_md():
     parts = []
     for name in ("BENCH/_scaling.md", "BENCH/_scaling_history.md",
                  "BENCH/_skew.md", "BENCH/_skewjoin.md",
-                 "BENCH/_asofskew.md"):
+                 "BENCH/_asofskew.md", "BENCH/_semskew.md"):
         if os.path.exists(name):
             with open(name) as fp:
                 parts.append(fp.read().rstrip() + "\n")
@@ -740,6 +740,157 @@ def run_skew_asof():
                       "timings": timings, "rows": n_rows_out}))
 
 
+def run_skew_semantic():
+    """Skew evidence #4: the SemDeDup within-centroid self-join
+    (functions/dedup.py:within_centroid_pairs) with a planted hot
+    CLUSTER — one centroid holding 50% of the corpus, the shape a
+    drifted/duplicated embedding region produces.  Timed with AQE
+    skew-join splitting ON vs OFF on identical input, identical
+    outputs asserted (pair count + XOR-fold).  Broadcast disabled: at
+    100 TB the unit-vector projection does not broadcast, so the
+    production plan is the sort-merge self-join this measures.  Writes
+    BENCH/_semskew.md → BENCH/BASELINE.md."""
+    from pyspark.sql import functions as F
+
+    from mc2skos_spark.functions.dedup import within_centroid_pairs
+    from mc2skos_spark.functions.similarity import unit_vector
+    from mc2skos_spark.plans.session import build_session
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count()
+    n_rows = int(os.environ.get("SPARK_GRAFT_SEMSKEW_ROWS", "6000"))
+    hot_pct, dim, n_cold = 50, 8, 7
+    spark = build_session(app_name="mc2skos-semskew",
+                          master="local[%d]" % cpus,
+                          shuffle_partitions=max(cpus, 16))
+    # the 100 TB plan shape: no broadcast fallback for the self-join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    # half the corpus assigned to centroid 0 (the hot cluster), the
+    # rest spread over n_cold cold centroids; unit vectors derived from
+    # the id via coprime-multiplier lattices (deterministic, spread
+    # enough that few pairs clear the threshold — the COMPUTE is the
+    # h^2 dot products either way)
+    i = F.col("id")
+    hot = F.pmod(i, F.lit(100)) < hot_pct
+    centroid = F.when(hot, F.lit(0)).otherwise(
+        1 + F.pmod(i, F.lit(n_cold))).cast("long")
+    raw = F.array(*[
+        (F.pmod(i * (2 * j + 3) + 7 * j, F.lit(997)).cast("double")
+         / 997.0 - 0.5)
+        for j in range(dim)])
+    assigned = (spark.range(n_rows).repartition(max(cpus, 16))
+                .select(i.alias("vec_id"),
+                        unit_vector(raw).alias("_vn"),
+                        centroid.alias("_c"))
+                .localCheckpoint())
+
+    # same two byte-keyed AQE knobs as skew evidence #2 (see that
+    # artifact): coalescing would serialize this small-bytes /
+    # quadratic-compute stage in BOTH variants, and the skew detector
+    # keys on compressed input bytes
+    common = {
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "4k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+    }
+    variants = {
+        "aqe_skew_off": dict(
+            common, **{"spark.sql.adaptive.skewJoin.enabled": "false"}),
+        "aqe_skew_on": dict(common, **{
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                "8k",
+        }),
+    }
+
+    def set_conf(conf):
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+
+    def reset_conf():
+        for conf in variants.values():
+            for k in conf:
+                spark.conf.unset(k)
+
+    def pairs():
+        return within_centroid_pairs(assigned, threshold=0.9)
+
+    def fingerprint():
+        row = pairs().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("id_a", "id_b", "centroid", "cosine"))
+            .alias("h")).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    pairs().write.format("noop").mode("overwrite").save()  # warm-up
+    timings: dict[str, list[float]] = {k: [] for k in variants}
+    finger: dict[str, tuple[int, int]] = {}
+    for _ in range(3):
+        for label, conf in variants.items():
+            set_conf(conf)
+            t0 = time.monotonic()
+            pairs().write.format("noop").mode("overwrite").save()
+            timings[label].append(round(time.monotonic() - t0, 3))
+            reset_conf()
+    for label, conf in variants.items():
+        set_conf(conf)
+        finger[label] = fingerprint()
+        reset_conf()
+    assert finger["aqe_skew_off"] == finger["aqe_skew_on"], finger
+    n_pairs, _ = finger["aqe_skew_off"]
+    spark.stop()
+
+    best = {k: min(v) for k, v in timings.items()}
+    speedup = best["aqe_skew_off"] / best["aqe_skew_on"]
+    hot_rows = n_rows * hot_pct // 100
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/_semskew.md", "w") as fp:
+        fp.write(
+            "# BENCH — skew evidence #4 (SemDeDup within-centroid "
+            "self-join, AQE skew-join)\n\n"
+            "Pathological assignment: %d unit vectors (dim %d) with ONE "
+            "centroid\nholding %d%% of the corpus (~%d rows → ~%dM "
+            "candidate dot products in\nthat cluster alone), the rest "
+            "over %d cold centroids (~%d rows each).\n%d pairs clear "
+            "the 0.9 threshold; the COMPUTE is the h^2 dots either\n"
+            "way.  Broadcast disabled (the 100 TB unit-vector "
+            "projection is\nsort-merge-joined).  local[%d], min of 3 "
+            "interleaved runs, identical\noutputs asserted (pair count "
+            "+ XOR-fold):\n\n"
+            "| variant | wall sec (min of 3) | all runs |\n|---|---|---|\n"
+            "| AQE skew-join OFF | %.2f | %s |\n"
+            "| AQE skew-join ON (thresholds scaled to bench bytes) "
+            "| %.2f | %s |\n\n"
+            "**AQE skew-split speedup on the hot cluster = %.2fx.**  "
+            "Same two\nbyte-keyed knob scalings as skew evidence #2 "
+            "(minPartitionSize and the\ncompressed-bytes skew "
+            "threshold) — at production bytes the defaults\nbehave.\n\n"
+            "Notes for 100 TB:\n\n"
+            "* This is the skew shape SemDeDup actually produces: "
+            "embedding mass\n  concentrates (boilerplate, templated "
+            "pages, one dominant language)\n  and a single cluster "
+            "inflates quadratically.  AQE's split covers the\n  "
+            "input-bytes side; the OUTPUT-quadratic residual is "
+            "governed upstream\n  by K sizing (K ~ n / "
+            "target_cluster_size, the paper's prescription,\n  keeps "
+            "h bounded in expectation) — a cluster past a sanity bound "
+            "is a\n  degenerate region worth splitting with a finer "
+            "local K rather than\n  joining.\n"
+            "* The centroid equi-join key has cardinality K (50k at "
+            "paper scale):\n  plenty for 1000 executors, and the split "
+            "chunks hot clusters into\n  bounded tasks exactly as "
+            "measured here.\n"
+            % (n_rows, dim, hot_pct, hot_rows,
+               hot_rows * hot_rows // 2 // 1_000_000,
+               n_cold, (n_rows - hot_rows) // n_cold, n_pairs, cpus,
+               best["aqe_skew_off"], timings["aqe_skew_off"],
+               best["aqe_skew_on"], timings["aqe_skew_on"], speedup))
+    assemble_baseline_md()
+    print(json.dumps({"metric": "semantic_skew_aqe_speedup",
+                      "value": round(speedup, 3), "unit": "ratio",
+                      "timings": timings, "pairs": n_pairs}))
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         idx = sys.argv.index("--scaling-worker")
@@ -750,6 +901,8 @@ if __name__ == "__main__":
         run_skew_join()
     elif "--skew-asof" in sys.argv:
         run_skew_asof()
+    elif "--skew-semantic" in sys.argv:
+        run_skew_semantic()
     elif "--skew" in sys.argv:
         run_skew()
     else:

@@ -365,7 +365,7 @@ def semantic_dedup_pairs(embeddings: DataFrame, num_centroids: int = 16,
     lineage-cut (lazy ``localCheckpoint``) because both sides of the
     self-join consume it.
     """
-    from .similarity import (_dot, arithmetic_centroids,
+    from .similarity import (arithmetic_centroids,
                              assign_nearest_centroid, unit_vector)
 
     base = embeddings.select(
@@ -383,6 +383,23 @@ def semantic_dedup_pairs(embeddings: DataFrame, num_centroids: int = 16,
                                 unit_vector(F.col("_v")).alias("_vn")),
                     cents, "_vn", "_c", normalize_input=False)
                 .localCheckpoint(eager=False))
+    return within_centroid_pairs(assigned, threshold, id_col)
+
+
+def within_centroid_pairs(assigned: DataFrame,
+                          threshold: float = 0.97,
+                          id_col: str = "vec_id") -> DataFrame:
+    """The quadratic half of SemDeDup over an ALREADY-assigned table
+    ``(id_col, _vn unit vector, _c centroid)``: within-cluster
+    self-join on the centroid key, one dot product per candidate pair.
+    Isolated from :func:`semantic_dedup_pairs` so skew evidence can
+    stage a pathological assignment directly against the REAL operator
+    (``bench.py --skew-semantic``: one hot centroid holding half the
+    corpus — the shape AQE's skew-join split exists for).  Returns
+    ``(id_a, id_b, centroid, cosine)`` with cosine floor-truncated to
+    4 decimals, ``id_a < id_b``, cosine ≥ threshold."""
+    from .similarity import _dot
+
     a = assigned.select(F.col(id_col).alias("id_a"),
                         F.col("_vn").alias("_vna"), "_c")
     b = assigned.select(F.col(id_col).alias("id_b"),
