@@ -8,6 +8,7 @@ over a documents table ``(doc_id, text, ...)``:
       → quality + repetition filter
       → unigram-LM perplexity filter            (--max-avg-nll [--lm])
       → DSIR importance-weight filter           (--dsir-target)
+      → fastText-style classifier gate          (--classifier-gate)
       → benchmark-contamination filter          (--benchmark)
       → PII redaction                           (--scrub-pii)
       → repeated-substring excision             (--scrub-spans W,D)
@@ -26,6 +27,7 @@ Cluster deployment:
         [--max-top-bigram 0.5] [--scrub-pii] [--scrub-spans 8,2]
         [--max-avg-nll 9.0 [--lm unigram.parquet]]
         [--dsir-target en [--dsir-min-logw 0]]
+        [--classifier-gate weights.json]
         [--sample-rates en=1.0,es=0.5] [--default-rate 1.0]
         [--capacity 2048] [--jaccard 0.8]
 
@@ -102,6 +104,16 @@ def main() -> None:
                         help="DSIR keep threshold on the exact integer "
                              "log-weight (default 0 = more target-like "
                              "than the pool)")
+    parser.add_argument("--classifier-gate", default=None,
+                        metavar="WEIGHTS_JSON",
+                        help="fastText-style quality gate: JSON weight "
+                             "table written by functions/classifier.py "
+                             "save_classifier (train_quality_classifier "
+                             "output); keeps docs whose integer logit "
+                             ">= 0.  Scoring is a broadcast weight-dim "
+                             "join — no model server.  Docs with no "
+                             "tokens are dropped (no features, no "
+                             "evidence).")
     parser.add_argument("--jaccard", type=float, default=0.8,
                         help="near-dup threshold (estimated Jaccard)")
     parser.add_argument("--num-hashes", type=int, default=32)
@@ -189,6 +201,15 @@ def main() -> None:
               .select("doc_id"))
         kept = cut(kept.join(ok, "doc_id"))
         stats["after_dsir_filter"] = kept.count()
+
+    if args.classifier_gate:
+        from mc2skos_spark.functions.classifier import (linear_text_scores,
+                                                        load_classifier)
+        model = load_classifier(args.classifier_gate)
+        ok = (linear_text_scores(kept, **model)
+              .filter(F.col("keep")).select("doc_id"))
+        kept = cut(kept.join(ok, "doc_id"))
+        stats["after_classifier_gate"] = kept.count()
 
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark).select("doc_id", "text")

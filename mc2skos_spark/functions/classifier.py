@@ -116,6 +116,34 @@ def _bucket_vectors(documents: DataFrame, buckets: int,
                          array_to_vector(dense).alias("features"))
 
 
+def save_classifier(path: str, weights: dict[int, int], bias_q: int,
+                    buckets: int = 256, hash_fn: str = "md5") -> None:
+    """Persist a trained gate as one JSON file — the model IS a
+    dimension table, so its wire format is a dict, not a model-server
+    artifact.  Consumed by :func:`load_classifier` /
+    ``jobs/curate.py --classifier-gate``."""
+    import json
+    with open(path, "w") as fp:
+        json.dump({"weights": {str(b): int(w)
+                               for b, w in sorted(weights.items())},
+                   "bias_q": int(bias_q), "buckets": int(buckets),
+                   "hash_fn": hash_fn}, fp)
+
+
+def load_classifier(path: str) -> dict:
+    """Load :func:`save_classifier` output as the keyword arguments
+    :func:`linear_text_scores` takes (weights keys back to ints —
+    JSON object keys are strings)."""
+    import json
+    with open(path) as fp:
+        raw = json.load(fp)
+    return {"weights": {int(b): int(w)
+                        for b, w in raw["weights"].items()},
+            "bias_q": int(raw["bias_q"]),
+            "buckets": int(raw["buckets"]),
+            "hash_fn": raw.get("hash_fn", "md5")}
+
+
 def train_quality_classifier(documents: DataFrame, is_positive: Column,
                              buckets: int = 256,
                              id_col: str = "doc_id",

@@ -287,3 +287,55 @@ def test_curate_cli_scrub_spans(spark, tmp_path):
     # token accounting flows into packing
     assert result["total_tokens"] == sum(len(t.split())
                                          for t in by_id.values())
+
+
+def test_curate_cli_classifier_gate(spark, tmp_path):
+    """--classifier-gate: a fastText-style gate trained IN-TEST on a
+    synthetic wiki-vs-spam slice (functions/classifier.py) is saved as
+    a JSON weight table and gates the pool through the CLI — spam pool
+    docs drop at the classifier stage, lineage counts reflect it, and
+    the surviving corpus is exactly the wiki-like docs."""
+    from mc2skos_spark.functions.classifier import (save_classifier,
+                                                    train_quality_classifier)
+    from pyspark.sql import functions as F
+
+    wiki = ["the history of %s is documented in several sources" % w
+            for w in ("rome", "cairo", "kyoto", "paris", "lima",
+                      "oslo", "quito", "dakar")]
+    spam = ["click buy cheap %s now limited offer deal win" % w
+            for w in ("pills", "watches", "tickets", "coins", "phones",
+                      "rings", "bags", "shoes")]
+    train = [(i, t, 1) for i, t in enumerate(wiki[:6])] + \
+        [(100 + i, t, 0) for i, t in enumerate(spam[:6])]
+    train_df = spark.createDataFrame(
+        train, "doc_id long, text string, y int")
+    weights, bias_q = train_quality_classifier(
+        train_df, F.col("y") == 1, max_iter=50)
+    wpath = str(tmp_path / "weights.json")
+    save_classifier(wpath, weights, bias_q)
+
+    # held-out pool: 2 wiki (keep) + 2 spam (drop at the gate)
+    pool = [(200, wiki[6]), (201, wiki[7]), (210, spam[6]),
+            (211, spam[7])]
+    spark.createDataFrame(pool, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "docs"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", str(tmp_path / "docs"),
+         "--output", str(tmp_path / "out"),
+         "--classifier-gate", wpath,
+         "--jaccard", "0.95", "--capacity", "32"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["stats"] == {
+        "input": 4,
+        "after_quality_filter": 4,
+        "after_classifier_gate": 2,   # both spam docs gated out
+        "after_exact_dedup": 2,
+        "after_near_dedup": 2,
+        "output": 2,
+    }
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(result["output"]).collect()}
+    assert kept == {200, 201}
