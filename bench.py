@@ -147,6 +147,10 @@ def run_benchmark():
         "sketch_distinct_tokens",
         # round 5: classifier gate (model scoring as a broadcast join)
         "quality_classifier_scores",
+        # round 6: order-5 LM from the parameterized builder,
+        # incremental SemDeDup vs the persisted vec index, ANN recall
+        # as a relational row
+        "text_lm5_nll", "dedup_incremental_semantic", "sim_ann_recall",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization

@@ -236,7 +236,15 @@ def arithmetic_centroids(embeddings: DataFrame, num_centroids: int,
     :func:`ivf_topk`, the rank happens WITHIN the slice only (a
     metadata-scale TakeOrdered after a cheap filter scan, never a
     full-corpus sort); unlike it, the slice predicate is plain modulo,
-    so DuckDB reproduces the exact same centroids."""
+    so DuckDB reproduces the exact same centroids.
+
+    Driver sizing: the K centroid rows are collected here before
+    :func:`assign_nearest_centroid` broadcasts them — at the SemDeDup
+    paper's K=50k x 768 dims that is ~0.3 GB of float64 on the driver
+    (fine on a cluster driver, worth knowing when K grows); the design
+    is correct because centroids are genuinely small data, but past
+    ~1M centroids keep them distributed (see the regime note in
+    :func:`assign_nearest_centroid`)."""
     rows = (embeddings
             .filter(F.col(id_col) % centroid_mod == 0)
             .orderBy(id_col)

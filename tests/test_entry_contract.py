@@ -68,12 +68,15 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mismatches, "first mismatches: %s" % mismatches[:3]
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)),
-                         ids=sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_rows_only_queries_run(spark):
+    """As of round 6 EVERY registered query has an oracle_sql entry
+    (the set below is empty — the parametrized form skipped on the
+    empty set, which read as a missing test).  Any future rows-only
+    query must still at least run and produce a schema."""
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0
+        assert len(df.columns) > 0
 
 
 def test_entry_smoke(spark):
