@@ -681,6 +681,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(wh, ignore_errors=True)
 
+    def dedup_incremental_semantic_keepers(spark, sf_dir):
+        # The full incremental SemDeDup DECISION, two batches deep:
+        # corpus ingested as batch 0, the jittered batch as batch 1
+        # (same split as dedup_incremental_semantic), then the RESOLVED
+        # keeper table over everything — pairs from the persisted-index
+        # joins, per-batch union-find against the persisted cluster
+        # state, append-only keeper/remap commits, remap chains
+        # pointer-jumped.  Centroids are fixed from the corpus slice;
+        # the oracle recomputes the same centroids, pairs and the
+        # recursive connected-component keeper from scratch — so a
+        # hash match proves sequential-incremental == from-scratch.
+        import shutil
+        import tempfile
+        from mc2skos_spark.functions.incremental import (
+            create_semantic_index, current_keepers,
+            incremental_semantic_keeper_assign)
+        from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+        emb = _t(spark, sf_dir, "embeddings")
+        base = emb.select("vec_id", F.col("embedding")
+                          .cast("array<double>").alias("embedding"))
+        corpus = base.filter(F.col("vec_id") < 400)
+        planted = (base.filter(F.col("vec_id") < 50)
+                   .select((F.col("vec_id") + 100000).alias("vec_id"),
+                           F.zip_with("embedding", F.reverse("embedding"),
+                                      lambda x, y: x + F.lit(0.15) * y)
+                            .alias("embedding")))
+        batch = (base.filter((F.col("vec_id") >= 400)
+                             & (F.col("vec_id") < 450))
+                 .unionByName(planted))
+        wh = tempfile.mkdtemp(prefix="mc2skos_incrsk_")
+        try:
+            catalog = IcebergishCatalog(wh, spark)
+            create_semantic_index(catalog, "docs_semantic",
+                                  corpus.limit(0), "vec_id", "embedding",
+                                  num_centroids=16, centroid_mod=8,
+                                  centroid_source=corpus)
+            incremental_semantic_keeper_assign(
+                catalog, "docs_semantic", corpus, "vec_id", "embedding",
+                threshold=0.97, batch_id=0)
+            incremental_semantic_keeper_assign(
+                catalog, "docs_semantic", batch, "vec_id", "embedding",
+                threshold=0.97, batch_id=1)
+            # materialize before the warehouse is deleted
+            return current_keepers(catalog, "docs_semantic") \
+                .localCheckpoint()
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
     def dedup_simhash(spark, sf_dir):
         # Verified at the scale-realistic radius k=3 (16-bit pigeonhole
         # blocks, 65k values per band — see the band-cardinality bound
@@ -894,6 +942,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            - F.col("exact_distinct"))
                      <= F.col("exact_distinct") * 0.05)
                     .alias("ok_5pct")))
+
+    # --- approx-percentile sketch next to its exact twin, the same
+    #     hash-matchable shape as sketch_distinct_tokens: the exact
+    #     quartiles (floor-quantized longs) carry the hash, the sketch
+    #     carries a rank-error witness the oracle pins TRUE.  The GK
+    #     sketch guarantees rank error <= 1/accuracy (1% here), so the
+    #     approx median landing inside the exact [p25, p75] band is a
+    #     25x-margin invariant, not a tuned threshold.  The sketch is
+    #     the 100-TB path: mergeable per-partition state, no global
+    #     sort.
+    def sketch_token_quantiles(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        per = docs.select(
+            "source", token_count(F.col("text")).alias("n_tokens"))
+        return (per.groupBy("source")
+                .agg(F.percentile("n_tokens", 0.25).alias("e25"),
+                     F.percentile("n_tokens", 0.5).alias("e50"),
+                     F.percentile("n_tokens", 0.75).alias("e75"),
+                     F.percentile_approx("n_tokens", 0.5, 100)
+                      .alias("a50"))
+                .select("source",
+                        F.floor(F.col("e25") * 10000).cast("long")
+                        .alias("p25_q"),
+                        F.floor(F.col("e50") * 10000).cast("long")
+                        .alias("p50_q"),
+                        F.floor(F.col("e75") * 10000).cast("long")
+                        .alias("p75_q"),
+                        ((F.col("a50") >= F.col("e25"))
+                         & (F.col("a50") <= F.col("e75")))
+                        .alias("ok_rank")))
 
     # --- text analysis
     def text_tokens(spark, sf_dir):
@@ -1239,6 +1317,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("nll_q").alias("nll5_q"),
             F.col("avg_nll").alias("avg_nll5"))
 
+    # --- CCNet's head/middle/tail perplexity split: per-language
+    #     thirds of the order-2 LM score, integer-exact cutoffs from
+    #     the (lang, score) histogram — no float percentile in either
+    #     engine (functions/lm.py:perplexity_buckets).
+    def text_ccnet_buckets(spark, sf_dir):
+        from mc2skos_spark.functions.lm import perplexity_buckets
+        docs = _t(spark, sf_dir, "documents")
+        return perplexity_buckets(docs, order=2)
+
+    # --- MassiveText repeated-passage removal: 8-token paragraphs,
+    #     first occurrence wins, documents rebuilt from survivors.
+    #     Duplicates are planted (doc_id+100000 copies of docs < 20)
+    #     so the keeper election is exercised, not vacuous.
+    def text_paragraph_dedup(spark, sf_dir):
+        from mc2skos_spark.functions.dedup import paragraph_dedup
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        planted = (docs.filter(F.col("doc_id") < 20)
+                   .select((F.col("doc_id") + 100000).alias("doc_id"),
+                           "text"))
+        return paragraph_dedup(docs.unionByName(planted),
+                               para_tokens=8)
+
+    # --- SPARQL-core BGP matching over a materialized (subj, pred,
+    #     obj) triple table (operators/bgp.py): constants push down to
+    #     the scans, shared variables become equi-joins.  The triple
+    #     table here is minted relationally from TPC-H (customer
+    #     memberOf nation broader region + labels) so DuckDB can
+    #     replicate it; the same operator queries the KG pipeline's
+    #     extracted triples in tests/test_bgp.py.
+    def kg_bgp_match(spark, sf_dir):
+        from mc2skos_spark.operators.bgp import bgp_match
+        nation = _t(spark, sf_dir, "nation")
+        region = _t(spark, sf_dir, "region")
+        customer = _t(spark, sf_dir, "customer")
+        n_uri = F.concat(F.lit("n:"), F.col("n_name"))
+        r_uri = F.concat(F.lit("r:"), F.col("r_name"))
+        triples = (
+            nation.join(region,
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(n_uri.alias("subj"), F.lit("broader").alias("pred"),
+                    r_uri.alias("obj"))
+            .unionByName(region.select(
+                r_uri.alias("subj"), F.lit("prefLabel").alias("pred"),
+                F.col("r_name").alias("obj")))
+            .unionByName(nation.select(
+                n_uri.alias("subj"), F.lit("prefLabel").alias("pred"),
+                F.col("n_name").alias("obj")))
+            .unionByName(
+                customer.join(
+                    nation,
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+                .select(F.concat(F.lit("c:"),
+                                 F.col("c_custkey").cast("string"))
+                        .alias("subj"),
+                        F.lit("memberOf").alias("pred"),
+                        n_uri.alias("obj"))))
+        return bgp_match(triples, [("?m", "memberOf", "?n"),
+                                   ("?n", "broader", "?r"),
+                                   ("?r", "prefLabel", "?label")])
+
     # --- DSIR importance weights (Xie et al. 2023): hashed {1,2}-gram
     #     bucket counts (md5 first byte — engine-portable), target =
     #     the lang='en' slice, raw = the whole pool; per-bucket
@@ -1464,6 +1602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_incremental_minhash": dedup_incremental_minhash,
         "dedup_incremental_semantic": dedup_incremental_semantic,
+        "dedup_incremental_semantic_keepers":
+            dedup_incremental_semantic_keepers,
         "dedup_incremental_keepers": dedup_incremental_keepers,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1475,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": mm_media_features,
         "mm_media_decode": mm_media_decode,
         "sketch_distinct_tokens": sketch_distinct_tokens,
+        "sketch_token_quantiles": sketch_token_quantiles,
         "text_tokens": text_tokens,
         "text_bpe_tokens": text_bpe_tokens,
         "text_quality": text_quality,
@@ -1510,6 +1651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm2_nll": text_lm2_nll,
         "text_lm3_nll": text_lm3_nll,
         "text_lm5_nll": text_lm5_nll,
+        "text_ccnet_buckets": text_ccnet_buckets,
+        "text_paragraph_dedup": text_paragraph_dedup,
+        "kg_bgp_match": kg_bgp_match,
         "dsir_en_weights": dsir_en_weights,
         "quality_classifier_scores": quality_classifier_scores,
         "pivot_lang_matrix": pivot_lang_matrix,
@@ -1819,6 +1963,57 @@ def oracle_sql() -> dict[str, str]:
             FROM aug a
             LEFT JOIN (SELECT id, min(peer) AS mn FROM reach GROUP BY id) r
                    ON r.id = a.vec_id""",
+        # incremental SemDeDup KEEPER decision: the oracle recomputes
+        # everything from scratch — corpus-slice centroids, assignment
+        # over corpus ∪ batch, within-centroid pairs, recursive
+        # connected-component min-id keepers — so a hash match proves
+        # the two-batch append-only keeper/remap state machine equals
+        # the from-scratch decision.
+        "dedup_incremental_semantic_keepers": """
+            WITH RECURSIVE base AS (
+                SELECT vec_id, cast(embedding AS double[]) AS v
+                FROM embeddings),
+            corpus AS (SELECT vec_id, v FROM base WHERE vec_id < 400),
+            planted AS (
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(list_zip(v, list_reverse(v)),
+                                      x -> x[1] + 0.15::DOUBLE * x[2]) AS v
+                FROM base WHERE vec_id < 50),
+            batch AS (
+                SELECT vec_id, v FROM base
+                WHERE vec_id >= 400 AND vec_id < 450
+                UNION ALL SELECT vec_id, v FROM planted),
+            allv AS (
+                SELECT vec_id, v FROM corpus
+                UNION ALL SELECT vec_id, v FROM batch),
+            cent AS (
+                SELECT vec_id AS cid, v AS cv FROM corpus
+                WHERE vec_id % 8 = 0 ORDER BY vec_id LIMIT 16),
+            assigned AS (
+                SELECT a.vec_id, a.v,
+                       (SELECT c.cid FROM cent c
+                        ORDER BY list_cosine_similarity(a.v, c.cv) DESC,
+                                 c.cid DESC
+                        LIMIT 1) AS centroid
+                FROM allv a),
+            spairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM assigned a JOIN assigned b
+                     ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+                WHERE floor(list_cosine_similarity(a.v, b.v) * 10000)
+                      >= 9700),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM spairs
+                      UNION ALL SELECT id_b, id_a FROM spairs),
+            reach AS (
+                SELECT src AS id, dst AS peer FROM edges
+                UNION
+                SELECT reach.id, edges.dst
+                FROM reach JOIN edges ON reach.peer = edges.src)
+            SELECT a.vec_id AS id,
+                   coalesce(least(a.vec_id, r.mn), a.vec_id) AS keeper_id
+            FROM allv a
+            LEFT JOIN (SELECT id, min(peer) AS mn FROM reach GROUP BY id) r
+                   ON r.id = a.vec_id""",
         # incremental SemDeDup: the oracle recomputes the same split —
         # centroids from the CORPUS slice only (they are fixed at index
         # creation), assignment over corpus ∪ batch, within-centroid
@@ -1993,6 +2188,29 @@ def oracle_sql() -> dict[str, str]:
                              x -> x != '')) AS token
                   FROM documents)
             GROUP BY source""",
+        # GK approx-percentile sketch row, same contract: the exact
+        # quartiles (floor-quantized) carry the hash; the sketch's
+        # rank-error witness (approx median inside the exact
+        # interquartile band — 25x the 1% guaranteed rank error) is
+        # pinned TRUE.  quantile_cont == Spark's exact percentile
+        # (both linear-interpolation over sorted values; quantization
+        # absorbs last-ulp drift).
+        "sketch_token_quantiles": """
+            WITH per AS (
+                SELECT source,
+                       len(list_filter(
+                           regexp_split_to_array(text, '\\s+'),
+                           x -> x != '')) AS n_tokens
+                FROM documents)
+            SELECT source,
+                   CAST(floor(quantile_cont(n_tokens, 0.25) * 10000)
+                        AS BIGINT) AS p25_q,
+                   CAST(floor(quantile_cont(n_tokens, 0.5) * 10000)
+                        AS BIGINT) AS p50_q,
+                   CAST(floor(quantile_cont(n_tokens, 0.75) * 10000)
+                        AS BIGINT) AS p75_q,
+                   TRUE AS ok_rank
+            FROM per GROUP BY source""",
         "text_quality": quality,
         "text_langid": langid,
         # Gopher-style intra-document repetition signals.  The oracle
@@ -2861,6 +3079,137 @@ def oracle_sql() -> dict[str, str]:
                          / sum(tf)::DOUBLE) / 10000.0 AS avg_nll2
             FROM tf2 JOIN logp USING (w1, w2)
             GROUP BY doc_id""",
+        # CCNet head/middle/tail: the per-doc score is the SAME lm2
+        # plan (floor(nll_q / n_transitions) as a BIGINT), cutoffs are
+        # integer rank arithmetic over the (lang, score) histogram
+        # (3*cum >= k*n  <=>  cum >= ceil(k*n/3)) — no float
+        # percentile on either side.
+        "text_ccnet_buckets": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                                         '\\s+'),
+                                   x -> x != '') AS tk
+                FROM documents),
+            tr AS (
+                SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+                FROM toks, unnest(range(1, len(tk))) AS r(i)),
+            tf2 AS (
+                SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+                FROM tr GROUP BY doc_id, w1, w2),
+            uni AS (SELECT t.w AS w FROM toks, unnest(tk) AS t(w)),
+            lm1 AS (SELECT w, count(*)::BIGINT AS cnt FROM uni
+                    GROUP BY w),
+            stats AS (SELECT sum(cnt)::BIGINT AS total,
+                             count(*)::BIGINT AS v
+                      FROM lm1),
+            c2 AS (SELECT w1, w2, sum(tf)::BIGINT AS c2 FROM tf2
+                   GROUP BY w1, w2),
+            logp AS (
+                SELECT c2.w1, c2.w2,
+                       CAST(floor(ln(
+                           0.5 * ((c2 + 1)::DOUBLE
+                                  / (a.cnt + v)::DOUBLE)
+                         + 0.5 * ((b.cnt + 1)::DOUBLE
+                                  / (total + v)::DOUBLE)) * 10000)
+                            AS BIGINT) AS lp
+                FROM c2 JOIN lm1 a ON a.w = c2.w1
+                        JOIN lm1 b ON b.w = c2.w2
+                        CROSS JOIN stats),
+            perdoc AS (
+                SELECT doc_id,
+                       cast(sum(tf) AS BIGINT) AS n_tr,
+                       cast(-sum(tf * lp) AS BIGINT) AS nllq
+                FROM tf2 JOIN logp USING (w1, w2)
+                GROUP BY doc_id),
+            scored AS (
+                SELECT d.doc_id, d.lang,
+                       CAST(floor(p.nllq::DOUBLE / p.n_tr::DOUBLE)
+                            AS BIGINT) AS avg_q
+                FROM perdoc p JOIN documents d USING (doc_id)),
+            hist AS (SELECT lang, avg_q, count(*)::BIGINT AS c
+                     FROM scored GROUP BY lang, avg_q),
+            cum AS (SELECT lang, avg_q,
+                           sum(c) OVER (PARTITION BY lang
+                                        ORDER BY avg_q) AS cum,
+                           sum(c) OVER (PARTITION BY lang) AS n
+                    FROM hist),
+            cuts AS (SELECT lang,
+                            min(CASE WHEN cum * 3 >= n
+                                     THEN avg_q END) AS c1,
+                            min(CASE WHEN cum * 3 >= n * 2
+                                     THEN avg_q END) AS c2
+                     FROM cum GROUP BY lang)
+            SELECT s.doc_id, s.lang, s.avg_q,
+                   CASE WHEN s.avg_q <= c.c1 THEN 'head'
+                        WHEN s.avg_q <= c.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s JOIN cuts c USING (lang)""",
+        # MassiveText repeated-passage removal: chunking replicated
+        # with the chunker's exact count rule (1 + floor((n-1)/8) for
+        # n > 8), keeper = first (doc_id, chunk_idx) per paragraph.
+        "text_paragraph_dedup": """
+            WITH pool AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM documents WHERE doc_id < 20),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x != '') AS tk
+                FROM pool),
+            nch AS (
+                SELECT doc_id, tk,
+                       CASE WHEN len(tk) <= 8 THEN 1
+                            ELSE 1 + CAST(floor((len(tk) - 1) / 8.0)
+                                          AS INT) END AS c
+                FROM toks),
+            chunks AS (
+                SELECT doc_id, g AS chunk_idx,
+                       array_to_string(tk[g * 8 + 1 : (g + 1) * 8],
+                                       ' ') AS chunk_text
+                FROM nch, unnest(range(0, c)) AS u(g)),
+            keep AS (
+                SELECT doc_id, chunk_idx, chunk_text,
+                       row_number() OVER (PARTITION BY chunk_text
+                                          ORDER BY doc_id, chunk_idx)
+                           AS rn
+                FROM chunks),
+            rebuilt AS (
+                SELECT doc_id, count(*)::BIGINT AS n_kept,
+                       string_agg(chunk_text, ' '
+                                  ORDER BY chunk_idx) AS kept_text
+                FROM keep WHERE rn = 1 GROUP BY doc_id),
+            totals AS (SELECT doc_id, count(*)::BIGINT AS n_paras
+                       FROM chunks GROUP BY doc_id)
+            SELECT t.doc_id, t.n_paras,
+                   coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+                   coalesce(r.kept_text, '') AS kept_text
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)""",
+        # BGP over the relationally-minted triple table: each pattern
+        # is a filtered scan, shared variables are the join keys —
+        # the same plan bgp_match builds.
+        "kg_bgp_match": """
+            WITH triples AS (
+                SELECT 'n:' || n_name AS subj, 'broader' AS pred,
+                       'r:' || r_name AS obj
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                UNION ALL
+                SELECT 'r:' || r_name, 'prefLabel', r_name FROM region
+                UNION ALL
+                SELECT 'n:' || n_name, 'prefLabel', n_name FROM nation
+                UNION ALL
+                SELECT 'c:' || c_custkey, 'memberOf', 'n:' || n_name
+                FROM customer JOIN nation ON c_nationkey = n_nationkey)
+            SELECT p1.subj AS m, p1.obj AS n, p2.obj AS r,
+                   p3.obj AS label
+            FROM triples p1
+            JOIN triples p2 ON p2.pred = 'broader'
+                           AND p2.subj = p1.obj
+            JOIN triples p3 ON p3.pred = 'prefLabel'
+                           AND p3.subj = p2.obj
+            WHERE p1.pred = 'memberOf'""",
         # trigram LM: identical interpolated probability expression
         # tree as the Spark side (0.5/0.25/0.25 — all weights exactly
         # representable doubles); c2 counted from its OWN bigram pass

@@ -151,6 +151,8 @@ def run_benchmark():
         # incremental SemDeDup vs the persisted vec index, ANN recall
         # as a relational row
         "text_lm5_nll", "dedup_incremental_semantic", "sim_ann_recall",
+        # round 6 part 2: passage removal + graph-pattern query
+        "text_paragraph_dedup", "kg_bgp_match",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization

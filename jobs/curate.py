@@ -12,6 +12,7 @@ over a documents table ``(doc_id, text, ...)``:
       → benchmark-contamination filter          (--benchmark)
       → PII redaction                           (--scrub-pii)
       → repeated-substring excision             (--scrub-spans W,D)
+      → repeated-passage removal                (--paragraph-dedup N)
       → exact dedup (deterministic min-id keeper)
       → MinHash-LSH near-dup dedup (union-find keepers)
       → deterministic stratified sampling       (--sample-rates)
@@ -25,6 +26,7 @@ Cluster deployment:
         jobs/curate.py --input docs.parquet --output <dir> \\
         [--benchmark bench.parquet] [--min-quality 0.2]
         [--max-top-bigram 0.5] [--scrub-pii] [--scrub-spans 8,2]
+        [--paragraph-dedup 16]
         [--max-avg-nll 9.0 [--lm unigram.parquet]]
         [--dsir-target en [--dsir-min-logw 0]]
         [--classifier-gate weights.json]
@@ -88,6 +90,14 @@ def main() -> None:
                              "appearing in >= MIN_DOCS distinct docs is "
                              "removed from the text (maximal merged "
                              "spans) before dedup/packing")
+    parser.add_argument("--paragraph-dedup", type=int, default=None,
+                        metavar="TOKENS",
+                        help="MassiveText repeated-passage removal: "
+                             "chunk docs into TOKENS-token paragraphs, "
+                             "keep each distinct paragraph's first "
+                             "(doc_id, position) occurrence corpus-"
+                             "wide, rebuild docs from survivors; docs "
+                             "losing every paragraph are dropped")
     parser.add_argument("--max-avg-nll", type=float, default=None,
                         help="drop docs whose per-token unigram-LM NLL "
                              "exceeds this (nats; CCNet-style filter). "
@@ -242,6 +252,19 @@ def main() -> None:
         after_tokens = kept.agg(F.sum("n_tokens")).collect()[0][0]
         stats["span_tokens_removed"] = int((before_tokens or 0)
                                            - (after_tokens or 0))
+
+    if args.paragraph_dedup:
+        from mc2skos_spark.functions.dedup import paragraph_dedup
+        from mc2skos_spark.functions.textstats import token_count
+        survivors = (paragraph_dedup(kept, args.paragraph_dedup)
+                     .filter(F.col("n_kept") > 0)
+                     .select("doc_id",
+                             F.col("kept_text").alias("text")))
+        # n_tokens refreshed for the same reason as --scrub-spans:
+        # packing reads it
+        kept = cut(kept.drop("text").join(survivors, "doc_id")
+                   .withColumn("n_tokens", token_count(F.col("text"))))
+        stats["after_paragraph_dedup"] = kept.count()
 
     # exact dedup: deterministic min-id keeper per identical text —
     # grouped by sha2-256 digest so the shuffle moves 32 bytes/doc,

@@ -647,3 +647,64 @@ def scrub_substring_spans(df: DataFrame, window: int = 8,
                 for c in df.columns]
     return (df.join(per_doc, id_col, "left")
             .select(*out_cols))
+
+
+def paragraph_dedup(df: DataFrame, para_tokens: int = 16,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Cross-document PARAGRAPH dedup — MassiveText / Gopher's
+    "repeated passage removal" (Rae et al. 2021, appendix A): chunk
+    every document into non-overlapping ``para_tokens``-token
+    paragraphs (``chunk_documents`` with stride == max_len; corpora
+    with real newline paragraphs would split on those instead — the
+    fixed window is the delimiter-free testdata shape), elect each
+    distinct paragraph's FIRST occurrence in (id, chunk_idx) order as
+    its keeper, and rebuild every document from its surviving
+    paragraphs.  Duplicates are removed both ACROSS documents and
+    within one (two identical chunks in the same doc keep only the
+    earlier).
+
+    Returns ``(id_col, n_paras, n_kept, kept_text)`` — total over
+    input docs: a document whose every paragraph loses keeps its row
+    with ``n_kept = 0`` and ``kept_text = ''``.
+
+    Scale shape: chunking is a pure projection + explode (no
+    shuffle); keeper election is ONE hash aggregate on the paragraph
+    (map-side combine collapses each partition's repeats before the
+    shuffle); one equi-join back; one groupBy(id) rebuild.  At 100 TB
+    the election key would be ``xxhash64(chunk_text)`` (8 bytes on
+    the wire instead of the paragraph — same collision policy as
+    ``exact_duplicates``); it is text-keyed here so the DuckDB oracle
+    replicates it byte-for-byte.  Keeper identity is the lexicographic
+    struct-min over (id, chunk_idx) — a total order, so the output is
+    deterministic under any partitioning.
+    """
+    from .packing import chunk_documents
+    if para_tokens < 1:
+        raise ValueError("para_tokens must be >= 1, got %d"
+                         % para_tokens)
+    chunks = chunk_documents(df.select(id_col, text_col),
+                             para_tokens, para_tokens,
+                             id_col, text_col)
+    winners = (chunks.groupBy("chunk_text")
+               .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                   F.col("chunk_idx").alias("x")))
+                    .alias("w")))
+    kept = (chunks.join(winners, "chunk_text")
+            .filter((F.col("w.i") == F.col(id_col))
+                    & (F.col("w.x") == F.col("chunk_idx"))))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("chunk_idx", "chunk_text"))),
+                            lambda s: s["chunk_text"]), " ")
+                    .alias("kept_text")))
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paras"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col, "n_paras",
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.coalesce("kept_text", F.lit("")).alias("kept_text")))

@@ -306,3 +306,60 @@ def trigram_nll_scores(documents: DataFrame, id_col: str = "doc_id",
                       F.col("n_transitions").alias("n_transitions3"),
                       F.col("nll_q").alias("nll3_q"),
                       F.col("avg_nll").alias("avg_nll3"))
+
+
+def perplexity_buckets(documents: DataFrame, order: int = 2,
+                       id_col: str = "doc_id",
+                       text_col: str = "text",
+                       lang_col: str = "lang") -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3):
+    score every document under the self-trained order-n LM
+    (:func:`ngram_nll_scores`), then bucket each LANGUAGE's documents
+    into perplexity thirds — ``head`` = the lowest-NLL (most fluent)
+    third, ``tail`` = the highest.  CCNet trains on Wikipedia and
+    filters CommonCrawl; self-training on the corpus itself is the
+    single-table variant with identical plumbing.
+
+    Cutoffs are INTEGER-exact, not interpolated: per-doc score is
+    ``floor(nll_q / n_transitions)`` (the 1e-4-quantized mean NLL as
+    a long), and the k/3 cutoff is the smallest score whose cumulative
+    doc count reaches ``ceil(k·n/3)`` — computed as ``3·cum ≥ k·n`` so
+    the DuckDB oracle replicates it with no float percentile in
+    either engine.  Ties share a bucket (same score ⇒ same label), so
+    thirds are approximate exactly when scores tie — the standard
+    discrete-quantile contract.
+
+    Scale shape: scoring is the :func:`ngram_nll_scores` plan; the
+    cutoff pass runs on the (lang, score) HISTOGRAM — one hash
+    aggregate over docs, then a window over distinct scores per
+    language (bounded by score cardinality, not corpus size) — and
+    the per-language cutoff table (1 row per language) broadcast-joins
+    back.  No window ever partitions over the full document table.
+
+    Returns ``(id_col, lang, avg_q, bucket)``.
+    """
+    from pyspark.sql.window import Window
+    nll = ngram_nll_scores(documents, order, None, id_col, text_col)
+    scored = (nll.join(documents.select(id_col, lang_col), id_col)
+              .select(id_col, F.col(lang_col).alias("lang"),
+                      F.floor(F.col("nll_q") / F.col("n_transitions"))
+                      .cast("long").alias("avg_q"))
+              .localCheckpoint(eager=False))   # feeds histogram + label
+    hist = scored.groupBy("lang", "avg_q").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    w = (Window.partitionBy("lang").orderBy("avg_q")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select("lang", "avg_q",
+                      F.sum("c").over(w).alias("cum"),
+                      F.sum("c").over(Window.partitionBy("lang"))
+                      .alias("n"))
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"),
+                     F.col("avg_q"))).alias("c1"),
+        F.min(F.when(F.col("cum") * 3 >= F.col("n") * 2,
+                     F.col("avg_q"))).alias("c2"))
+    return (scored.join(F.broadcast(cuts), "lang")
+            .select(id_col, "lang", "avg_q",
+                    F.when(F.col("avg_q") <= F.col("c1"), "head")
+                    .when(F.col("avg_q") <= F.col("c2"), "middle")
+                    .otherwise("tail").alias("bucket")))

@@ -1,0 +1,114 @@
+"""BGP (basic-graph-pattern) matching over (subj, pred, obj) triple
+tables (operators/bgp.py): shared-variable joins, constant pushdown,
+repeated-variable-within-pattern equality, product rejection — and a
+run over the KG pipeline's OWN extracted triples, since querying the
+materialized graph is the operator's reason to exist."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mc2skos_spark.operators.bgp import bgp_match
+
+pytestmark = pytest.mark.spark
+
+TRIPLES = [
+    ("a", "broader", "b"),
+    ("b", "broader", "c"),
+    ("a", "prefLabel", "Alpha"),
+    ("b", "prefLabel", "Beta"),
+    ("c", "prefLabel", "Gamma"),
+    ("x", "knows", "x"),
+    ("x", "knows", "y"),
+]
+
+
+def _t(spark):
+    return spark.createDataFrame(TRIPLES, "subj string, pred string,"
+                                          " obj string")
+
+
+def test_two_pattern_join(spark):
+    out = bgp_match(_t(spark), [("?c", "broader", "?p"),
+                                ("?p", "prefLabel", "?l")])
+    assert set(out.columns) == {"c", "p", "l"}
+    assert {tuple(r) for r in out.select("c", "p", "l").collect()} == {
+        ("a", "b", "Beta"), ("b", "c", "Gamma")}
+
+
+def test_constant_subject_pushdown(spark):
+    out = bgp_match(_t(spark), [("a", "?rel", "?o")])
+    assert {tuple(r) for r in out.select("rel", "o").collect()} == {
+        ("broader", "b"), ("prefLabel", "Alpha")}
+    # the constant reaches the scan as a pushable filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_repeated_variable_within_pattern(spark):
+    out = bgp_match(_t(spark), [("?s", "knows", "?s")])
+    assert [r["s"] for r in out.collect()] == ["x"]
+
+
+def test_three_pattern_chain_and_bag_semantics(spark):
+    out = bgp_match(_t(spark), [("?a", "broader", "?b"),
+                                ("?b", "broader", "?c"),
+                                ("?c", "prefLabel", "?l")])
+    assert {tuple(r) for r in out.select("a", "b", "c", "l")
+            .collect()} == {("a", "b", "c", "Gamma")}
+
+
+def test_disconnected_pattern_rejected(spark):
+    with pytest.raises(ValueError, match="no variable"):
+        bgp_match(_t(spark), [("?a", "broader", "?b"),
+                              ("?x", "knows", "?y")])
+    # explicit opt-in gives the product
+    out = bgp_match(_t(spark), [("?a", "broader", "?b"),
+                                ("?x", "knows", "?y")],
+                    allow_product=True)
+    assert out.count() == 4          # 2 broader rows x 2 knows rows
+
+
+def test_bad_patterns(spark):
+    with pytest.raises(ValueError, match="empty"):
+        bgp_match(_t(spark), [])
+    with pytest.raises(ValueError, match="triple"):
+        bgp_match(_t(spark), [("?a", "b")])
+    with pytest.raises(ValueError, match="bare"):
+        bgp_match(_t(spark), [("?", "p", "?o")])
+
+
+def test_over_extracted_kg_triples(spark):
+    """Run a BGP against triples the pipeline itself extracted: every
+    concept with a broader parent and a prefLabel — cross-checked
+    against the straightforward DataFrame join."""
+    import __spark_entry__ as entry
+    triples = (entry.queries()["kg_golden_triples"](spark, "")
+               .select("subj", "pred", "obj"))
+    skos = "http://www.w3.org/2004/02/skos/core#"
+    out = bgp_match(triples, [("?c", skos + "broader", "?p"),
+                              ("?c", skos + "prefLabel", "?l")])
+    b = triples.filter(F.col("pred") == skos + "broader")
+    lbl = triples.filter(F.col("pred") == skos + "prefLabel")
+    expect = (b.select(F.col("subj").alias("c"), F.col("obj").alias("p"))
+              .join(lbl.select(F.col("subj").alias("c"),
+                               F.col("obj").alias("l")), "c"))
+    got = {tuple(r) for r in out.select("c", "p", "l").collect()}
+    want = {tuple(r) for r in expect.select("c", "p", "l").collect()}
+    assert got == want and got     # non-vacuous
+
+
+def test_optional_group_left_join(spark):
+    """SPARQL OPTIONAL: rows without the optional binding survive with
+    nulls; a multi-pattern optional group joins internally first."""
+    t = _t(spark)
+    out = bgp_match(t, [("?c", "broader", "?p")],
+                    optional=[[("?p", "prefLabel", "?l")],
+                              [("?p", "broader", "?g"),
+                               ("?g", "prefLabel", "?gl")]])
+    rows = {r["c"]: (r["p"], r["l"], r["g"], r["gl"])
+            for r in out.collect()}
+    assert rows["a"] == ("b", "Beta", "c", "Gamma")
+    assert rows["b"] == ("c", "Gamma", None, None)   # c has no parent
+    with pytest.raises(ValueError, match="optional group"):
+        bgp_match(t, [("?c", "broader", "?p")],
+                  optional=[[("?x", "knows", "?y")]])

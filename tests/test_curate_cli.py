@@ -339,3 +339,39 @@ def test_curate_cli_classifier_gate(spark, tmp_path):
     kept = {r["doc_id"] for r in
             spark.read.parquet(result["output"]).collect()}
     assert kept == {200, 201}
+
+
+def test_curate_cli_paragraph_dedup(spark, tmp_path):
+    """--paragraph-dedup N: repeated passages are removed corpus-wide
+    (first occurrence wins), docs losing every paragraph drop from the
+    pool, lineage counts reflect the stage, and token accounting flows
+    into packing."""
+    A = "alpha beta gamma delta"                 # 4-token paragraphs
+    B = "echo foxtrot golf hotel"
+    C = "india juliet kilo lima"
+    docs = [(0, A + " " + B),      # keeps both (first occurrence)
+            (1, B + " " + C),      # B lost to doc 0, keeps C
+            (2, A + " " + B),      # loses everything -> dropped
+            (9, "completely unrelated standalone document text here")]
+    spark.createDataFrame(docs, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "docs"))
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", str(tmp_path / "docs"),
+         "--output", str(tmp_path / "out"),
+         "--paragraph-dedup", "4",
+         "--capacity", "16"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+
+    assert result["stats"]["input"] == 4
+    assert result["stats"]["after_paragraph_dedup"] == 3
+    assert result["stats"]["output"] == 3
+
+    corpus = spark.read.parquet(result["output"]).collect()
+    by_id = {r["doc_id"]: r["text"] for r in corpus}
+    assert by_id == {0: A + " " + B, 1: C, 9: docs[3][1]}
+    assert result["total_tokens"] == sum(len(t.split())
+                                         for t in by_id.values())

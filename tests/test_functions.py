@@ -1294,3 +1294,97 @@ def test_quality_classifier_train_score_loop(spark):
         linear_text_scores(hold_df, {})
     with pytest.raises(ValueError, match="outside"):
         linear_text_scores(hold_df, {999: 1})
+
+
+def test_paragraph_dedup_keeper_and_rebuild(spark):
+    """MassiveText repeated-passage removal: first occurrence (by
+    doc_id, chunk_idx) wins across AND within documents; rebuilt text
+    preserves chunk order; fully-duplicated docs stay as rows with
+    n_kept = 0."""
+    from mc2skos_spark.functions.dedup import paragraph_dedup
+    P1 = "a b c d"          # 4 tokens = one chunk at para_tokens=4
+    P2 = "e f g h"
+    P3 = "i j k l"
+    docs = spark.createDataFrame(
+        [(1, f"{P1} {P2}"),            # original
+         (2, f"{P2} {P3}"),            # shares P2 with doc 1
+         (3, f"{P1} {P2}"),            # full duplicate of doc 1
+         (4, f"{P3} {P3}")],           # intra-doc repeat (P3 lost to 2)
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           paragraph_dedup(docs, para_tokens=4).collect()}
+    assert len(out) == 4                       # total over input docs
+    assert (out[1]["n_paras"], out[1]["n_kept"],
+            out[1]["kept_text"]) == (2, 2, f"{P1} {P2}")
+    assert (out[2]["n_kept"], out[2]["kept_text"]) == (1, P3)
+    assert (out[3]["n_kept"], out[3]["kept_text"]) == (0, "")
+    assert (out[4]["n_paras"], out[4]["n_kept"],
+            out[4]["kept_text"]) == (2, 0, "")  # both copies lose to 2
+    with pytest.raises(ValueError, match="para_tokens"):
+        paragraph_dedup(docs, para_tokens=0)
+
+
+def test_paragraph_dedup_tail_chunk_and_determinism(spark):
+    """Tail chunks shorter than the window dedup too, and the output
+    is identical under different partitionings (struct-min keeper is
+    a total order)."""
+    from mc2skos_spark.functions.dedup import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(10, "w x y z tail"),        # chunk0 'w x y z', chunk1 'tail'
+         (11, "tail"),                # loses its only chunk to doc 10
+         (12, "")],                   # empty doc: one empty chunk
+        "doc_id long, text string")
+    base = paragraph_dedup(docs, para_tokens=4)
+    got = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["kept_text"])
+           for r in base.collect()}
+    assert got[10] == (2, 2, "w x y z tail")
+    assert got[11] == (1, 0, "")
+    assert got[12] == (1, 1, "")      # '' keeper is doc 12 itself
+    re = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["kept_text"])
+          for r in paragraph_dedup(docs.repartition(7), para_tokens=4)
+          .collect()}
+    assert re == got
+
+
+def test_perplexity_buckets_thirds_and_ordering(spark):
+    """CCNet head/middle/tail: per-language thirds by the order-2 LM
+    score, head strictly the lowest-NLL band; every scored doc gets
+    exactly one bucket; cutoffs are per-language (a second language
+    with its own distribution buckets independently)."""
+    from mc2skos_spark.functions.lm import (ngram_nll_scores,
+                                            perplexity_buckets)
+    fluent = "the cat sat on the mat and the cat sat again"
+    rows = []
+    for i in range(9):                 # en: repetitive -> varied
+        words = fluent.split()
+        noise = " ".join("tok%d%d" % (i, j) for j in range(i))
+        rows.append((i, " ".join(words) + (" " + noise if noise else ""),
+                     "en"))
+    rows += [(100 + i, "uno dos tres " + "uniq%d " % i * (i + 1), "fr")
+             for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string,"
+                                       " lang string")
+    out = perplexity_buckets(docs, order=2).collect()
+    nll = ngram_nll_scores(docs, 2).collect()
+    assert len(out) == len(nll)        # one bucket per scored doc
+
+    # exact serial reference: same integer score, same ceil(k*n/3)
+    # rank rule computed in plain Python
+    lang_of = {i: lg for i, _, lg in rows}
+    score = {r["doc_id"]: r["nll_q"] // r["n_transitions"] for r in nll}
+    expect = {}
+    for lang in {v for v in lang_of.values()}:
+        ss = sorted(s for d, s in score.items() if lang_of[d] == lang)
+        n = len(ss)
+        c1 = next(s for i, s in enumerate(ss) if (i + 1) * 3 >= n)
+        c2 = next(s for i, s in enumerate(ss) if (i + 1) * 3 >= 2 * n)
+        for d, s in score.items():
+            if lang_of[d] == lang:
+                expect[d] = ("head" if s <= c1
+                             else "middle" if s <= c2 else "tail")
+    got = {r["doc_id"]: r["bucket"] for r in out}
+    assert got == expect
+    for r in out:                      # score column matches too
+        assert r["avg_q"] == score[r["doc_id"]]
+        assert r["lang"] == lang_of[r["doc_id"]]
+    assert {"head", "tail"} <= set(got.values())   # non-degenerate
