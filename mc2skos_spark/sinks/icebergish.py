@@ -175,14 +175,16 @@ class IcebergishCatalog:
                              "supported by the Icebergish shim (%r)"
                              % table)
         return self._write_snapshot(
-            table, df, None, lineage_key, properties, base=current)
+            table, df, None, lineage_key, properties, base=current,
+            operation="append")
 
     def _write_snapshot(self, table: str, df: DataFrame,
                         partition_by: list[str] | None,
                         lineage_key: str | None,
                         properties: dict | None,
                         base: dict | None,
-                        schema_json: dict | None = None) -> dict:
+                        schema_json: dict | None = None,
+                        operation: str = "overwrite") -> dict:
         tdir = self._table_dir(table)
         os.makedirs(tdir, exist_ok=True)
         current = self.current_manifest(table)
@@ -233,6 +235,7 @@ class IcebergishCatalog:
             # replay-deterministic (sorted lineage, stable part ids);
             # only this ops-metadata field varies between replays.
             "committed_at": time.time(),
+            "operation": operation,
             "dir": os.path.basename(snap_dir),
             "dirs": base_dirs + [os.path.basename(snap_dir)],
             "row_count": row_count,
@@ -251,16 +254,73 @@ class IcebergishCatalog:
 
     # ------------------------------------------------------------- read
 
-    def read(self, table: str) -> DataFrame:
+    def _manifest_for(self, table: str, snapshot_id: int | None,
+                      as_of: float | None) -> dict:
+        """Resolve the manifest to read: current, a pinned snapshot id,
+        or the newest snapshot committed at/before ``as_of`` (epoch
+        seconds) — Iceberg's VERSION AS OF / TIMESTAMP AS OF.  Only
+        RETAINED snapshots are reachable: after ``expire_snapshots``
+        the expired history is gone, exactly like Iceberg."""
+        if snapshot_id is not None and as_of is not None:
+            raise ValueError("pass snapshot_id OR as_of, not both")
+        if snapshot_id is not None:
+            path = self._manifest_path(table, snapshot_id)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    "table %r has no retained snapshot %d (expired or "
+                    "never committed)" % (table, snapshot_id))
+            with open(path) as fp:
+                return json.load(fp)
+        if as_of is not None:
+            best = None
+            for fname in self._list_manifests(table):
+                with open(os.path.join(self._table_dir(table),
+                                       fname)) as fp:
+                    m = json.load(fp)
+                if m["committed_at"] <= as_of:
+                    best = m          # manifests iterate oldest→newest
+            if best is None:
+                raise FileNotFoundError(
+                    "table %r has no retained snapshot committed at or "
+                    "before %s" % (table, as_of))
+            return best
         manifest = self.current_manifest(table)
         if manifest is None:
             raise FileNotFoundError("no committed snapshot for table %r"
                                     % table)
+        return manifest
+
+    def read(self, table: str, snapshot_id: int | None = None,
+             as_of: float | None = None) -> DataFrame:
+        """Read a committed snapshot — the current one by default, a
+        pinned ``snapshot_id`` (Iceberg ``VERSION AS OF``) or the one
+        current at epoch-seconds ``as_of`` (``TIMESTAMP AS OF``)."""
+        manifest = self._manifest_for(table, snapshot_id, as_of)
         from pyspark.sql import types as T
         dirs = manifest.get("dirs", [manifest["dir"]])
         return self.spark.read.schema(
             T.StructType.fromJson(manifest["schema"])).parquet(
             *[os.path.join(self._table_dir(table), d) for d in dirs])
+
+    def history(self, table: str) -> DataFrame:
+        """The table's retained snapshot log as a DataFrame — Iceberg's
+        ``table.history()``/``snapshots`` metadata view: (snapshot_id,
+        committed_at, operation, row_count, n_files), oldest first.
+        Reads only manifest JSON — no data files touched."""
+        rows = []
+        for fname in self._list_manifests(table):
+            with open(os.path.join(self._table_dir(table), fname)) as fp:
+                m = json.load(fp)
+            rows.append((m["snapshot_id"], float(m["committed_at"]),
+                         m.get("operation", "overwrite"),
+                         m["row_count"],
+                         len(m.get("dirs", [m["dir"]]))))
+        if not rows:
+            raise FileNotFoundError("no committed snapshot for table %r"
+                                    % table)
+        return self.spark.createDataFrame(
+            rows, "snapshot_id int, committed_at double,"
+                  " operation string, row_count long, n_data_dirs int")
 
     def lineage(self, table: str | None = None) -> DataFrame:
         """All committed lineage rows as a queryable DataFrame
@@ -322,7 +382,7 @@ class IcebergishCatalog:
         return self._write_snapshot(
             table, df, current["partition_by"] or None, lineage_key,
             dict(current["properties"]), base=None,
-            schema_json=current["schema"])
+            schema_json=current["schema"], operation="replace")
 
     def expire_snapshots(self, table: str, keep_last: int = 1,
                          older_than: float | None = None) -> dict:

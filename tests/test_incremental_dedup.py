@@ -475,3 +475,62 @@ def test_catalog_append_nullability_direction(spark, tmp_path):
     cat.write("t2", widened, lineage_key="id")       # optional table
     cat.append("t2", strict, lineage_key="id")
     assert cat.current_manifest("t2")["row_count"] == 9
+
+
+def test_catalog_time_travel_and_history(spark, tmp_path):
+    """Iceberg VERSION AS OF / TIMESTAMP AS OF + the snapshot-log
+    metadata view: every retained snapshot is readable as it was;
+    as_of resolves the newest manifest at/before the timestamp;
+    history() records (operation, row_count) per commit; compaction
+    keeps history readable; expiry makes expired ids unreachable —
+    exactly Iceberg's contract."""
+    import time
+
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    cat.write("t", spark.range(0, 10).selectExpr("id"), lineage_key="id")
+    t0 = cat.current_manifest("t")["committed_at"]
+    cat.append("t", spark.range(10, 20).selectExpr("id"),
+               lineage_key="id")
+    cat.append("t", spark.range(20, 30).selectExpr("id"),
+               lineage_key="id")
+
+    # version-as-of: each snapshot reads as committed
+    for sid, upper in [(0, 10), (1, 20), (2, 30)]:
+        got = sorted(r["id"] for r in
+                     cat.read("t", snapshot_id=sid).collect())
+        assert got == list(range(upper)), sid
+
+    # timestamp-as-of: before the first commit -> error; at t0 -> v0;
+    # far future -> current
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        cat.read("t", as_of=t0 - 1e6)
+    assert cat.read("t", as_of=t0).count() == 10
+    assert cat.read("t", as_of=time.time() + 3600).count() == 30
+    with pytest.raises(ValueError, match="not both"):
+        cat.read("t", snapshot_id=1, as_of=t0)
+
+    # history: snapshot log oldest-first with operations and counts
+    hist = cat.history("t").collect()
+    assert [(r["snapshot_id"], r["operation"], r["row_count"],
+             r["n_data_dirs"]) for r in hist] == [
+        (0, "overwrite", 10, 1), (1, "append", 20, 2),
+        (2, "append", 30, 3)]
+    assert all(hist[i]["committed_at"] <= hist[i + 1]["committed_at"]
+               for i in range(len(hist) - 1))
+
+    # compaction commits a 'replace' snapshot; prior versions remain
+    # readable until expired
+    cat.compact("t", target_files=1, lineage_key="id")
+    hist = cat.history("t").collect()
+    assert (hist[-1]["operation"], hist[-1]["row_count"],
+            hist[-1]["n_data_dirs"]) == ("replace", 30, 1)
+    assert cat.read("t", snapshot_id=1).count() == 20
+
+    # expiry removes old snapshots from the travelable range
+    cat.expire_snapshots("t", keep_last=1)
+    with pytest.raises(FileNotFoundError, match="retained"):
+        cat.read("t", snapshot_id=1)
+    assert cat.read("t", snapshot_id=3).count() == 30
+    assert [r["snapshot_id"] for r in cat.history("t").collect()] == [3]
+    with pytest.raises(FileNotFoundError):
+        cat.history("missing")
