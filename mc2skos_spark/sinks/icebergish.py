@@ -302,6 +302,71 @@ class IcebergishCatalog:
             T.StructType.fromJson(manifest["schema"])).parquet(
             *[os.path.join(self._table_dir(table), d) for d in dirs])
 
+    def read_changes(self, table: str, from_snapshot_id: int,
+                     to_snapshot_id: int | None = None,
+                     with_snapshot_id: bool = False) -> DataFrame:
+        """Iceberg incremental append scan: the rows committed AFTER
+        ``from_snapshot_id`` up to and including ``to_snapshot_id``
+        (default: current).  Reads ONLY the appended snapshot dirs —
+        O(delta) data I/O, never O(table) — which is what lets a
+        downstream incremental job re-derive state from just the new
+        rows at 100 TB.  The span must be append-only: compaction /
+        overwrite rewrites data files, so an appended-dirs diff would
+        double- or under-count — detected via the dirs-prefix check and
+        raised loudly, matching Iceberg's incremental-scan restriction
+        (use ``snapshot_diff`` across rewrites instead).
+        ``with_snapshot_id=True`` adds a ``_snapshot_id`` column
+        recovered from the snapshot dir name (Iceberg's
+        ``_commit_snapshot_id``) — one codegen regexp, no extra scan."""
+        frm = self._manifest_for(table, from_snapshot_id, None)
+        to = self._manifest_for(table, to_snapshot_id, None)
+        if to["snapshot_id"] < frm["snapshot_id"]:
+            raise ValueError(
+                "to_snapshot_id %d precedes from_snapshot_id %d"
+                % (to["snapshot_id"], frm["snapshot_id"]))
+        from pyspark.sql import types as T
+        from_dirs = frm.get("dirs", [frm["dir"]])
+        to_dirs = to.get("dirs", [to["dir"]])
+        if to_dirs[:len(from_dirs)] != from_dirs:
+            raise ValueError(
+                "history of table %r between snapshots %d and %d is not "
+                "append-only (a compaction or overwrite rewrote data "
+                "files); incremental read is undefined — use "
+                "snapshot_diff instead" % (table, frm["snapshot_id"],
+                                           to["snapshot_id"]))
+        schema = T.StructType.fromJson(to["schema"])
+        delta = to_dirs[len(from_dirs):]
+        if not delta:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self._table_dir(table), d) for d in delta])
+        if with_snapshot_id:
+            df = df.withColumn(
+                "_snapshot_id",
+                F.regexp_extract(F.input_file_name(),
+                                 r"snap-(\d+)/", 1).cast("int"))
+        return df
+
+    def snapshot_diff(self, table: str, from_snapshot_id: int,
+                      to_snapshot_id: int | None = None) -> DataFrame:
+        """Multiset diff between two retained snapshots as a changelog
+        frame: the ``to`` rows absent from ``from`` tagged
+        ``_change_type='insert'`` plus the ``from`` rows absent from
+        ``to`` tagged ``'delete'`` (Iceberg's changelog view shape).
+        Works across compactions/overwrites where ``read_changes``
+        refuses — at the price of scanning BOTH snapshots and one
+        hash-aggregate shuffle per side (``exceptAll``); the O(delta)
+        append scan is always preferred when the span qualifies."""
+        frm = self.read(table, snapshot_id=from_snapshot_id)
+        to = self.read(table, snapshot_id=(
+            to_snapshot_id
+            if to_snapshot_id is not None
+            else self.current_manifest(table)["snapshot_id"]))
+        return (to.exceptAll(frm)
+                  .withColumn("_change_type", F.lit("insert"))
+                .unionByName(frm.exceptAll(to)
+                             .withColumn("_change_type", F.lit("delete"))))
+
     def history(self, table: str) -> DataFrame:
         """The table's retained snapshot log as a DataFrame — Iceberg's
         ``table.history()``/``snapshots`` metadata view: (snapshot_id,

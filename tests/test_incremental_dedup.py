@@ -534,3 +534,60 @@ def test_catalog_time_travel_and_history(spark, tmp_path):
     assert [r["snapshot_id"] for r in cat.history("t").collect()] == [3]
     with pytest.raises(FileNotFoundError):
         cat.history("missing")
+
+
+def test_catalog_incremental_read_and_snapshot_diff(spark, tmp_path):
+    """Iceberg incremental append scan + changelog diff.
+    read_changes(from, to): exactly the rows appended in (from, to],
+    O(delta) dirs only; _snapshot_id recovers each row's commit;
+    empty span -> empty frame with the table schema; reversed span and
+    a compaction inside the span raise; snapshot_diff works ACROSS the
+    compaction and tags inserts/deletes like Iceberg's changelog view."""
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    cat.write("t", spark.range(0, 10).selectExpr("id"), lineage_key="id")
+    cat.append("t", spark.range(10, 20).selectExpr("id"),
+               lineage_key="id")
+    cat.append("t", spark.range(20, 30).selectExpr("id"),
+               lineage_key="id")
+
+    got = cat.read_changes("t", from_snapshot_id=0)           # to=current
+    assert sorted(r["id"] for r in got.collect()) == list(range(10, 30))
+    got = cat.read_changes("t", 0, to_snapshot_id=1)
+    assert sorted(r["id"] for r in got.collect()) == list(range(10, 20))
+
+    # the delta scan must read ONLY the appended dirs
+    scanned = cat.read_changes("t", 1, 2).select(
+        F.input_file_name().alias("f")).distinct().collect()
+    assert all("snap-000002" in r["f"] for r in scanned)
+
+    # per-row commit attribution
+    tagged = cat.read_changes("t", 0, with_snapshot_id=True)
+    by_snap = {r["id"]: r["_snapshot_id"] for r in tagged.collect()}
+    assert by_snap[10] == 1 and by_snap[25] == 2
+
+    # empty span keeps the schema; reversed span raises
+    empty = cat.read_changes("t", 2, 2)
+    assert empty.count() == 0 and empty.columns == ["id"]
+    with pytest.raises(ValueError, match="precedes"):
+        cat.read_changes("t", 2, 0)
+
+    # compaction inside the span breaks append-only-ness -> loud error
+    cat.compact("t", target_files=1, lineage_key="id")
+    with pytest.raises(ValueError, match="not\\s+append-only"):
+        cat.read_changes("t", 1)  # spans the replace snapshot
+    # ...but a span starting AT the compacted snapshot works again
+    cat.append("t", spark.range(30, 35).selectExpr("id"),
+               lineage_key="id")
+    got = cat.read_changes("t", 3)
+    assert sorted(r["id"] for r in got.collect()) == list(range(30, 35))
+
+    # snapshot_diff crosses the rewrite: compaction itself is a no-op
+    # diff; the later append shows as pure inserts; reversed order
+    # flips insert/delete
+    assert cat.snapshot_diff("t", 2, 3).count() == 0
+    diff = cat.snapshot_diff("t", 1, 4).collect()
+    assert {r["_change_type"] for r in diff} == {"insert"}
+    assert sorted(r["id"] for r in diff) == list(range(20, 35))
+    back = cat.snapshot_diff("t", 4, 1).collect()
+    assert {r["_change_type"] for r in back} == {"delete"}
+    assert sorted(r["id"] for r in back) == list(range(20, 35))
