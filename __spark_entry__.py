@@ -1377,6 +1377,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                    ("?n", "broader", "?r"),
                                    ("?r", "prefLabel", "?label")])
 
+    # --- SPARQL 1.1 property paths (operators/bgp.py Path
+    #     combinators): memberOf/broader+ reaches EVERY ancestor
+    #     (nation→region→ROOT) through the iterative-doubling closure,
+    #     the label is an OPTIONAL group (ROOT has none — left-join
+    #     nulls survive, per SPARQL's leftjoin algebra).  DuckDB's
+    #     recursive CTE is the independent closure oracle.
+    def kg_path_match(spark, sf_dir):
+        from mc2skos_spark.operators.bgp import bgp_match, plus, seq
+        nation = _t(spark, sf_dir, "nation")
+        region = _t(spark, sf_dir, "region")
+        customer = _t(spark, sf_dir, "customer")
+        n_uri = F.concat(F.lit("n:"), F.col("n_name"))
+        r_uri = F.concat(F.lit("r:"), F.col("r_name"))
+        triples = (
+            nation.join(region,
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(n_uri.alias("subj"), F.lit("broader").alias("pred"),
+                    r_uri.alias("obj"))
+            .unionByName(region.select(
+                r_uri.alias("subj"), F.lit("broader").alias("pred"),
+                F.lit("r:ROOT").alias("obj")))
+            .unionByName(region.select(
+                r_uri.alias("subj"), F.lit("prefLabel").alias("pred"),
+                F.col("r_name").alias("obj")))
+            .unionByName(
+                customer.join(
+                    nation,
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+                .select(F.concat(F.lit("c:"),
+                                 F.col("c_custkey").cast("string"))
+                        .alias("subj"),
+                        F.lit("memberOf").alias("pred"),
+                        n_uri.alias("obj"))))
+        return bgp_match(
+            triples,
+            [("?c", seq("memberOf", plus("broader")), "?a")],
+            optional=[[("?a", "prefLabel", "?label")]])
+
     # --- DSIR importance weights (Xie et al. 2023): hashed {1,2}-gram
     #     bucket counts (md5 first byte — engine-portable), target =
     #     the lang='en' slice, raw = the whole pool; per-bucket
@@ -1654,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ccnet_buckets": text_ccnet_buckets,
         "text_paragraph_dedup": text_paragraph_dedup,
         "kg_bgp_match": kg_bgp_match,
+        "kg_path_match": kg_path_match,
         "dsir_en_weights": dsir_en_weights,
         "quality_classifier_scores": quality_classifier_scores,
         "pivot_lang_matrix": pivot_lang_matrix,
@@ -3210,6 +3249,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN triples p3 ON p3.pred = 'prefLabel'
                            AND p3.subj = p2.obj
             WHERE p1.pred = 'memberOf'""",
+        # property-path twin: memberOf/broader+ with an OPTIONAL
+        # label.  The broader+ closure is DuckDB's recursive CTE
+        # (UNION dedups — set semantics, same as the doubling loop);
+        # ROOT keeps a NULL label through the LEFT JOIN.
+        "kg_path_match": """
+            WITH RECURSIVE triples AS (
+                SELECT 'n:' || n_name AS subj, 'broader' AS pred,
+                       'r:' || r_name AS obj
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                UNION ALL
+                SELECT 'r:' || r_name, 'broader', 'r:ROOT' FROM region
+                UNION ALL
+                SELECT 'r:' || r_name, 'prefLabel', r_name FROM region
+                UNION ALL
+                SELECT 'c:' || c_custkey, 'memberOf', 'n:' || n_name
+                FROM customer JOIN nation ON c_nationkey = n_nationkey),
+            closure AS (
+                SELECT subj AS src, obj AS dst FROM triples
+                WHERE pred = 'broader'
+                UNION
+                SELECT cl.src, t.obj FROM closure cl
+                JOIN triples t ON t.pred = 'broader'
+                              AND t.subj = cl.dst)
+            SELECT m.subj AS c, cl.dst AS a, lbl.obj AS label
+            FROM triples m
+            JOIN closure cl ON cl.src = m.obj
+            LEFT JOIN triples lbl ON lbl.pred = 'prefLabel'
+                                 AND lbl.subj = cl.dst
+            WHERE m.pred = 'memberOf'""",
         # trigram LM: identical interpolated probability expression
         # tree as the Spark side (0.5/0.25/0.25 — all weights exactly
         # representable doubles); c2 counted from its OWN bigram pass

@@ -32,6 +32,116 @@ from pyspark.sql import DataFrame, functions as F
 _POS = ("subj", "pred", "obj")
 
 
+class Path:
+    """A SPARQL 1.1 property-path expression for a pattern's predicate
+    position — built via the module-level combinators ``seq``/``alt``/
+    ``inv``/``plus``/``star``/``zero_or_one`` rather than parsed from
+    string syntax (predicate URIs contain ``/`` and ``|``, so an
+    in-string path grammar would be ambiguous against real vocabularies
+    like ``http://…/core#broader``)."""
+
+    __slots__ = ("kind", "parts")
+
+    def __init__(self, kind: str, parts: tuple):
+        self.kind = kind
+        self.parts = parts
+
+    def __repr__(self):
+        return "Path(%s, %r)" % (self.kind, self.parts)
+
+
+def seq(*steps) -> Path:
+    """Path sequence ``p1/p2/…`` — composition via equi-joins."""
+    if len(steps) < 2:
+        raise ValueError("seq needs at least two steps")
+    return Path("seq", steps)
+
+
+def alt(*alts) -> Path:
+    """Path alternative ``p1|p2|…`` — union of the step relations."""
+    if len(alts) < 2:
+        raise ValueError("alt needs at least two alternatives")
+    return Path("alt", alts)
+
+
+def inv(step) -> Path:
+    """Inverse path ``^p`` — swap subject and object."""
+    return Path("inv", (step,))
+
+
+def plus(step) -> Path:
+    """One-or-more ``p+`` — transitive closure (iterative doubling:
+    O(log diameter) self-join rounds, set semantics per the spec)."""
+    return Path("plus", (step,))
+
+
+def star(step) -> Path:
+    """Zero-or-more ``p*`` — ``p+`` ∪ the zero-length path (every RDF
+    term in the graph paired with itself, per SPARQL's zero-length
+    semantics; costs one distinct over the graph's terms)."""
+    return Path("star", (step,))
+
+
+def zero_or_one(step) -> Path:
+    """``p?`` — the step's edges ∪ the zero-length identity."""
+    return Path("opt", (step,))
+
+
+def _graph_terms(triples: DataFrame) -> DataFrame:
+    """Every RDF term of the graph as (src, dst) identity pairs —
+    the zero-length path relation (subjects ∪ objects, set semantics)."""
+    terms = (triples.select(F.col("subj").alias("t"))
+             .unionByName(triples.select(F.col("obj").alias("t")))
+             .distinct())
+    return terms.select(F.col("t").alias("src"), F.col("t").alias("dst"))
+
+
+def _path_edges(triples: DataFrame, expr) -> DataFrame:
+    """Compile a path expression to its binary relation ``(src, dst)``.
+
+    A plain string is one filtered scan of the triple table (the
+    predicate constant pushes down exactly like a non-path pattern);
+    combinators compose relations with joins/unions; ``plus``/``star``
+    reuse the iterative-doubling ``transitive_closure`` operator —
+    set semantics, as SPARQL 1.1 prescribes for closure paths."""
+    if isinstance(expr, str):
+        return (triples.filter(F.col("pred") == F.lit(expr))
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")))
+    if not isinstance(expr, Path):
+        raise TypeError("predicate must be a string or a Path "
+                        "combinator, got %r" % (expr,))
+    if expr.kind == "seq":
+        rel = _path_edges(triples, expr.parts[0])
+        for step in expr.parts[1:]:
+            nxt = _path_edges(triples, step)
+            rel = (rel.alias("a")
+                   .join(nxt.alias("b"), F.col("a.dst") == F.col("b.src"))
+                   .select(F.col("a.src").alias("src"),
+                           F.col("b.dst").alias("dst")))
+        return rel
+    if expr.kind == "alt":
+        rel = _path_edges(triples, expr.parts[0])
+        for step in expr.parts[1:]:
+            rel = rel.unionByName(_path_edges(triples, step))
+        return rel
+    if expr.kind == "inv":
+        rel = _path_edges(triples, expr.parts[0])
+        return rel.select(F.col("dst").alias("src"),
+                          F.col("src").alias("dst"))
+    if expr.kind == "plus":
+        from mc2skos_spark.operators.closure import transitive_closure
+        return transitive_closure(_path_edges(triples, expr.parts[0]))
+    if expr.kind == "star":
+        from mc2skos_spark.operators.closure import transitive_closure
+        return (transitive_closure(_path_edges(triples, expr.parts[0]))
+                .unionByName(_graph_terms(triples)).distinct())
+    if expr.kind == "opt":
+        return (_path_edges(triples, expr.parts[0])
+                .unionByName(_graph_terms(triples)).distinct())
+    raise ValueError("unknown path kind %r" % expr.kind)
+
+
 def _is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
@@ -51,6 +161,16 @@ def bgp_match(triples: DataFrame, patterns, optional=(),
     "?x")``) constrains that pattern to rows where the positions are
     equal, per SPARQL semantics.
 
+    The predicate position also accepts a SPARQL 1.1 property-path
+    ``Path`` (the ``seq``/``alt``/``inv``/``plus``/``star``/
+    ``zero_or_one`` combinators): the path compiles to a binary
+    ``(src, dst)`` relation — sequences are equi-joins, alternatives
+    unions, ``plus``/``star`` the iterative-doubling transitive
+    closure — and the pattern then binds/filters its subject and
+    object against that relation exactly like a plain pattern (so
+    ``("?x", plus("broader"), "?x")`` finds hierarchy cycles).
+    A path predicate cannot itself be a variable.
+
     ``optional`` is a list of pattern GROUPS (each a list of
     patterns), one per SPARQL ``OPTIONAL { ... }`` block: each group
     is matched as its own BGP and LEFT-joined on the variables it
@@ -68,9 +188,19 @@ def bgp_match(triples: DataFrame, patterns, optional=(),
         if len(pat) != 3:
             raise ValueError("pattern must be a (subj, pred, obj) "
                              "triple, got %r" % (pat,))
-        scan = triples
+        if isinstance(pat[1], Path):
+            # property-path pattern: compile the path to a (src, dst)
+            # relation, then bind subject/object over it
+            scan = _path_edges(triples, pat[1])
+            positions = (("src", pat[0]), ("dst", pat[2]))
+        elif not isinstance(pat[1], str):
+            raise TypeError("predicate must be a string or a Path "
+                            "combinator, got %r" % (pat[1],))
+        else:
+            scan = triples
+            positions = tuple(zip(_POS, pat))
         proj: dict[str, str] = {}      # var name -> first position
-        for pos, term in zip(_POS, pat):
+        for pos, term in positions:
             if _is_var(term):
                 name = term[1:]
                 if not name:

@@ -112,3 +112,75 @@ def test_optional_group_left_join(spark):
     with pytest.raises(ValueError, match="optional group"):
         bgp_match(t, [("?c", "broader", "?p")],
                   optional=[[("?x", "knows", "?y")]])
+
+
+def test_property_path_plus_and_star(spark):
+    """SPARQL 1.1 closure paths: broader+ reaches every ancestor
+    (set semantics), broader* adds the zero-length identity over the
+    graph's terms, and a repeated variable over a closure path finds
+    hierarchy cycles."""
+    from mc2skos_spark.operators.bgp import plus, star
+
+    t = _t(spark)
+    out = bgp_match(t, [("?c", plus("broader"), "?anc")])
+    assert {tuple(r) for r in out.select("c", "anc").collect()} == {
+        ("a", "b"), ("a", "c"), ("b", "c")}
+
+    # constant object: everything strictly below c
+    below = bgp_match(t, [("?c", plus("broader"), "c")])
+    assert sorted(r["c"] for r in below.collect()) == ["a", "b"]
+
+    # star adds (term, term) for every graph term — a is its own
+    # 0-length ancestor even though nothing points at it
+    zs = bgp_match(t, [("a", star("broader"), "?anc")])
+    assert sorted(r["anc"] for r in zs.collect()) == ["a", "b", "c"]
+
+    # acyclic hierarchy: no (?x broader+ ?x) binding; add a back-edge
+    # and the cycle members appear
+    assert bgp_match(t, [("?x", plus("broader"), "?x")]).count() == 0
+    cyc = _t(spark).unionByName(spark.createDataFrame(
+        [("c", "broader", "a")], "subj string, pred string, obj string"))
+    got = bgp_match(cyc, [("?x", plus("broader"), "?x")])
+    assert sorted(r["x"] for r in got.collect()) == ["a", "b", "c"]
+
+
+def test_property_path_seq_alt_inv_opt(spark):
+    """Sequence = join composition, alternative = union (bag),
+    inverse = swapped positions, zero_or_one = step ∪ identity —
+    each cross-checked against its hand-built relation."""
+    from mc2skos_spark.operators.bgp import (alt, inv, plus, seq,
+                                             zero_or_one)
+
+    t = _t(spark)
+    # broader/prefLabel: grandparent-free label-of-parent chain
+    out = bgp_match(t, [("?c", seq("broader", "prefLabel"), "?l")])
+    assert {tuple(r) for r in out.select("c", "l").collect()} == {
+        ("a", "Beta"), ("b", "Gamma")}
+
+    # seq composing a closure: label of EVERY ancestor
+    out = bgp_match(t, [("?c", seq(plus("broader"), "prefLabel"), "?l")])
+    assert {tuple(r) for r in out.select("c", "l").collect()} == {
+        ("a", "Beta"), ("a", "Gamma"), ("b", "Gamma")}
+
+    # alternative keeps both relations (bag union)
+    out = bgp_match(t, [("a", alt("broader", "prefLabel"), "?o")])
+    assert sorted(r["o"] for r in out.collect()) == ["Alpha", "b"]
+
+    # inverse: children of b via ^broader
+    out = bgp_match(t, [("b", inv("broader"), "?child")])
+    assert [r["child"] for r in out.collect()] == ["a"]
+
+    # zero_or_one: parent plus self
+    out = bgp_match(t, [("a", zero_or_one("broader"), "?o")])
+    assert sorted(r["o"] for r in out.collect()) == ["a", "b"]
+
+    # a path pattern joins with plain patterns on shared variables
+    out = bgp_match(t, [("?c", plus("broader"), "?anc"),
+                        ("?anc", "prefLabel", "?l")])
+    assert {(r["c"], r["l"]) for r in out.collect()} == {
+        ("a", "Beta"), ("a", "Gamma"), ("b", "Gamma")}
+
+    with pytest.raises(ValueError, match="at least two"):
+        seq("broader")
+    with pytest.raises(TypeError, match="Path"):
+        bgp_match(t, [("?a", 42, "?b")])
