@@ -1415,6 +1415,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("?c", seq("memberOf", plus("broader")), "?a")],
             optional=[[("?a", "prefLabel", "?label")]])
 
+    # --- Icebergish snapshot log + incremental read, end-to-end:
+    #     write → append ×2 → compact (replace) → append over a
+    #     documents slice, then emit history() decorated with each
+    #     append's read_changes row count (the O(delta) incremental
+    #     scan).  Everything here is METADATA-scale — the history rows
+    #     ARE the manifest log, and the per-append delta is one count
+    #     over just the appended dirs.  The DuckDB oracle re-derives
+    #     every row_count from the documents table without ever seeing
+    #     the warehouse.
+    def catalog_changelog(spark, sf_dir):
+        import shutil
+        import tempfile
+        from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        wh = tempfile.mkdtemp(prefix="mc2skos_tt_")
+        try:
+            cat = IcebergishCatalog(wh, spark)
+            cat.write("docs", docs.filter(F.col("doc_id") < 300),
+                      lineage_key="doc_id")
+            cat.append("docs", docs.filter((F.col("doc_id") >= 300)
+                                           & (F.col("doc_id") < 400)),
+                       lineage_key="doc_id")
+            cat.append("docs", docs.filter((F.col("doc_id") >= 400)
+                                           & (F.col("doc_id") < 500)),
+                       lineage_key="doc_id")
+            cat.compact("docs", target_files=1, lineage_key="doc_id")
+            cat.append("docs", docs.filter((F.col("doc_id") >= 500)
+                                           & (F.col("doc_id") < 520)),
+                       lineage_key="doc_id")
+            hist = cat.history("docs").drop("committed_at").collect()
+            rows = [(r["snapshot_id"], r["operation"], r["row_count"],
+                     r["n_data_dirs"],
+                     cat.read_changes("docs", r["snapshot_id"] - 1,
+                                      r["snapshot_id"]).count()
+                     if r["operation"] == "append" else None)
+                    for r in hist]
+            return spark.createDataFrame(
+                rows, "snapshot_id int, operation string,"
+                      " row_count long, n_data_dirs int,"
+                      " delta_rows long")
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
     # --- DSIR importance weights (Xie et al. 2023): hashed {1,2}-gram
     #     bucket counts (md5 first byte — engine-portable), target =
     #     the lang='en' slice, raw = the whole pool; per-bucket
@@ -1693,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_paragraph_dedup": text_paragraph_dedup,
         "kg_bgp_match": kg_bgp_match,
         "kg_path_match": kg_path_match,
+        "catalog_changelog": catalog_changelog,
         "dsir_en_weights": dsir_en_weights,
         "quality_classifier_scores": quality_classifier_scores,
         "pivot_lang_matrix": pivot_lang_matrix,
@@ -3278,6 +3322,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN triples lbl ON lbl.pred = 'prefLabel'
                                  AND lbl.subj = cl.dst
             WHERE m.pred = 'memberOf'""",
+        # catalog snapshot log: the oracle re-derives every manifest
+        # row count from the documents table alone — write(<300),
+        # append(300-400), append(400-500), compact (replace, back to
+        # one data dir), append(500-520); delta_rows is each append's
+        # incremental-scan count, NULL for non-append commits.
+        "catalog_changelog": """
+            WITH c AS (SELECT
+                count(*) FILTER (doc_id < 300) AS c0,
+                count(*) FILTER (doc_id >= 300 AND doc_id < 400) AS b1,
+                count(*) FILTER (doc_id >= 400 AND doc_id < 500) AS b2,
+                count(*) FILTER (doc_id >= 500 AND doc_id < 520) AS b3
+              FROM documents)
+            SELECT 0::INT AS snapshot_id, 'overwrite' AS operation,
+                   c0 AS row_count, 1::INT AS n_data_dirs,
+                   NULL::BIGINT AS delta_rows FROM c
+            UNION ALL SELECT 1::INT, 'append', c0 + b1, 2::INT, b1
+            FROM c
+            UNION ALL SELECT 2::INT, 'append', c0 + b1 + b2, 3::INT, b2
+            FROM c
+            UNION ALL SELECT 3::INT, 'replace', c0 + b1 + b2, 1::INT,
+                             NULL::BIGINT FROM c
+            UNION ALL SELECT 4::INT, 'append', c0 + b1 + b2 + b3,
+                             2::INT, b3 FROM c""",
         # trigram LM: identical interpolated probability expression
         # tree as the Spark side (0.5/0.25/0.25 — all weights exactly
         # representable doubles); c2 counted from its OWN bigram pass
