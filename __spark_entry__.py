@@ -1458,6 +1458,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(wh, ignore_errors=True)
 
+    # --- Manifest zone maps (Iceberg manifest-entry min/max pruning):
+    #     a doc_id-range-clustered write records per-file min/max; a
+    #     read_where range scan opens ONLY the overlapping files (the
+    #     skip is asserted in-row: ok_pruned = files_scanned <
+    #     files_total) and the rows it yields hash-match a plain SQL
+    #     BETWEEN over the source table — stats decide which files to
+    #     OPEN, the residual filter decides which rows QUALIFY, so the
+    #     data answer is layout-independent.  At 100 TB this metadata
+    #     pass is the difference between opening every parquet footer
+    #     and opening ~range/domain of them.
+    def catalog_pruned_scan(spark, sf_dir):
+        import shutil
+        import tempfile
+        from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        wh = tempfile.mkdtemp(prefix="mc2skos_zm_")
+        try:
+            cat = IcebergishCatalog(wh, spark)
+            cat.write("docs", docs, lineage_key="doc_id",
+                      stats_columns=["doc_id"], cluster_by=["doc_id"],
+                      num_files=8)
+            kept, total = cat.pruned_files("docs",
+                                           {"doc_id": (100, 299)})
+            out = (cat.read_where("docs", {"doc_id": (100, 299)})
+                   .groupBy("lang")
+                   .agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.min("doc_id").alias("min_id"),
+                        F.max("doc_id").alias("max_id"),
+                        F.sum("n_chars").alias("chars"))
+                   .withColumn("ok_pruned",
+                               F.lit(len(kept) < total)))
+            # collect before the temp warehouse vanishes
+            return spark.createDataFrame(out.collect(), out.schema)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
     # --- DSIR importance weights (Xie et al. 2023): hashed {1,2}-gram
     #     bucket counts (md5 first byte — engine-portable), target =
     #     the lang='en' slice, raw = the whole pool; per-bucket
@@ -1737,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_match": kg_bgp_match,
         "kg_path_match": kg_path_match,
         "catalog_changelog": catalog_changelog,
+        "catalog_pruned_scan": catalog_pruned_scan,
         "dsir_en_weights": dsir_en_weights,
         "quality_classifier_scores": quality_classifier_scores,
         "pivot_lang_matrix": pivot_lang_matrix,
@@ -3345,6 +3383,20 @@ def oracle_sql() -> dict[str, str]:
                              NULL::BIGINT FROM c
             UNION ALL SELECT 4::INT, 'append', c0 + b1 + b2 + b3,
                              2::INT, b3 FROM c""",
+        # zone-map pruned scan: the DATA contract is a plain BETWEEN
+        # aggregate (layout-independent); the file-skip contract is the
+        # in-row ok_pruned witness the Spark side computes from the
+        # manifest (files_scanned < files_total) and the oracle pins
+        # TRUE — a clustered 8-file layout that fails to skip on a
+        # 100-299 range fails the hash loudly.
+        "catalog_pruned_scan": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id,
+                   sum(n_chars)::BIGINT AS chars,
+                   TRUE AS ok_pruned
+            FROM documents
+            WHERE doc_id BETWEEN 100 AND 299
+            GROUP BY lang""",
         # trigram LM: identical interpolated probability expression
         # tree as the Spark side (0.5/0.25/0.25 — all weights exactly
         # representable doubles); c2 counted from its OWN bigram pass

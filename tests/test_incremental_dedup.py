@@ -591,3 +591,107 @@ def test_catalog_incremental_read_and_snapshot_diff(spark, tmp_path):
     back = cat.snapshot_diff("t", 4, 1).collect()
     assert {r["_change_type"] for r in back} == {"delete"}
     assert sorted(r["id"] for r in back) == list(range(20, 35))
+
+
+def test_catalog_stats_pruning_and_clustered_write(spark, tmp_path):
+    """Manifest zone maps (Iceberg manifest-entry min/max evaluation):
+    a range-clustered write records per-file min/max/null-count; a
+    read_where scan opens ONLY overlapping files yet returns rows
+    identical to read().filter() for every bound shape — stats skip,
+    the residual filter decides."""
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    df = (spark.range(0, 1000)
+          .selectExpr("id", "cast(id % 7 as string) AS tag",
+                      "if(id % 11 = 0, cast(null as bigint), id) AS v"))
+    m = cat.write("t", df, lineage_key="id",
+                  stats_columns=["id", "tag", "v"],
+                  cluster_by=["id"], num_files=8)
+    assert m["stats_columns"] == ["id", "tag", "v"]
+    assert m["cluster_by"] == ["id"]
+    assert len(m["lineage"]) == 8
+    for e in m["lineage"]:
+        assert set(e["stats"]) == {"id", "tag", "v"}
+        assert e["stats"]["id"]["min"] <= e["stats"]["id"]["max"]
+
+    def expect(where, cond_sql):
+        got = sorted(r["id"] for r in
+                     cat.read_where("t", where).collect())
+        want = sorted(r["id"] for r in
+                      cat.read("t").filter(cond_sql).collect())
+        assert got == want, where
+        return got
+
+    # clustered on id: a narrow id range must open < all files
+    kept, total = cat.pruned_files("t", {"id": (100, 150)})
+    assert total == 8 and 1 <= len(kept) <= 2
+    expect({"id": (100, 150)}, "id BETWEEN 100 AND 150")
+    # unbounded sides
+    expect({"id": (900, None)}, "id >= 900")
+    expect({"id": (None, 50)}, "id <= 50")
+    # empty result: bounds beyond the domain prune EVERY file
+    kept, _ = cat.pruned_files("t", {"id": (5000, 6000)})
+    assert kept == []
+    assert cat.read_where("t", {"id": (5000, 6000)}).count() == 0
+    # string column, NOT clustered on it: correct but un-prunable
+    # (every file holds every tag)
+    kept, _ = cat.pruned_files("t", {"tag": ("3", "3")})
+    assert len(kept) == 8
+    expect({"tag": ("3", "3")}, "tag = '3'")
+    # nullable column: residual filter drops nulls; (None, None) means
+    # IS NOT NULL
+    expect({"v": (500, 600)}, "v BETWEEN 500 AND 600")
+    got = cat.read_where("t", {"v": (None, None)}).count()
+    assert got == cat.read("t").filter("v IS NOT NULL").count()
+    # conjunction across columns
+    expect({"id": (100, 300), "tag": ("1", "2")},
+           "id BETWEEN 100 AND 300 AND tag BETWEEN '1' AND '2'")
+
+    # append inherits the table's stats columns; pruning spans both
+    cat.append("t", spark.range(2000, 2100).selectExpr(
+        "id", "cast(id % 7 as string) AS tag", "id AS v").coalesce(1),
+        lineage_key="id")
+    kept, total = cat.pruned_files("t", {"id": (2000, 2050)})
+    assert total == 9 and len(kept) == 1
+    assert cat.read_where("t", {"id": (2000, 2050)}).count() == 51
+    assert (cat.read_where("t", {"id": (0, 99)}).count()
+            == 100)
+
+    # compaction recomputes stats over the rewritten files; pruning
+    # still row-identical
+    cat.compact("t", target_files=2, lineage_key="id")
+    m2 = cat.current_manifest("t")
+    assert m2["stats_columns"] == ["id", "tag", "v"]
+    assert all("stats" in e for e in m2["lineage"])
+    expect({"id": (100, 150)}, "id BETWEEN 100 AND 150")
+
+    # time travel composes: pruned read of the pre-append snapshot
+    assert cat.read_where("t", {"id": (2000, 2050)},
+                          snapshot_id=0).count() == 0
+
+
+def test_catalog_stats_guards(spark, tmp_path):
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    # an all-null file is skippable for any range predicate
+    allnull = spark.sql(
+        "SELECT id, cast(null as bigint) AS v FROM range(5)")
+    cat.write("n", allnull.coalesce(1), lineage_key="id",
+              stats_columns=["v"])
+    kept, total = cat.pruned_files("n", {"v": (0, 10)})
+    assert (kept, total) == ([], 1)
+    assert cat.read_where("n", {"v": (0, 10)}).count() == 0
+    # unsupported stats type (decimal) raises at WRITE, not at read
+    dec = spark.sql("SELECT cast(id as decimal(10,2)) AS d FROM range(3)")
+    with pytest.raises(ValueError, match="decimal"):
+        cat.write("d", dec, stats_columns=["d"])
+    with pytest.raises(ValueError, match="not in schema"):
+        cat.write("d2", allnull, stats_columns=["nope"])
+    # stats-less table: read_where still answers, opening all files
+    cat.write("p", spark.range(10).selectExpr("id"), lineage_key="id")
+    kept, total = cat.pruned_files("p", {"id": (3, 4)})
+    assert len(kept) == total
+    assert cat.read_where("p", {"id": (3, 4)}).count() == 2
+    # partitioned tables refuse (partition pruning covers them)
+    part = spark.range(10).selectExpr("id", "id % 2 AS k")
+    cat.write("q", part, partition_by=["k"], lineage_key="id")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        cat.read_where("q", {"id": (0, 5)})
