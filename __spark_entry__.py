@@ -1415,6 +1415,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("?c", seq("memberOf", plus("broader")), "?a")],
             optional=[[("?a", "prefLabel", "?label")]])
 
+    # --- SPARQL 1.1 SELECT algebra (operators/bgp.py select_query):
+    #     the spec's stage order — BGP → FILTER → Group/Aggregate →
+    #     HAVING — compiled to filter/hash-aggregate over the binding
+    #     relation.  COUNT(member) + COUNT(DISTINCT nation) + SAMPLE
+    #     per region, non-EUROPE only, regions with ≥2 nations.  The
+    #     aggregate is one partial-combine shuffle over group keys;
+    #     the FILTER pushes down through the joins to the prefLabel
+    #     scan.
+    def kg_sparql_agg(spark, sf_dir):
+        from mc2skos_spark.operators.bgp import select_query
+        nation = _t(spark, sf_dir, "nation")
+        region = _t(spark, sf_dir, "region")
+        customer = _t(spark, sf_dir, "customer")
+        n_uri = F.concat(F.lit("n:"), F.col("n_name"))
+        r_uri = F.concat(F.lit("r:"), F.col("r_name"))
+        triples = (
+            nation.join(region,
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(n_uri.alias("subj"), F.lit("broader").alias("pred"),
+                    r_uri.alias("obj"))
+            .unionByName(region.select(
+                r_uri.alias("subj"), F.lit("prefLabel").alias("pred"),
+                F.col("r_name").alias("obj")))
+            .unionByName(
+                customer.join(
+                    nation,
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+                .select(F.concat(F.lit("c:"),
+                                 F.col("c_custkey").cast("string"))
+                        .alias("subj"),
+                        F.lit("memberOf").alias("pred"),
+                        n_uri.alias("obj"))))
+        return select_query(
+            triples,
+            [("?m", "memberOf", "?n"),
+             ("?n", "broader", "?r"),
+             ("?r", "prefLabel", "?label")],
+            filter="label != 'EUROPE'",
+            group_by=["r", "label"],
+            aggregates={"n_members": ("count", None),
+                        "n_nations": ("count_distinct", "n"),
+                        "first_nation": ("sample", "n")},
+            having="n_nations >= 2")
+
     # --- Icebergish snapshot log + incremental read, end-to-end:
     #     write → append ×2 → compact (replace) → append over a
     #     documents slice, then emit history() decorated with each
@@ -1773,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_paragraph_dedup": text_paragraph_dedup,
         "kg_bgp_match": kg_bgp_match,
         "kg_path_match": kg_path_match,
+        "kg_sparql_agg": kg_sparql_agg,
         "catalog_changelog": catalog_changelog,
         "catalog_pruned_scan": catalog_pruned_scan,
         "dsir_en_weights": dsir_en_weights,
@@ -3360,6 +3405,23 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN triples lbl ON lbl.pred = 'prefLabel'
                                  AND lbl.subj = cl.dst
             WHERE m.pred = 'memberOf'""",
+        # SPARQL SELECT algebra: same binding relation, FILTER →
+        # GROUP BY → HAVING in SQL; SAMPLE is pinned to min() on both
+        # sides (the spec leaves it implementation-defined; min is the
+        # only distributed-deterministic choice).
+        "kg_sparql_agg": """
+            WITH b AS (
+                SELECT c.c_custkey AS m, 'n:' || n.n_name AS n,
+                       'r:' || r.r_name AS r, r.r_name AS label
+                FROM customer c
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey)
+            SELECT r, label, count(*)::BIGINT AS n_members,
+                   count(DISTINCT n)::BIGINT AS n_nations,
+                   min(n) AS first_nation
+            FROM b WHERE label != 'EUROPE'
+            GROUP BY r, label
+            HAVING count(DISTINCT n) >= 2""",
         # catalog snapshot log: the oracle re-derives every manifest
         # row count from the documents table alone — write(<300),
         # append(300-400), append(400-500), compact (replace, back to

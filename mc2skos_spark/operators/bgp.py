@@ -238,3 +238,106 @@ def bgp_match(triples: DataFrame, patterns, optional=(),
         bound = bound.join(sub, keys, "left")
         seen_vars |= set(sub.columns)
     return bound
+
+
+# SPARQL 1.1 aggregate functions → the Spark aggregate expression that
+# implements the spec's definition.  GROUP_CONCAT sorts its input
+# (collect_list order is partition-nondeterministic; the spec leaves
+# order implementation-defined, and a sorted concat is the only
+# distributed-deterministic choice).  SAMPLE is min for the same reason.
+_AGG_FNS = {
+    "count": lambda v: F.count(F.lit(1)) if v is None else F.count(v),
+    "count_distinct": lambda v: F.count_distinct(F.col(v)),
+    "sum": lambda v: F.sum(v),
+    "min": lambda v: F.min(v),
+    "max": lambda v: F.max(v),
+    "avg": lambda v: F.avg(v),
+    "sample": lambda v: F.min(v),
+    "group_concat": lambda v, sep=" ": F.array_join(
+        F.sort_array(F.collect_list(v)), sep),
+}
+
+
+def select_query(triples: DataFrame, patterns, optional=(),
+                 bind: dict | None = None,
+                 filter=None,
+                 group_by: list[str] | None = None,
+                 aggregates: dict | None = None,
+                 having=None,
+                 distinct: bool = False,
+                 order_by: list[str] | None = None,
+                 limit: int | None = None,
+                 offset: int = 0,
+                 allow_product: bool = False) -> DataFrame:
+    """The SPARQL 1.1 SELECT query form over :func:`bgp_match` — the
+    spec's algebra stages applied in its prescribed order (§18.2:
+    pattern → BIND/Extend → FILTER → Group/Aggregate → HAVING →
+    select-expressions → DISTINCT → ORDER BY → Slice), each one the
+    DataFrame operator that already means exactly that:
+
+    * ``bind``: ``{var: sql_expr}`` — ``BIND(expr AS ?var)``, an
+      Extend; evaluated in insertion order so later binds may use
+      earlier ones (whole-stage-codegen projections, free at scale).
+    * ``filter``: a SQL boolean expression string (or Column) over the
+      binding variables — pushes down THROUGH the joins to the triple
+      scans whenever it references a single pattern's variables, which
+      is what makes a selective FILTER cheap at 100 TB.
+    * ``group_by`` + ``aggregates``: ``{out_name: (fn, var)}`` with fn
+      in ``count`` (var None = COUNT(*)), ``count_distinct``, ``sum``,
+      ``min``, ``max``, ``avg``, ``sample``, ``group_concat`` (optional
+      third tuple item = separator) — one partial-combine hash
+      aggregate, never a global sort.  ``aggregates`` without
+      ``group_by`` is the spec's implicit single group.
+    * ``having``: post-aggregate boolean SQL over group keys and
+      aggregate aliases.
+    * ``order_by``: variable names, ``-name`` for DESC — a total-order
+      spec; combined with ``limit`` Spark plans TakeOrdered (top-k per
+      partition + k-merge), never a global sort at scale.
+    * ``limit``/``offset``: the Slice.  OFFSET without LIMIT is
+      rejected (an unbounded offset forces a global sort-and-skip —
+      never what a 100 TB query means).
+
+    FILTER error semantics: SPARQL maps expression ERRORS to
+    unbound/false; under Spark's ANSI mode a throwing expression
+    (overflow, bad cast) fails the job instead — use ``try_*``
+    functions in filters that can error on real data.
+    """
+    out = bgp_match(triples, patterns, optional=optional,
+                    allow_product=allow_product)
+    for name, expr in (bind or {}).items():
+        out = out.withColumn(
+            name, expr if not isinstance(expr, str) else F.expr(expr))
+    if filter is not None:
+        out = out.filter(filter)
+    if aggregates:
+        aggs = []
+        for name, spec in aggregates.items():
+            fn, var = spec[0], spec[1]
+            if fn not in _AGG_FNS:
+                raise ValueError("unknown aggregate %r (have: %s)"
+                                 % (fn, ", ".join(sorted(_AGG_FNS))))
+            col = _AGG_FNS[fn](var, *spec[2:]) if fn == "group_concat" \
+                else _AGG_FNS[fn](var)
+            aggs.append(col.alias(name))
+        out = (out.groupBy(*group_by).agg(*aggs) if group_by
+               else out.agg(*aggs))
+    elif group_by:
+        raise ValueError("group_by without aggregates — SPARQL's "
+                         "implicit-group projection is just DISTINCT "
+                         "over the group keys; pass distinct=True")
+    if having is not None:
+        if not aggregates:
+            raise ValueError("having requires aggregates")
+        out = out.filter(having)
+    if distinct:
+        out = out.distinct()
+    if order_by:
+        out = out.orderBy(*[F.col(c[1:]).desc() if c.startswith("-")
+                            else F.col(c) for c in order_by])
+    if offset and limit is None:
+        raise ValueError("offset without limit forces a global "
+                         "sort-and-skip; bound the slice")
+    if limit is not None:
+        out = out.offset(offset).limit(limit) if offset else \
+            out.limit(limit)
+    return out

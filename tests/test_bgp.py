@@ -184,3 +184,55 @@ def test_property_path_seq_alt_inv_opt(spark):
         seq("broader")
     with pytest.raises(TypeError, match="Path"):
         bgp_match(t, [("?a", 42, "?b")])
+
+
+def test_select_query_algebra(spark):
+    """SPARQL 1.1 SELECT stages in spec order: BIND → FILTER →
+    Group/Aggregate → HAVING → DISTINCT → ORDER → Slice."""
+    from mc2skos_spark.operators.bgp import select_query
+    t = _t(spark)
+    # FILTER over a joined binding
+    out = select_query(t, [("?c", "broader", "?p"),
+                           ("?p", "prefLabel", "?l")],
+                       filter="l != 'Beta'")
+    assert [tuple(r) for r in out.select("c", "p", "l").collect()] == [
+        ("b", "c", "Gamma")]
+    # BIND is an Extend usable by a later FILTER
+    out = select_query(t, [("?s", "prefLabel", "?l")],
+                       bind={"l2": "lower(l)"}, filter="l2 = 'beta'")
+    assert [r["s"] for r in out.collect()] == ["b"]
+    # grouped aggregates: COUNT(*), COUNT(DISTINCT), GROUP_CONCAT
+    out = select_query(
+        t, [("?s", "?p", "?o")], group_by=["p"],
+        aggregates={"n": ("count", None),
+                    "n_subj": ("count_distinct", "s"),
+                    "objs": ("group_concat", "o", "|")},
+        order_by=["-n", "p"])
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [("prefLabel", 3, 3, "Alpha|Beta|Gamma"),
+                    ("broader", 2, 2, "b|c"),
+                    ("knows", 2, 1, "x|y")]
+    # implicit single group (no group_by)
+    one = select_query(t, [("?s", "broader", "?o")],
+                       aggregates={"n": ("count", None),
+                                   "mx": ("max", "o")})
+    assert [tuple(r) for r in one.collect()] == [(2, "c")]
+    # HAVING over the aggregate alias
+    out = select_query(t, [("?s", "?p", "?o")], group_by=["p"],
+                       aggregates={"n_subj": ("count_distinct", "s")},
+                       having="n_subj >= 2", order_by=["p"])
+    assert [r["p"] for r in out.collect()] == ["broader", "prefLabel"]
+    # DISTINCT + ORDER + LIMIT/OFFSET slice
+    out = select_query(t, [("?s", "?p", "?o")], distinct=True,
+                       order_by=["s", "p", "o"], limit=2, offset=1)
+    assert len(out.collect()) == 2
+    # guards
+    with pytest.raises(ValueError, match="distinct=True"):
+        select_query(t, [("?s", "?p", "?o")], group_by=["p"])
+    with pytest.raises(ValueError, match="unknown aggregate"):
+        select_query(t, [("?s", "?p", "?o")],
+                     aggregates={"n": ("median", "o")})
+    with pytest.raises(ValueError, match="requires aggregates"):
+        select_query(t, [("?s", "?p", "?o")], having="true")
+    with pytest.raises(ValueError, match="offset without limit"):
+        select_query(t, [("?s", "?p", "?o")], offset=3)
