@@ -153,6 +153,9 @@ def run_benchmark():
         "text_lm5_nll", "dedup_incremental_semantic", "sim_ann_recall",
         # round 6 part 2: passage removal + graph-pattern query
         "text_paragraph_dedup", "kg_bgp_match",
+        # round 6 part 3: SPARQL SELECT algebra (filter→agg→having),
+        # manifest zone-map pruned scan (clustered write + file skip)
+        "kg_sparql_agg", "catalog_pruned_scan",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization

@@ -258,7 +258,28 @@ _AGG_FNS = {
 }
 
 
+def union_groups(triples: DataFrame, *groups,
+                 allow_product: bool = False) -> DataFrame:
+    """SPARQL ``{ A } UNION { B } …`` — each group is its own BGP
+    (a pattern list, or ``(patterns, optional)`` pair); the union is
+    by VARIABLE NAME with a group's unbound variables null, per the
+    spec's Union over solution mappings with disjoint domains.  Bag
+    semantics (SPARQL's Union is multiset-additive)."""
+    if len(groups) < 2:
+        raise ValueError("union_groups needs at least two groups")
+    rels = []
+    for g in groups:
+        pats, opt = (g if isinstance(g, tuple) else (g, ()))
+        rels.append(bgp_match(triples, pats, optional=opt,
+                              allow_product=allow_product))
+    out = rels[0]
+    for rel in rels[1:]:
+        out = out.unionByName(rel, allowMissingColumns=True)
+    return out
+
+
 def select_query(triples: DataFrame, patterns, optional=(),
+                 union: tuple = (),
                  bind: dict | None = None,
                  filter=None,
                  group_by: list[str] | None = None,
@@ -275,6 +296,10 @@ def select_query(triples: DataFrame, patterns, optional=(),
     select-expressions → DISTINCT → ORDER BY → Slice), each one the
     DataFrame operator that already means exactly that:
 
+    * ``union``: further pattern groups (each a pattern list or a
+      ``(patterns, optional)`` pair) UNIONed with the main group
+      before the later stages — :func:`union_groups`, variables
+      unbound in a branch come through null.
     * ``bind``: ``{var: sql_expr}`` — ``BIND(expr AS ?var)``, an
       Extend; evaluated in insertion order so later binds may use
       earlier ones (whole-stage-codegen projections, free at scale).
@@ -302,8 +327,12 @@ def select_query(triples: DataFrame, patterns, optional=(),
     (overflow, bad cast) fails the job instead — use ``try_*``
     functions in filters that can error on real data.
     """
-    out = bgp_match(triples, patterns, optional=optional,
-                    allow_product=allow_product)
+    if union:
+        out = union_groups(triples, (patterns, optional), *union,
+                           allow_product=allow_product)
+    else:
+        out = bgp_match(triples, patterns, optional=optional,
+                        allow_product=allow_product)
     for name, expr in (bind or {}).items():
         out = out.withColumn(
             name, expr if not isinstance(expr, str) else F.expr(expr))

@@ -236,3 +236,36 @@ def test_select_query_algebra(spark):
         select_query(t, [("?s", "?p", "?o")], having="true")
     with pytest.raises(ValueError, match="offset without limit"):
         select_query(t, [("?s", "?p", "?o")], offset=3)
+
+
+def test_union_groups(spark):
+    """SPARQL UNION: multiset-additive union by variable name, a
+    branch's unbound variables null; composes with the later SELECT
+    stages (aggregate over the unioned bag)."""
+    from mc2skos_spark.operators.bgp import select_query, union_groups
+    t = _t(spark)
+    out = union_groups(t,
+                       [("?s", "broader", "?o")],
+                       [("?s", "knows", "?k")])
+    assert set(out.columns) == {"s", "o", "k"}
+    rows = {(r["s"], r["o"], r["k"]) for r in out.collect()}
+    assert rows == {("a", "b", None), ("b", "c", None),
+                    ("x", None, "x"), ("x", None, "y")}
+    # bag semantics: x knows two targets -> two rows survive distinct-free
+    assert out.count() == 4
+    # via select_query: count per subject over both branches
+    agg = select_query(t, [("?s", "broader", "?o")],
+                       union=([("?s", "knows", "?k")],),
+                       group_by=["s"],
+                       aggregates={"n": ("count", None)},
+                       order_by=["s"])
+    assert [tuple(r) for r in agg.collect()] == [
+        ("a", 1), ("b", 1), ("x", 2)]
+    # (patterns, optional) pair branch
+    out2 = union_groups(
+        t, [("?s", "knows", "?k")],
+        ([("?s", "broader", "?o")], [[("?o", "prefLabel", "?l")]]))
+    assert {(r["s"], r["l"]) for r in out2.collect()} == {
+        ("x", None), ("a", "Beta"), ("b", "Gamma")}
+    with pytest.raises(ValueError, match="at least two"):
+        union_groups(t, [("?s", "knows", "?k")])
