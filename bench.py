@@ -312,7 +312,8 @@ def assemble_baseline_md():
     parts = []
     for name in ("BENCH/_scaling.md", "BENCH/_scaling_history.md",
                  "BENCH/_skew.md", "BENCH/_skewjoin.md",
-                 "BENCH/_asofskew.md", "BENCH/_semskew.md"):
+                 "BENCH/_asofskew.md", "BENCH/_semskew.md",
+                 "BENCH/_zonemap.md"):
         if os.path.exists(name):
             with open(name) as fp:
                 parts.append(fp.read().rstrip() + "\n")
@@ -900,6 +901,118 @@ def run_skew_semantic():
                       "timings": timings, "pairs": n_pairs}))
 
 
+def run_zonemap():
+    """Scan-skip evidence: manifest zone maps (sinks/icebergish.py
+    stats_columns + cluster_by + read_where) vs a full-scan filter on
+    the SAME clustered table.  Honest framing: Spark already pushes
+    the BETWEEN down to parquet, so row groups that miss the range are
+    never DECODED in either variant — what the manifest prune removes
+    is everything before decode: listing, opening, footer-reading and
+    task-scheduling every non-matching file.  That overhead is
+    per-FILE, which is exactly the axis that explodes at 100 TB
+    (100k+ files behind an object store).  Outputs asserted identical
+    (count + XOR-fold + byte sum).  Writes BENCH/_zonemap.md →
+    BENCH/BASELINE.md."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mc2skos_spark.plans.session import build_session
+    from mc2skos_spark.sinks.icebergish import IcebergishCatalog
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count()
+    n_rows = int(os.environ.get("SPARK_GRAFT_ZONEMAP_ROWS", "3000000"))
+    n_files = int(os.environ.get("SPARK_GRAFT_ZONEMAP_FILES", "512"))
+    spark = build_session(app_name="mc2skos-zonemap",
+                          master="local[%d]" % cpus,
+                          shuffle_partitions=max(cpus, 16))
+    wh = tempfile.mkdtemp(prefix="mc2skos_zonemap_")
+    try:
+        # id-keyed rows with a ~128-byte hash-derived payload (repeats
+        # compress away; hashes keep the files honest-sized)
+        i = F.col("id")
+        payload = F.concat(*[F.sha2(F.concat(i.cast("string"),
+                                             F.lit(j)), 256)
+                             for j in range(2)])
+        df = spark.range(n_rows).select(
+            i.alias("k"), payload.alias("payload"))
+        cat = IcebergishCatalog(wh, spark)
+        t0 = time.monotonic()
+        m = cat.write("t", df, lineage_key="k", stats_columns=["k"],
+                      cluster_by=["k"], num_files=n_files)
+        write_sec = round(time.monotonic() - t0, 2)
+        # a 1% range in the middle of the domain
+        lo, hi = int(n_rows * 0.495), int(n_rows * 0.505)
+        kept, total = cat.pruned_files("t", {"k": (lo, hi)})
+
+        def full():
+            return cat.read("t").filter(
+                (F.col("k") >= lo) & (F.col("k") <= hi))
+
+        def pruned():
+            return cat.read_where("t", {"k": (lo, hi)})
+
+        def fingerprint(d):
+            r = d.agg(F.count(F.lit(1)).alias("n"),
+                      F.bit_xor(F.xxhash64("k", "payload")).alias("h"),
+                      F.sum(F.length("payload")).alias("b")).collect()[0]
+            return int(r["n"]), int(r["h"]), int(r["b"])
+
+        full().write.format("noop").mode("overwrite").save()  # warm-up
+        timings = {"full_scan_filter": [], "zonemap_pruned": []}
+        for _ in range(3):
+            for label, mk in (("full_scan_filter", full),
+                              ("zonemap_pruned", pruned)):
+                t0 = time.monotonic()
+                mk().write.format("noop").mode("overwrite").save()
+                timings[label].append(round(time.monotonic() - t0, 3))
+        fp_full, fp_pruned = fingerprint(full()), fingerprint(pruned())
+        assert fp_full == fp_pruned, (fp_full, fp_pruned)
+        spark.stop()
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+    best = {k: min(v) for k, v in timings.items()}
+    speedup = best["full_scan_filter"] / best["zonemap_pruned"]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/_zonemap.md", "w") as fp:
+        fp.write(
+            "# BENCH — scan-skip evidence (manifest zone maps, "
+            "clustered table)\n\n"
+            "%d rows (~128-byte payloads) range-clustered on the key "
+            "into %d files\n(write+stats %.1fs, one aggregate pass); "
+            "a 1%%-of-domain BETWEEN opens\n**%d of %d files** via the "
+            "manifest min/max — the parquet BETWEEN\npushdown is active "
+            "in BOTH variants, so the delta is pure per-file\n"
+            "overhead (open + footer + task schedule), the axis that "
+            "explodes at\n100 TB file counts.  local[%d], min of 3 "
+            "interleaved, outputs asserted\nidentical (count + "
+            "XOR-fold + byte sum; %d rows):\n\n"
+            "| variant | files opened | wall sec (min of 3) | all runs "
+            "|\n|---|---|---|---|\n"
+            "| full scan + filter | %d | %.2f | %s |\n"
+            "| zone-map pruned read_where | %d | %.2f | %s |\n\n"
+            "**Manifest-prune speedup on a 1%% range = %.2fx** at a "
+            "mere %d-file\ntable on local disk; the saved work scales "
+            "with file count and object-\nstore round-trip cost, while "
+            "the pruned side's cost scales only with\nthe MATCHING "
+            "data.  The prune itself is O(files) driver metadata "
+            "with\nzero data I/O (no footer reads — the stats live in "
+            "the manifest).\n"
+            % (n_rows, n_files, write_sec, len(kept), total, cpus,
+               fp_full[0],
+               total, best["full_scan_filter"],
+               timings["full_scan_filter"],
+               len(kept), best["zonemap_pruned"],
+               timings["zonemap_pruned"], speedup, n_files))
+    assemble_baseline_md()
+    print(json.dumps({"metric": "zonemap_prune_speedup",
+                      "value": round(speedup, 2), "unit": "ratio",
+                      "files": [len(kept), total],
+                      "timings": timings, "rows": fp_full[0]}))
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         idx = sys.argv.index("--scaling-worker")
@@ -912,6 +1025,8 @@ if __name__ == "__main__":
         run_skew_asof()
     elif "--skew-semantic" in sys.argv:
         run_skew_semantic()
+    elif "--zonemap" in sys.argv:
+        run_zonemap()
     elif "--skew" in sys.argv:
         run_skew()
     else:
