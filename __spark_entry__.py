@@ -1459,6 +1459,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "first_nation": ("sample", "n")},
             having="n_nations >= 2")
 
+    # --- SPARQL negation (FILTER NOT EXISTS = left-anti on shared
+    #     vars): members per nation, nations OUTSIDE r:EUROPE only.
+    #     The anti join probes the tiny broader edge set — at 100 TB
+    #     the filtered probe side broadcasts and the member scan never
+    #     shuffles.
+    def kg_sparql_negation(spark, sf_dir):
+        from mc2skos_spark.operators.bgp import select_query
+        nation = _t(spark, sf_dir, "nation")
+        region = _t(spark, sf_dir, "region")
+        customer = _t(spark, sf_dir, "customer")
+        n_uri = F.concat(F.lit("n:"), F.col("n_name"))
+        triples = (
+            nation.join(region,
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(n_uri.alias("subj"), F.lit("broader").alias("pred"),
+                    F.concat(F.lit("r:"), F.col("r_name")).alias("obj"))
+            .unionByName(
+                customer.join(
+                    nation,
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+                .select(F.concat(F.lit("c:"),
+                                 F.col("c_custkey").cast("string"))
+                        .alias("subj"),
+                        F.lit("memberOf").alias("pred"),
+                        n_uri.alias("obj"))))
+        return select_query(
+            triples,
+            [("?m", "memberOf", "?n")],
+            not_exists=([("?n", "broader", "r:EUROPE")],),
+            group_by=["n"],
+            aggregates={"n_members": ("count", None)})
+
     # --- Icebergish snapshot log + incremental read, end-to-end:
     #     write → append ×2 → compact (replace) → append over a
     #     documents slice, then emit history() decorated with each
@@ -1818,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_match": kg_bgp_match,
         "kg_path_match": kg_path_match,
         "kg_sparql_agg": kg_sparql_agg,
+        "kg_sparql_negation": kg_sparql_negation,
         "catalog_changelog": catalog_changelog,
         "catalog_pruned_scan": catalog_pruned_scan,
         "dsir_en_weights": dsir_en_weights,
@@ -3422,6 +3455,14 @@ def oracle_sql() -> dict[str, str]:
             FROM b WHERE label != 'EUROPE'
             GROUP BY r, label
             HAVING count(DISTINCT n) >= 2""",
+        # SPARQL NOT EXISTS == anti join: nations outside EUROPE
+        "kg_sparql_negation": """
+            SELECT 'n:' || n.n_name AS n, count(*)::BIGINT AS n_members
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name != 'EUROPE'
+            GROUP BY n.n_name""",
         # catalog snapshot log: the oracle re-derives every manifest
         # row count from the documents table alone — write(<300),
         # append(300-400), append(400-500), compact (replace, back to

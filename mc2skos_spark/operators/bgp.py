@@ -280,6 +280,9 @@ def union_groups(triples: DataFrame, *groups,
 
 def select_query(triples: DataFrame, patterns, optional=(),
                  union: tuple = (),
+                 exists: tuple = (),
+                 not_exists: tuple = (),
+                 minus: tuple = (),
                  bind: dict | None = None,
                  filter=None,
                  group_by: list[str] | None = None,
@@ -300,6 +303,22 @@ def select_query(triples: DataFrame, patterns, optional=(),
       ``(patterns, optional)`` pair) UNIONed with the main group
       before the later stages — :func:`union_groups`, variables
       unbound in a branch come through null.
+    * ``exists`` / ``not_exists``: pattern groups — ``FILTER [NOT]
+      EXISTS { … }``, a LEFT SEMI / LEFT ANTI join on the variables
+      the group shares with the solution (the probe side never
+      shuffles more than its join keys; a group sharing NO variable is
+      rejected like a disconnected pattern).
+    * ``minus``: pattern groups — SPARQL ``MINUS { … }``.  Same anti
+      join when variables are shared; with DISJOINT domains MINUS is
+      the IDENTITY (the spec removes a solution only when some
+      compatible mapping shares at least one variable), which is the
+      observable difference from NOT EXISTS — honored here: a
+      no-shared-variable minus group is a no-op, not an error.
+      Caveat (both forms): a solution variable left NULL by an
+      OPTIONAL is treated as non-matching by the join (SQL null
+      semantics), where SPARQL's compatibility treats unbound as
+      wildcard — apply negation before OPTIONAL groups when that
+      distinction matters.
     * ``bind``: ``{var: sql_expr}`` — ``BIND(expr AS ?var)``, an
       Extend; evaluated in insertion order so later binds may use
       earlier ones (whole-stage-codegen projections, free at scale).
@@ -333,6 +352,21 @@ def select_query(triples: DataFrame, patterns, optional=(),
     else:
         out = bgp_match(triples, patterns, optional=optional,
                         allow_product=allow_product)
+    for kind, groups in (("semi", exists), ("anti", not_exists)):
+        for group in groups:
+            sub = bgp_match(triples, group, allow_product=allow_product)
+            keys = sorted(set(out.columns) & set(sub.columns))
+            if not keys:
+                raise ValueError(
+                    "FILTER %sEXISTS group %r shares no variable with "
+                    "the solution — its truth would be constant"
+                    % ("NOT " if kind == "anti" else "", group))
+            out = out.join(sub, keys, "left_" + kind)
+    for group in minus:
+        sub = bgp_match(triples, group, allow_product=allow_product)
+        keys = sorted(set(out.columns) & set(sub.columns))
+        if keys:          # disjoint-domain MINUS is the identity
+            out = out.join(sub, keys, "left_anti")
     for name, expr in (bind or {}).items():
         out = out.withColumn(
             name, expr if not isinstance(expr, str) else F.expr(expr))

@@ -269,3 +269,40 @@ def test_union_groups(spark):
         ("x", None), ("a", "Beta"), ("b", "Gamma")}
     with pytest.raises(ValueError, match="at least two"):
         union_groups(t, [("?s", "knows", "?k")])
+
+
+def test_negation_exists_not_exists_minus(spark):
+    """SPARQL negation: FILTER EXISTS = left-semi, FILTER NOT EXISTS =
+    left-anti, MINUS = anti on shared vars but IDENTITY on disjoint
+    domains (the spec's observable MINUS vs NOT-EXISTS difference)."""
+    from mc2skos_spark.operators.bgp import select_query
+    t = _t(spark)
+    # concepts that HAVE a narrower child (something broader-pointing
+    # at them): b and c
+    out = select_query(t, [("?s", "prefLabel", "?l")],
+                       exists=([("?x", "broader", "?s")],),
+                       order_by=["s"])
+    assert [r["s"] for r in out.collect()] == ["b", "c"]
+    # concepts WITHOUT a child: a
+    out = select_query(t, [("?s", "prefLabel", "?l")],
+                       not_exists=([("?x", "broader", "?s")],))
+    assert [r["s"] for r in out.collect()] == ["a"]
+    # MINUS with a shared variable behaves like the anti join
+    out = select_query(t, [("?s", "prefLabel", "?l")],
+                       minus=([("?s", "broader", "?p")],))
+    assert sorted(r["s"] for r in out.collect()) == ["c"]
+    # MINUS with a DISJOINT group is the identity (NOT EXISTS would
+    # empty the result here, since the group matches)
+    out = select_query(t, [("?s", "prefLabel", "?l")],
+                       minus=([("?x", "knows", "?y")],))
+    assert out.count() == 3
+    with pytest.raises(ValueError, match="NOT EXISTS"):
+        select_query(t, [("?s", "prefLabel", "?l")],
+                     not_exists=([("?x", "knows", "?y")],))
+    # negation composes with aggregation: children per parent among
+    # parents that are not themselves children
+    out = select_query(t, [("?c", "broader", "?p")],
+                       not_exists=([("?p", "broader", "?gp")],),
+                       group_by=["p"],
+                       aggregates={"n": ("count", None)})
+    assert [tuple(r) for r in out.collect()] == [("c", 1)]
