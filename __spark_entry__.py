@@ -1571,6 +1571,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         finally:
             shutil.rmtree(wh, ignore_errors=True)
 
+    # --- Gopher quality-rule bundle (Rae et al. 2021 appendix A1.1):
+    #     all 7 MassiveText heuristic filters as ONE codegen struct —
+    #     per-rule booleans + the conjunction, every ratio threshold
+    #     an INTEGER cross-multiplication (10·symbols ≤ words, never
+    #     symbols/words ≤ 0.1) so the DuckDB oracle's booleans are
+    #     bit-identical.  One pass, no shuffle, no Python.
+    def text_gopher_gate(spark, sf_dir):
+        from mc2skos_spark.functions.textstats import (
+            gopher_quality_flags)
+        docs = _t(spark, sf_dir, "documents")
+        return (docs.select(
+            "doc_id",
+            gopher_quality_flags(F.col("text")).alias("g"))
+            .select("doc_id", "g.*"))
+
     # --- DSIR importance weights (Xie et al. 2023): hashed {1,2}-gram
     #     bucket counts (md5 first byte — engine-portable), target =
     #     the lang='en' slice, raw = the whole pool; per-bucket
@@ -1853,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_negation": kg_sparql_negation,
         "catalog_changelog": catalog_changelog,
         "catalog_pruned_scan": catalog_pruned_scan,
+        "text_gopher_gate": text_gopher_gate,
         "dsir_en_weights": dsir_en_weights,
         "quality_classifier_scores": quality_classifier_scores,
         "pivot_lang_matrix": pivot_lang_matrix,
@@ -3633,6 +3649,57 @@ def oracle_sql() -> dict[str, str]:
         # bucket via a printf('%02x') lookup table where Spark uses
         # conv(...,16,10) — same byte, independently derived; all
         # quantized log-ratios combine as BIGINTs
+        # Gopher rules: identical integer cross-multiplied thresholds;
+        # list_sum over an empty list is NULL in DuckDB (coalesce 0 to
+        # match Spark's aggregate-with-init-0)
+        "text_gopher_gate": """
+            WITH t AS (
+                SELECT doc_id,
+                       length(text) AS n_chars_all,
+                       length(replace(text, '#', '')) AS no_hash,
+                       length(replace(text, '...', '')) AS no_ell,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x != '') AS tk,
+                       regexp_split_to_array(text, '\\n') AS ln
+                FROM documents),
+            c AS (
+                SELECT doc_id,
+                    len(tk)::BIGINT AS n_words,
+                    coalesce(list_sum(list_transform(tk,
+                        x -> length(x))), 0)::BIGINT AS sum_len,
+                    (n_chars_all - no_hash)::BIGINT AS n_hash,
+                    (n_chars_all - no_ell)::BIGINT AS ell_chars,
+                    len(ln)::BIGINT AS n_lines,
+                    len(list_filter(ln, l -> regexp_matches(ltrim(l),
+                        '^[-*\u2022]')))::BIGINT AS n_bullet,
+                    len(list_filter(ln, l -> regexp_matches(rtrim(l),
+                        '(\\.\\.\\.|\u2026)$')))::BIGINT AS n_ell,
+                    len(list_filter(tk, w -> regexp_matches(w,
+                        '[A-Za-z]')))::BIGINT AS n_alpha,
+                    len(list_filter(list_distinct(list_transform(tk,
+                        x -> lower(x))),
+                        w -> w IN ('the','be','to','of','and','that',
+                                   'have','with')))::BIGINT AS n_stop
+                FROM t)
+            SELECT doc_id,
+                n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+                sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                    AND n_words > 0 AS ok_mean_word_len,
+                10 * (3 * n_hash + ell_chars) <= 3 * n_words
+                    AS ok_symbol_ratio,
+                10 * n_bullet <= n_lines AS ok_bullet_lines,
+                10 * n_ell <= 3 * n_lines AS ok_ellipsis_lines,
+                5 * n_alpha >= 4 * n_words AS ok_alpha_words,
+                n_stop >= 2 AS ok_stopwords,
+                (n_words >= 50 AND n_words <= 100000)
+                AND (sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+                     AND n_words > 0)
+                AND (10 * (3 * n_hash + ell_chars) <= 3 * n_words)
+                AND (10 * n_bullet <= n_lines)
+                AND (10 * n_ell <= 3 * n_lines)
+                AND (5 * n_alpha >= 4 * n_words)
+                AND (n_stop >= 2) AS gopher_pass
+            FROM c""",
         "dsir_en_weights": """
             WITH toks AS (
                 SELECT doc_id, lang,

@@ -6,6 +6,7 @@ over a documents table ``(doc_id, text, ...)``:
 
     profile (tokens / quality / language / repetition)
       → quality + repetition filter
+      → Gopher rule bundle                      (--gopher)
       → unigram-LM perplexity filter            (--max-avg-nll [--lm])
       → DSIR importance-weight filter           (--dsir-target)
       → fastText-style classifier gate          (--classifier-gate)
@@ -29,7 +30,7 @@ Cluster deployment:
         [--paragraph-dedup 16]
         [--max-avg-nll 9.0 [--lm unigram.parquet]]
         [--dsir-target en [--dsir-min-logw 0]]
-        [--classifier-gate weights.json]
+        [--classifier-gate weights.json] [--gopher]
         [--sample-rates en=1.0,es=0.5] [--default-rate 1.0]
         [--capacity 2048] [--jaccard 0.8]
 
@@ -124,6 +125,13 @@ def main() -> None:
                              "join — no model server.  Docs with no "
                              "tokens are dropped (no features, no "
                              "evidence).")
+    parser.add_argument("--gopher", action="store_true",
+                        help="apply the full Gopher rule bundle (Rae "
+                             "et al. 2021 A1.1: word count, mean word "
+                             "length, symbol/bullet/ellipsis ratios, "
+                             "alpha-word fraction, stopword presence) "
+                             "as a gate stage — one codegen filter, "
+                             "no shuffle")
     parser.add_argument("--jaccard", type=float, default=0.8,
                         help="near-dup threshold (estimated Jaccard)")
     parser.add_argument("--num-hashes", type=int, default=32)
@@ -193,6 +201,11 @@ def main() -> None:
     kept = cut(profile_and_gate(docs, args.min_quality,
                                 args.max_top_bigram))
     stats["after_quality_filter"] = kept.count()
+
+    if args.gopher:
+        from mc2skos_spark.functions.textstats import gopher_gate
+        kept = cut(gopher_gate(kept))
+        stats["after_gopher_gate"] = kept.count()
 
     if args.max_avg_nll is not None:
         from mc2skos_spark.functions.lm import lm_nll_scores

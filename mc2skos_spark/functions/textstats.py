@@ -59,6 +59,79 @@ def quality_score(text_col) -> Column:
     return F.floor(raw * 10000).cast("double") / 10000
 
 
+# Gopher rule-7 stopword list verbatim (Rae et al. 2021, appendix A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that",
+                    "have", "with")
+
+
+def gopher_quality_flags(text_col) -> Column:
+    """The Gopher quality-filter rule bundle (Rae et al. 2021,
+    MassiveText appendix A1.1) as ONE codegen struct column — per-rule
+    booleans plus the conjunction:
+
+    1. ``ok_word_count``  — 50 ≤ words ≤ 100 000
+    2. ``ok_mean_word_len`` — mean word length in [3, 10]
+    3. ``ok_symbol_ratio`` — (# '#' chars + # '...' runs) / words ≤ 0.1
+    4. ``ok_bullet_lines`` — < 90% of lines may NOT start with a bullet
+       ⇒ bullet-started lines ≤ 10%  (paper phrasing inverted)
+    5. ``ok_ellipsis_lines`` — lines ending in an ellipsis ≤ 30%
+    6. ``ok_alpha_words`` — ≥ 80% of words contain ≥ 1 alphabetic char
+    7. ``ok_stopwords`` — ≥ 2 distinct members of the 8-word list
+
+    Every ratio threshold is evaluated by INTEGER cross-multiplication
+    (``10·symbols ≤ words`` instead of ``symbols/words ≤ 0.1``): no
+    division, no float, so any engine computing the same counts gets
+    bit-identical booleans — the DuckDB oracle proves it.  All counts
+    are built-in expressions (split/filter/size) — whole-stage codegen,
+    no Python, one pass over the text."""
+    words = tokens(text_col)
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0),
+                          lambda acc, w: acc + F.length(w))
+    n_hash = (F.length(text_col)
+              - F.length(F.regexp_replace(text_col, r"#", "")))
+    # chars removed by deleting non-overlapping '...' runs = 3 × runs;
+    # kept as a char count so rule 3 stays integer (×3 both sides)
+    n_ellipsis_chars = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(text_col, r"\.\.\.", "")))
+    lines = F.split(text_col, r"\n")
+    n_lines = F.size(lines)
+    is_bullet = lambda ln: F.ltrim(ln).rlike(r"^([-*•])")
+    n_bullet = F.size(F.filter(lines, is_bullet))
+    ends_ell = lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")
+    n_ell_lines = F.size(F.filter(lines, ends_ell))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    lower_words = F.array_distinct(
+        F.transform(words, lambda w: F.lower(w)))
+    n_stop = F.size(F.filter(
+        lower_words, lambda w: w.isin(*GOPHER_STOPWORDS)))
+    ok = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100000),
+        "ok_mean_word_len": (sum_len >= 3 * n_words)
+                            & (sum_len <= 10 * n_words)
+                            & (n_words > 0),
+        "ok_symbol_ratio": (10 * (3 * n_hash + n_ellipsis_chars)
+                            <= 3 * n_words),
+        "ok_bullet_lines": 10 * n_bullet <= n_lines,
+        "ok_ellipsis_lines": 10 * n_ell_lines <= 3 * n_lines,
+        "ok_alpha_words": 5 * n_alpha >= 4 * n_words,
+        "ok_stopwords": n_stop >= 2,
+    }
+    passed = None
+    for flag in ok.values():
+        passed = flag if passed is None else (passed & flag)
+    return F.struct(*[c.alias(n) for n, c in ok.items()],
+                    passed.alias("gopher_pass"))
+
+
+def gopher_gate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep only documents passing ALL Gopher rules — one codegen
+    filter, no shuffle."""
+    return df.filter(
+        gopher_quality_flags(F.col(text_col))["gopher_pass"])
+
+
 def stopword_hits(text_col, lang: str) -> Column:
     """Count of signature-stopword occurrences as whole tokens."""
     sig = LANG_SIGNATURES[lang]

@@ -375,3 +375,30 @@ def test_curate_cli_paragraph_dedup(spark, tmp_path):
     assert by_id == {0: A + " " + B, 1: C, 9: docs[3][1]}
     assert result["total_tokens"] == sum(len(t.split())
                                          for t in by_id.values())
+
+
+def test_curate_cli_gopher_gate(spark, tmp_path):
+    """--gopher: the Rae-et-al rule bundle as a CLI stage — a
+    bullet-list doc and an under-50-words doc drop at the gopher
+    stage, a long prose doc survives; lineage counts pin the stage."""
+    prose = ("the data to train with and that we have of it . " * 5
+             ).strip()
+    bullets = prose + ("\n- item" * 10)
+    tiny = "the be to of and that have with small doc"
+    pool = [(1, prose), (2, bullets), (3, tiny)]
+    spark.createDataFrame(pool, "doc_id long, text string") \
+        .write.parquet(str(tmp_path / "docs"))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", str(tmp_path / "docs"),
+         "--output", str(tmp_path / "out"),
+         "--gopher", "--jaccard", "0.95", "--capacity", "64"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["stats"]["input"] == 3
+    assert result["stats"]["after_gopher_gate"] == 1
+    assert result["stats"]["output"] == 1
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(result["output"]).collect()}
+    assert kept == {1}

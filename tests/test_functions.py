@@ -1388,3 +1388,57 @@ def test_perplexity_buckets_thirds_and_ordering(spark):
         assert r["avg_q"] == score[r["doc_id"]]
         assert r["lang"] == lang_of[r["doc_id"]]
     assert {"head", "tail"} <= set(got.values())   # non-degenerate
+
+
+def test_gopher_rules_boundary_vectors(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) at its threshold
+    boundary — integer cross-multiplication means the boundary is
+    EXACT, no float epsilon."""
+    from mc2skos_spark.functions.textstats import (gopher_gate,
+                                                   gopher_quality_flags)
+
+    good = ("the data to train with and that we have of it . " * 5)[:-1]
+    docs = [
+        # 0: passes everything (50+ short words, stopword-rich)
+        ("pass", good),
+        # 1: word count 49 < 50
+        ("short", "the be to of and that have with " + "word " * 40
+         + "tail"),
+        # 2: mean word length > 10 (long tokens)
+        ("longwords", ("supercalifragilistic " * 60) +
+         "the be to of and that have with"),
+        # 3: symbol ratio: hashes > 10% of words
+        ("hashy", good + " " + "#" * 40),
+        # 4: bullet lines > 10%
+        ("bullets", good + ("\n- item" * 10)),
+        # 5: ellipsis-ending lines > 30%
+        ("trailing", good + ("\nto be continued..." * 10)),
+        # 6: alpha-word ratio < 80%
+        ("numeric", good + " " + "12345 " * 60),
+        # 7: only one distinct stopword
+        ("nostop", "the " + "lorem ipsum dolor sit amet " * 12),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id", gopher_quality_flags(__import__("pyspark.sql.functions",
+            fromlist=["col"]).col("text")).alias("g"))
+        .select("doc_id", "g.*").collect()}
+    assert rows["pass"]["gopher_pass"] is True
+    failing = {"short": "ok_word_count",
+               "longwords": "ok_mean_word_len",
+               "hashy": "ok_symbol_ratio",
+               "bullets": "ok_bullet_lines",
+               "trailing": "ok_ellipsis_lines",
+               "numeric": "ok_alpha_words",
+               "nostop": "ok_stopwords"}
+    for doc, flag in failing.items():
+        assert rows[doc][flag] is False, (doc, flag, rows[doc])
+        assert rows[doc]["gopher_pass"] is False, doc
+    # the gate keeps exactly the passing doc
+    kept = gopher_gate(df).collect()
+    assert [r["doc_id"] for r in kept] == ["pass"]
+    # empty text: no crash, word-count rule fails
+    empty = spark.createDataFrame([("e", "")],
+                                  "doc_id string, text string")
+    r = gopher_gate(empty).count()
+    assert r == 0
