@@ -1765,6 +1765,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (pairs.filter(F.col("a_id") < F.col("b_id"))
                 .select("event_type", "a_id", "b_id"))
 
+    # --- Watermarked stream-stream interval join (streaming/joins.py),
+    #     batch-expressed like sess_window_native: each click joined to
+    #     the same user's errors within the following 10 minutes.  The
+    #     IDENTICAL transformation runs on unbounded streams with
+    #     state bounded by within+delay (tests/test_streaming_joins.py
+    #     pins stream==batch and outer-row exactly-once eviction);
+    #     DuckDB verifies the interval semantics including both
+    #     inclusive boundaries.
+    def st_interval_join(spark, sf_dir):
+        from mc2skos_spark.streaming.joins import stream_interval_join
+        events = _t(spark, sf_dir, "events")
+        pairs = stream_interval_join(
+            events.filter(F.col("event_type") == "click"),
+            events.filter(F.col("event_type") == "error"),
+            within="10 minutes")
+        return pairs.select(
+            "user_id",
+            F.col("l_event_id").alias("action_id"),
+            F.col("r_event_id").alias("outcome_id"))
+
     def sess_window_native(spark, sf_dir):
         from mc2skos_spark.streaming.sessions import (
             streaming_session_stats)
@@ -1847,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "graph_pagerank_dangling": graph_pagerank_dangling,
         "sess_gap_stats": sess_gap_stats,
+        "st_interval_join": st_interval_join,
         "sess_window_native": sess_window_native,
         "aj_purchase_asof": aj_purchase_asof,
         "rj_event_overlap": rj_event_overlap,
@@ -3026,6 +3047,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
             FROM tagged GROUP BY user_id, session_id""",
+        # stream-stream interval join, batch oracle: inclusive both
+        # boundaries (the attribution convention the Spark side pins)
+        "st_interval_join": """
+            SELECT a.user_id, a.event_id AS action_id,
+                   b.event_id AS outcome_id
+            FROM events a
+            JOIN events b ON a.user_id = b.user_id
+                         AND b.ts >= a.ts
+                         AND b.ts <= a.ts + INTERVAL 10 MINUTE
+            WHERE a.event_type = 'click' AND b.event_type = 'error'""",
         "sess_window_native": """
             WITH flagged AS (
                 SELECT user_id, event_id, ts,
