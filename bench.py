@@ -156,6 +156,9 @@ def run_benchmark():
         # round 6 part 3: SPARQL SELECT algebra (filter→agg→having),
         # manifest zone-map pruned scan (clustered write + file skip)
         "kg_sparql_agg", "catalog_pruned_scan",
+        # round 6 part 4: Gopher rule bundle (one codegen struct),
+        # watermarked stream-stream interval join (batch-expressed)
+        "text_gopher_gate", "st_interval_join",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization
