@@ -87,6 +87,20 @@ def zero_or_one(step) -> Path:
     return Path("opt", (step,))
 
 
+def negated(*preds: str) -> Path:
+    """Negated property set ``!(p1|p2|…)`` — every edge whose
+    predicate is NOT one of the named IRIs (a filtered scan, the
+    complement pushes down like any constant filter).  Only plain
+    IRIs may be negated, per the SPARQL 1.1 grammar."""
+    if not preds:
+        raise ValueError("negated needs at least one predicate IRI")
+    if not all(isinstance(p, str) for p in preds):
+        raise TypeError("negated takes plain predicate IRIs only "
+                        "(the SPARQL grammar does not nest paths "
+                        "under !)")
+    return Path("neg", preds)
+
+
 def _graph_terms(triples: DataFrame) -> DataFrame:
     """Every RDF term of the graph as (src, dst) identity pairs —
     the zero-length path relation (subjects ∪ objects, set semantics)."""
@@ -139,6 +153,10 @@ def _path_edges(triples: DataFrame, expr) -> DataFrame:
     if expr.kind == "opt":
         return (_path_edges(triples, expr.parts[0])
                 .unionByName(_graph_terms(triples)).distinct())
+    if expr.kind == "neg":
+        return (triples.filter(~F.col("pred").isin(*expr.parts))
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")))
     raise ValueError("unknown path kind %r" % expr.kind)
 
 
@@ -283,6 +301,7 @@ def select_query(triples: DataFrame, patterns, optional=(),
                  exists: tuple = (),
                  not_exists: tuple = (),
                  minus: tuple = (),
+                 values: tuple | None = None,
                  bind: dict | None = None,
                  filter=None,
                  group_by: list[str] | None = None,
@@ -303,6 +322,13 @@ def select_query(triples: DataFrame, patterns, optional=(),
       ``(patterns, optional)`` pair) UNIONed with the main group
       before the later stages — :func:`union_groups`, variables
       unbound in a branch come through null.
+    * ``values``: ``((var, …), [row, …])`` — the ``VALUES`` inline-data
+      block, joined into the solution on its shared variables (a
+      broadcast join: inline data is tiny by construction; with no
+      shared variable it extends every solution, the spec's
+      disjoint-domain join).  ``UNDEF`` has no SQL analog here: a
+      ``None`` cell joins as null (non-matching), not as the spec's
+      wildcard.
     * ``exists`` / ``not_exists``: pattern groups — ``FILTER [NOT]
       EXISTS { … }``, a LEFT SEMI / LEFT ANTI join on the variables
       the group shares with the solution (the probe side never
@@ -352,6 +378,16 @@ def select_query(triples: DataFrame, patterns, optional=(),
     else:
         out = bgp_match(triples, patterns, optional=optional,
                         allow_product=allow_product)
+    if values is not None:
+        var_names, rows = values
+        if not var_names or not rows:
+            raise ValueError("values needs ((var, ...), [row, ...])")
+        vdf = out.sparkSession.createDataFrame(
+            [tuple(r) if isinstance(r, (tuple, list)) else (r,)
+             for r in rows], list(var_names))
+        keys = sorted(set(out.columns) & set(var_names))
+        out = (out.join(F.broadcast(vdf), keys) if keys
+               else out.crossJoin(F.broadcast(vdf)))
     for kind, groups in (("semi", exists), ("anti", not_exists)):
         for group in groups:
             sub = bgp_match(triples, group, allow_product=allow_product)

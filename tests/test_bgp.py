@@ -306,3 +306,33 @@ def test_negation_exists_not_exists_minus(spark):
                        group_by=["p"],
                        aggregates={"n": ("count", None)})
     assert [tuple(r) for r in out.collect()] == [("c", 1)]
+
+
+def test_values_and_negated_property_set(spark):
+    """VALUES inline data joins (or extends) the solution; !(p1|p2)
+    scans the predicate complement."""
+    from mc2skos_spark.operators.bgp import bgp_match, negated, select_query
+    t = _t(spark)
+    # VALUES constrains via the shared variable (broadcast join)
+    out = select_query(t, [("?s", "prefLabel", "?l")],
+                       values=(("s",), [("a",), ("c",)]),
+                       order_by=["s"])
+    assert [(r["s"], r["l"]) for r in out.collect()] == [
+        ("a", "Alpha"), ("c", "Gamma")]
+    # multi-var VALUES rows must match pairwise
+    out = select_query(t, [("?s", "prefLabel", "?l")],
+                       values=(("s", "l"),
+                               [("a", "Alpha"), ("b", "WRONG")]))
+    assert [(r["s"], r["l"]) for r in out.collect()] == [("a", "Alpha")]
+    # disjoint VALUES extends every solution (spec join)
+    out = select_query(t, [("?s", "broader", "?o")],
+                       values=(("tag",), [("x",), ("y",)]))
+    assert out.count() == 4 and set(out.columns) == {"s", "o", "tag"}
+    # negated property set: everything except broader and knows = prefLabel
+    out = bgp_match(t, [("?s", negated("broader", "knows"), "?v")])
+    assert {(r["s"], r["v"]) for r in out.collect()} == {
+        ("a", "Alpha"), ("b", "Beta"), ("c", "Gamma")}
+    with pytest.raises(TypeError, match="plain predicate"):
+        negated(negated("x"))
+    with pytest.raises(ValueError, match="at least one"):
+        negated()
