@@ -25,6 +25,7 @@ Query spec (JSON)::
      "group_by":  ["var", …],
      "aggregates":{"out": ["count", null]},   # fn, var[, sep]
      "having":    "sql boolean expr",
+     "project":   ["x", "y"],            # SELECT list (pre-DISTINCT)
      "distinct":  false, "order_by": ["-n", "var"],
      "limit": 100, "offset": 0}
 
@@ -89,6 +90,7 @@ def run_query(spark, triples, spec: dict):
         bind=spec.get("bind"), filter=spec.get("filter"),
         group_by=spec.get("group_by"), aggregates=aggregates,
         having=spec.get("having"),
+        project=spec.get("project"),
         distinct=bool(spec.get("distinct", False)),
         order_by=spec.get("order_by"), limit=spec.get("limit"),
         offset=int(spec.get("offset", 0)),

@@ -307,6 +307,7 @@ def select_query(triples: DataFrame, patterns, optional=(),
                  group_by: list[str] | None = None,
                  aggregates: dict | None = None,
                  having=None,
+                 project: list[str] | None = None,
                  distinct: bool = False,
                  order_by: list[str] | None = None,
                  limit: int | None = None,
@@ -360,6 +361,10 @@ def select_query(triples: DataFrame, patterns, optional=(),
       ``group_by`` is the spec's implicit single group.
     * ``having``: post-aggregate boolean SQL over group keys and
       aggregate aliases.
+    * ``project``: variable names to keep — ``SELECT ?x ?y`` — applied
+      BEFORE DISTINCT per the spec, so ``distinct=True`` deduplicates
+      the projected rows (and Catalyst prunes the dropped columns all
+      the way down to the scans).
     * ``order_by``: variable names, ``-name`` for DESC — a total-order
       spec; combined with ``limit`` Spark plans TakeOrdered (top-k per
       partition + k-merge), never a global sort at scale.
@@ -428,6 +433,10 @@ def select_query(triples: DataFrame, patterns, optional=(),
         if not aggregates:
             raise ValueError("having requires aggregates")
         out = out.filter(having)
+    if project:
+        # SELECT ?x ?y — the spec applies select-expressions BEFORE
+        # DISTINCT, so distinct=True deduplicates the projected rows
+        out = out.select(*project)
     if distinct:
         out = out.distinct()
     if order_by:

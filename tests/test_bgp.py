@@ -336,3 +336,15 @@ def test_values_and_negated_property_set(spark):
         negated(negated("x"))
     with pytest.raises(ValueError, match="at least one"):
         negated()
+
+
+def test_projection_before_distinct(spark):
+    from mc2skos_spark.operators.bgp import select_query
+    t = _t(spark)
+    # without projection: 2 distinct (s, o) broader rows; projecting to
+    # the predicate-sharing parent THEN distinct → collapse
+    out = select_query(t, [("?s", "broader", "?o"),
+                           ("?o", "prefLabel", "?l")],
+                       project=["o"], distinct=True, order_by=["o"])
+    assert out.columns == ["o"]
+    assert [r["o"] for r in out.collect()] == ["b", "c"]
