@@ -1491,6 +1491,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             group_by=["n"],
             aggregates={"n_members": ("count", None)})
 
+    # --- SPARQL CONSTRUCT as rule materialization (operators/bgp.py
+    #     construct_query): one WHERE evaluation instantiates N
+    #     template triples per solution → union → hash-distinct on
+    #     (subj, pred, obj) — the relational form of a forward-chained
+    #     inference step (expand.py's SKOS inverses are the hand-built
+    #     case).  Template: every member gets an inRegion edge and
+    #     every nation a narrower_member edge.
+    def kg_construct_rule(spark, sf_dir):
+        from mc2skos_spark.operators.bgp import construct_query
+        nation = _t(spark, sf_dir, "nation")
+        region = _t(spark, sf_dir, "region")
+        customer = _t(spark, sf_dir, "customer")
+        n_uri = F.concat(F.lit("n:"), F.col("n_name"))
+        triples = (
+            nation.join(region,
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(n_uri.alias("subj"), F.lit("broader").alias("pred"),
+                    F.concat(F.lit("r:"), F.col("r_name")).alias("obj"))
+            .unionByName(
+                customer.join(
+                    nation,
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+                .select(F.concat(F.lit("c:"),
+                                 F.col("c_custkey").cast("string"))
+                        .alias("subj"),
+                        F.lit("memberOf").alias("pred"),
+                        n_uri.alias("obj"))))
+        return construct_query(
+            triples,
+            [("?n", "narrower_member", "?m"), ("?m", "inRegion", "?r")],
+            [("?m", "memberOf", "?n"), ("?n", "broader", "?r")])
+
     # --- Icebergish snapshot log + incremental read, end-to-end:
     #     write → append ×2 → compact (replace) → append over a
     #     documents slice, then emit history() decorated with each
@@ -1887,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_match": kg_path_match,
         "kg_sparql_agg": kg_sparql_agg,
         "kg_sparql_negation": kg_sparql_negation,
+        "kg_construct_rule": kg_construct_rule,
         "catalog_changelog": catalog_changelog,
         "catalog_pruned_scan": catalog_pruned_scan,
         "text_gopher_gate": text_gopher_gate,
@@ -3510,6 +3543,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN region r ON n.n_regionkey = r.r_regionkey
             WHERE r.r_name != 'EUROPE'
             GROUP BY n.n_name""",
+        # CONSTRUCT: UNION (distinct) mirrors the spec's graph-set
+        # semantics; template instantiation is a plain projection
+        "kg_construct_rule": """
+            WITH b AS (
+                SELECT 'c:' || c.c_custkey AS m, 'n:' || n.n_name AS n,
+                       'r:' || r.r_name AS r
+                FROM customer c
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey)
+            SELECT n AS subj, 'narrower_member' AS pred, m AS obj FROM b
+            UNION
+            SELECT m AS subj, 'inRegion' AS pred, r AS obj FROM b""",
         # catalog snapshot log: the oracle re-derives every manifest
         # row count from the documents table alone — write(<300),
         # append(300-400), append(400-500), compact (replace, back to

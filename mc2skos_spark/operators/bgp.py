@@ -449,3 +449,81 @@ def select_query(triples: DataFrame, patterns, optional=(),
         out = out.offset(offset).limit(limit) if offset else \
             out.limit(limit)
     return out
+
+
+def construct_query(triples: DataFrame, template, patterns,
+                    **select_kwargs) -> DataFrame:
+    """The SPARQL 1.1 CONSTRUCT query form — and, read as a rule
+    engine, one materialization step: ``CONSTRUCT { template } WHERE
+    { patterns }`` evaluates the WHERE part like :func:`select_query`
+    (every keyword it takes — optional/union/negation/filter/values —
+    passes through) and instantiates each TEMPLATE triple pattern once
+    per solution, emitting a ``(subj, pred, obj)`` graph:
+
+    * a ``?var`` term pulls the binding's column;
+    * any other term is a constant IRI/literal;
+    * solutions leaving any template position NULL are dropped for
+      that template triple (the spec: instantiations with unbound
+      variables are omitted), others still emit;
+    * the result is DISTINCT per the spec (CONSTRUCT builds a GRAPH —
+      a set of triples, unlike SELECT's bag of solutions).
+
+    Scale shape: one projection per template triple over the one
+    evaluated WHERE relation (lineage shared, not recomputed) + a
+    union + one hash-distinct keyed (subj, pred, obj).  Feeding the
+    output back through another ``construct_query`` — or unioning it
+    with the source graph — is exactly how rule-based SKOS inference
+    materializes (``operators/expand.py`` is the hand-built special
+    case).
+    """
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    bindings = select_query(triples, patterns, **select_kwargs)
+
+    def term(t, pos):
+        if _is_var(t):
+            name = t[1:]
+            if name not in bindings.columns:
+                raise ValueError("template var %s not bound by the "
+                                 "WHERE patterns (%s)" %
+                                 (t, bindings.columns))
+            return F.col(name).alias(pos)
+        return F.lit(t).alias(pos)
+
+    parts = []
+    for pat in template:
+        if len(pat) != 3:
+            raise ValueError("template triple must have 3 terms: %r"
+                             % (pat,))
+        row = bindings.select(term(pat[0], "subj"),
+                              term(pat[1], "pred"),
+                              term(pat[2], "obj"))
+        parts.append(row.filter(F.col("subj").isNotNull()
+                                & F.col("pred").isNotNull()
+                                & F.col("obj").isNotNull()))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def ask_query(triples: DataFrame, patterns, **select_kwargs) -> bool:
+    """SPARQL ASK — does at least one solution exist?  Evaluated with
+    an early-exit ``limit(1)``: Spark stops scanning as soon as any
+    task yields a row, so a satisfiable ASK over 100 TB touches a
+    sliver of it."""
+    return bool(select_query(triples, patterns, **select_kwargs)
+                .limit(1).take(1))
+
+
+def describe_query(triples: DataFrame, resources) -> DataFrame:
+    """SPARQL DESCRIBE (concise-bounded lite): every triple whose
+    subject OR object is one of ``resources`` — two pushed-down
+    isin-filter scans unioned and deduped, no joins."""
+    if isinstance(resources, str):
+        resources = [resources]
+    if not resources:
+        raise ValueError("describe_query needs at least one resource")
+    return (triples.filter(F.col("subj").isin(*resources))
+            .unionByName(triples.filter(F.col("obj").isin(*resources)))
+            .distinct())

@@ -348,3 +348,43 @@ def test_projection_before_distinct(spark):
                        project=["o"], distinct=True, order_by=["o"])
     assert out.columns == ["o"]
     assert [r["o"] for r in out.collect()] == ["b", "c"]
+
+
+def test_construct_ask_describe_query_forms(spark):
+    """The remaining SPARQL query forms: CONSTRUCT materializes a
+    template graph per solution (null-position instantiations dropped,
+    result a SET); ASK is an early-exit existence probe; DESCRIBE
+    gathers a resource's triples both directions."""
+    from mc2skos_spark.operators.bgp import (ask_query, construct_query,
+                                             describe_query)
+    t = _t(spark)
+    # rule: narrower is the inverse of broader, plus a type marker
+    got = construct_query(
+        t, [("?p", "narrower", "?c"), ("?c", "a", "Concept")],
+        [("?c", "broader", "?p")])
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {("b", "narrower", "a"), ("c", "narrower", "b"),
+                    ("a", "a", "Concept"), ("b", "a", "Concept")}
+    # unbound OPTIONAL var: that template triple drops, others emit
+    got = construct_query(
+        t, [("?s", "label", "?l"), ("?s", "kind", "node")],
+        [("?s", "knows", "?o")],
+        optional=[[("?s", "prefLabel", "?l")]])
+    assert {tuple(r) for r in got.collect()} == {
+        ("x", "kind", "node")}           # x has no prefLabel
+    # CONSTRUCT result is a SET even when solutions repeat
+    got = construct_query(t, [("?s", "kind", "node")],
+                          [("?s", "knows", "?o")])
+    assert got.count() == 1
+    with pytest.raises(ValueError, match="not bound"):
+        construct_query(t, [("?s", "p", "?nope")],
+                        [("?s", "knows", "?o")])
+    # ASK
+    assert ask_query(t, [("a", "broader", "?p")]) is True
+    assert ask_query(t, [("c", "broader", "?p")]) is False
+    assert ask_query(t, [("?s", "prefLabel", "?l")],
+                     filter="l = 'Gamma'") is True
+    # DESCRIBE: both directions, deduped
+    got = {tuple(r) for r in describe_query(spark and t, "b").collect()}
+    assert got == {("b", "broader", "c"), ("a", "broader", "b"),
+                   ("b", "prefLabel", "Beta")}
