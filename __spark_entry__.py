@@ -1523,6 +1523,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("?n", "narrower_member", "?m"), ("?m", "inRegion", "?r")],
             [("?m", "memberOf", "?n"), ("?n", "broader", "?r")])
 
+    # --- Forward-chaining rule FIXPOINT (materialize_rules): seed
+    #     rules copy memberOf/broader into a shared inT predicate, a
+    #     self-recursive transitivity rule closes it (doubling rounds),
+    #     an inverse rule derives narrower — the datalog shape of SKOS
+    #     inference, run to convergence with per-round delta
+    #     anti-joins.  The oracle re-derives the closed graph with
+    #     explicit unions (the hierarchy is depth-2, so the closure is
+    #     enumerable without recursion).
+    def kg_rules_fixpoint(spark, sf_dir):
+        from mc2skos_spark.operators.bgp import materialize_rules
+        nation = _t(spark, sf_dir, "nation")
+        region = _t(spark, sf_dir, "region")
+        customer = _t(spark, sf_dir, "customer")
+        n_uri = F.concat(F.lit("n:"), F.col("n_name"))
+        triples = (
+            nation.join(region,
+                        F.col("n_regionkey") == F.col("r_regionkey"))
+            .select(n_uri.alias("subj"), F.lit("broader").alias("pred"),
+                    F.concat(F.lit("r:"), F.col("r_name")).alias("obj"))
+            .unionByName(
+                customer.join(
+                    nation,
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+                .select(F.concat(F.lit("c:"),
+                                 F.col("c_custkey").cast("string"))
+                        .alias("subj"),
+                        F.lit("memberOf").alias("pred"),
+                        n_uri.alias("obj"))))
+        rules = [
+            ([("?a", "inT", "?b")], [("?a", "memberOf", "?b")]),
+            ([("?a", "inT", "?b")], [("?a", "broader", "?b")]),
+            ([("?a", "inT", "?c")],
+             [("?a", "inT", "?b"), ("?b", "inT", "?c")]),
+            ([("?b", "narrower", "?a")], [("?a", "broader", "?b")]),
+        ]
+        return materialize_rules(triples, rules)
+
     # --- Icebergish snapshot log + incremental read, end-to-end:
     #     write → append ×2 → compact (replace) → append over a
     #     documents slice, then emit history() decorated with each
@@ -1920,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_agg": kg_sparql_agg,
         "kg_sparql_negation": kg_sparql_negation,
         "kg_construct_rule": kg_construct_rule,
+        "kg_rules_fixpoint": kg_rules_fixpoint,
         "catalog_changelog": catalog_changelog,
         "catalog_pruned_scan": catalog_pruned_scan,
         "text_gopher_gate": text_gopher_gate,
@@ -3555,6 +3593,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS subj, 'narrower_member' AS pred, m AS obj FROM b
             UNION
             SELECT m AS subj, 'inRegion' AS pred, r AS obj FROM b""",
+        # rule fixpoint: depth-2 hierarchy -> the closure enumerates as
+        # explicit unions; nations without customers still carry their
+        # broader/inT/narrower edges (nr CTE is the full nation⋈region)
+        "kg_rules_fixpoint": """
+            WITH nr AS (
+                SELECT 'n:' || n.n_name AS n, 'r:' || r.r_name AS r
+                FROM nation n
+                JOIN region r ON n.n_regionkey = r.r_regionkey),
+            cb AS (
+                SELECT 'c:' || c.c_custkey AS m, 'n:' || n.n_name AS n,
+                       'r:' || r.r_name AS r
+                FROM customer c
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey)
+            SELECT n AS subj, 'broader' AS pred, r AS obj FROM nr
+            UNION
+            SELECT m, 'memberOf', n FROM cb
+            UNION
+            SELECT n, 'inT', r FROM nr
+            UNION
+            SELECT m, 'inT', n FROM cb
+            UNION
+            SELECT m, 'inT', r FROM cb
+            UNION
+            SELECT r, 'narrower', n FROM nr""",
         # catalog snapshot log: the oracle re-derives every manifest
         # row count from the documents table alone — write(<300),
         # append(300-400), append(400-500), compact (replace, back to

@@ -29,6 +29,12 @@ Query spec (JSON)::
      "distinct":  false, "order_by": ["-n", "var"],
      "limit": 100, "offset": 0}
 
+Other query forms (keys override SELECT):
+
+    {"construct": [["?p","narrower","?c"], …], "patterns": [...]}
+    {"ask": true, "patterns": [...]}          # one boolean row
+    {"rules": [[template, where], …], "max_rounds": 25}   # fixpoint
+
 A pattern's predicate may be a property-path object::
 
     {"op": "plus", "args": ["http://…#broader"]}
@@ -72,8 +78,7 @@ def parse_patterns(raw):
     return out
 
 
-def run_query(spark, triples, spec: dict):
-    from mc2skos_spark.operators.bgp import select_query
+def _select_kwargs(spec: dict) -> dict:
     groups = {k: tuple(parse_patterns(g) for g in spec.get(k, []))
               for k in ("optional", "union", "exists", "not_exists",
                         "minus")}
@@ -82,8 +87,7 @@ def run_query(spark, triples, spec: dict):
         values = (tuple(values[0]), [tuple(r) for r in values[1]])
     aggregates = {k: tuple(v) for k, v in
                   spec.get("aggregates", {}).items()} or None
-    return select_query(
-        triples, parse_patterns(spec["patterns"]),
+    return dict(
         optional=groups["optional"], union=groups["union"],
         exists=groups["exists"], not_exists=groups["not_exists"],
         minus=groups["minus"], values=values,
@@ -95,6 +99,32 @@ def run_query(spark, triples, spec: dict):
         order_by=spec.get("order_by"), limit=spec.get("limit"),
         offset=int(spec.get("offset", 0)),
         allow_product=bool(spec.get("allow_product", False)))
+
+
+def run_query(spark, triples, spec: dict):
+    """Dispatch on query form: ``rules`` → fixpoint materialization,
+    ``construct`` → template graph, ``ask`` → 1-row boolean,
+    otherwise SELECT bindings."""
+    from mc2skos_spark.operators.bgp import (ask_query, construct_query,
+                                             materialize_rules,
+                                             select_query)
+    if "rules" in spec:
+        rules = [(r[0], parse_patterns(r[1]), *(r[2:] or []))
+                 for r in spec["rules"]]
+        return materialize_rules(triples, rules,
+                                 max_rounds=int(spec.get("max_rounds",
+                                                         25)))
+    if "construct" in spec:
+        return construct_query(triples, spec["construct"],
+                               parse_patterns(spec["patterns"]),
+                               **_select_kwargs(spec))
+    if spec.get("ask"):
+        ok = ask_query(triples, parse_patterns(spec["patterns"]),
+                       **_select_kwargs(spec))
+        from pyspark.sql import functions as F  # noqa: F401
+        return spark.createDataFrame([(ok,)], "ask boolean")
+    return select_query(triples, parse_patterns(spec["patterns"]),
+                        **_select_kwargs(spec))
 
 
 def main() -> None:

@@ -388,3 +388,39 @@ def test_construct_ask_describe_query_forms(spark):
     got = {tuple(r) for r in describe_query(spark and t, "b").collect()}
     assert got == {("b", "broader", "c"), ("a", "broader", "b"),
                    ("b", "prefLabel", "Beta")}
+
+
+def test_materialize_rules_fixpoint(spark):
+    """Forward chaining to fixpoint: a recursive transitivity rule
+    closes a depth-4 chain (doubling rounds), an inverse rule derives
+    narrower, and a diverging rule hits the max_rounds guard."""
+    from mc2skos_spark.operators.bgp import materialize_rules
+    chain = [("n%d" % i, "broader", "n%d" % (i + 1)) for i in range(4)]
+    t = spark.createDataFrame(chain, "subj string, pred string,"
+                                     " obj string")
+    rules = [
+        # seed: broader ⊆ broaderT
+        ([("?a", "broaderT", "?b")], [("?a", "broader", "?b")]),
+        # recursive transitivity over the DERIVED predicate
+        ([("?a", "broaderT", "?c")],
+         [("?a", "broaderT", "?b"), ("?b", "broaderT", "?c")]),
+        # inverse
+        ([("?b", "narrower", "?a")], [("?a", "broader", "?b")]),
+    ]
+    out = materialize_rules(t, rules)
+    rows = {tuple(r) for r in out.collect()}
+    closure = {("n%d" % i, "broaderT", "n%d" % j)
+               for i in range(4) for j in range(i + 1, 5)}
+    assert {r for r in rows if r[1] == "broaderT"} == closure
+    assert {r for r in rows if r[1] == "narrower"} == {
+        ("n%d" % (i + 1), "narrower", "n%d" % i) for i in range(4)}
+    assert {r for r in rows if r[1] == "broader"} == set(chain)
+    # idempotent: running again derives nothing new
+    again = materialize_rules(out, rules)
+    assert again.count() == out.count()
+    # divergence guard: a rule minting fresh terms forever
+    div = [([("?b", "broader", "?new")],
+            [("?a", "broader", "?b")],
+            {"bind": {"new": "concat(b, 'x')"}})]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        materialize_rules(t, div, max_rounds=3)

@@ -71,3 +71,19 @@ def test_cli_subprocess_plain_parquet(spark, tmp_path):
     assert lines[:-1] == [
         {"c": "a", "p": "b", "l": "Beta"},
         {"c": "b", "p": "c", "l": "Gamma"}]
+
+
+def test_query_forms_construct_ask_rules(spark):
+    assert run_query(spark, _t(spark), {
+        "ask": True, "patterns": [["a", "broader", "?p"]],
+    }).collect()[0]["ask"] is True
+    got = {tuple(r) for r in run_query(spark, _t(spark), {
+        "construct": [["?p", "narrower", "?c"]],
+        "patterns": [["?c", "broader", "?p"]]}).collect()}
+    assert got == {("b", "narrower", "a"), ("c", "narrower", "b")}
+    out = run_query(spark, _t(spark), {
+        "rules": [[[["?a", "bt", "?b"]], [["?a", "broader", "?b"]]],
+                  [[["?a", "bt", "?c"]],
+                   [["?a", "bt", "?b"], ["?b", "bt", "?c"]]]]})
+    assert {tuple(r) for r in out.collect() if r["pred"] == "bt"} == {
+        ("a", "bt", "b"), ("b", "bt", "c"), ("a", "bt", "c")}
