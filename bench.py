@@ -159,6 +159,9 @@ def run_benchmark():
         # round 6 part 4: Gopher rule bundle (one codegen struct),
         # watermarked stream-stream interval join (batch-expressed)
         "text_gopher_gate", "st_interval_join",
+        # round 6 part 5: CONSTRUCT materialization + forward-chained
+        # rule fixpoint (delta anti-join rounds to convergence)
+        "kg_construct_rule", "kg_rules_fixpoint",
     ]
     # warm-up: spin up python workers / codegen so the first headline
     # query is not charged for session initialization
