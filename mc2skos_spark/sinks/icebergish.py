@@ -227,9 +227,15 @@ class IcebergishCatalog:
             raise ValueError("append to a partitioned table is not "
                              "supported by the Icebergish shim (%r)"
                              % table)
+        # the COMMITTED schema stays the manifest schema: an append of
+        # a stricter-nullability frame (common with literal columns)
+        # must not silently tighten the table's contract — the evolved
+        # nullable columns from add_columns would otherwise flip
+        # required after one strict append and reject the next nullable
+        # one.  Shape equality is already guaranteed above.
         return self._write_snapshot(
             table, df, None, lineage_key, properties, base=current,
-            operation="append",
+            operation="append", schema_json=current["schema"],
             stats_columns=current.get("stats_columns") or None)
 
     def _write_snapshot(self, table: str, df: DataFrame,
@@ -719,6 +725,88 @@ class IcebergishCatalog:
                 "files_after": len(m["lineage"]),
                 "rows": m["row_count"],
                 "dirs_removed": len(gc["removed_dirs"])}
+
+    # ------------------------------------------------- schema evolution
+
+    def add_columns(self, table: str, new_fields: dict) -> dict:
+        """Iceberg ``ALTER TABLE … ADD COLUMNS`` — METADATA-ONLY
+        schema evolution: commit a new manifest whose schema appends
+        the given ``{name: spark-ddl-type}`` fields (always nullable,
+        as Iceberg requires for added columns) while referencing the
+        SAME data dirs.  No data file is touched: the read path always
+        supplies the manifest schema explicitly, and Spark's parquet
+        reader fills columns absent from a file with nulls — so
+        pre-evolution files read as null in the new columns, exactly
+        Iceberg's contract.  Appends after the evolution must carry
+        the new shape.  Time travel composes: each retained snapshot
+        keeps ITS schema, so reading an old snapshot shows the old
+        columns."""
+        from pyspark.sql import types as T
+        current = self.current_manifest(table)
+        if current is None:
+            raise FileNotFoundError("no committed snapshot for table %r"
+                                    % table)
+        schema = T.StructType.fromJson(current["schema"])
+        existing = {f.name for f in schema.fields}
+        for name, ddl in new_fields.items():
+            if name in existing:
+                raise ValueError("column %r already exists in %r"
+                                 % (name, table))
+            schema = schema.add(name, ddl, nullable=True)
+        return self._commit_schema(table, current, schema.jsonValue())
+
+    def drop_columns(self, table: str, names) -> dict:
+        """Iceberg ``ALTER TABLE … DROP COLUMN`` — metadata-only: the
+        new manifest's schema omits the columns; data files still hold
+        the bytes (schema projection skips them on read) until a
+        compaction physically rewrites.  Dropped columns are also
+        removed from ``stats_columns`` (their zone maps die with
+        them).  Dropping a column that some retained snapshot needs is
+        fine — time travel reads use that snapshot's own schema."""
+        from pyspark.sql import types as T
+        if isinstance(names, str):
+            names = [names]
+        current = self.current_manifest(table)
+        if current is None:
+            raise FileNotFoundError("no committed snapshot for table %r"
+                                    % table)
+        schema = T.StructType.fromJson(current["schema"])
+        missing = [n for n in names if n not in schema.fieldNames()]
+        if missing:
+            raise ValueError("cannot drop absent columns %s from %r"
+                             % (missing, table))
+        keep = [f for f in schema.fields if f.name not in set(names)]
+        if not keep:
+            raise ValueError("cannot drop every column of %r" % table)
+        return self._commit_schema(
+            table, current, T.StructType(keep).jsonValue(),
+            drop_stats=set(names))
+
+    def _commit_schema(self, table: str, current: dict,
+                       schema_json: dict,
+                       drop_stats: set | None = None) -> dict:
+        """Commit an ``alter`` snapshot: same dirs, same lineage, new
+        schema — one atomic manifest rename, zero data I/O."""
+        manifest = dict(current)
+        manifest["snapshot_id"] = current["snapshot_id"] + 1
+        manifest["schema"] = schema_json
+        manifest["operation"] = "alter"
+        manifest["committed_at"] = time.time()
+        if drop_stats:
+            manifest["stats_columns"] = [
+                c for c in current.get("stats_columns", [])
+                if c not in drop_stats]
+            manifest["lineage"] = [
+                {**e, **({"stats": {c: s for c, s in e["stats"].items()
+                                    if c not in drop_stats}}
+                         if "stats" in e else {})}
+                for e in current["lineage"]]
+        path = self._manifest_path(table, manifest["snapshot_id"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fp:
+            json.dump(manifest, fp, indent=1)
+        os.replace(tmp, path)
+        return manifest
 
     # ---------------------------------------------------------- cleanup
 

@@ -695,3 +695,61 @@ def test_catalog_stats_guards(spark, tmp_path):
     cat.write("q", part, partition_by=["k"], lineage_key="id")
     with pytest.raises(ValueError, match="unpartitioned"):
         cat.read_where("q", {"id": (0, 5)})
+
+
+def test_catalog_schema_evolution(spark, tmp_path):
+    """Iceberg-style metadata-only schema evolution: add_columns reads
+    pre-evolution files as null, appends carry the new shape, time
+    travel keeps each snapshot's own schema, drop_columns projects
+    away (and kills the zone maps) without touching data."""
+    from pyspark.sql import functions as F
+
+    cat = IcebergishCatalog(str(tmp_path / "wh"), spark)
+    cat.write("t", spark.range(5).selectExpr("id", "id * 2 AS v"),
+              lineage_key="id", stats_columns=["id", "v"])
+    m = cat.add_columns("t", {"tag": "string", "score": "double"})
+    assert m["operation"] == "alter" and m["snapshot_id"] == 1
+    # old files read as null in the new columns — zero data I/O
+    rows = cat.read("t").orderBy("id").collect()
+    assert [r["tag"] for r in rows] == [None] * 5
+    assert set(cat.read("t").columns) == {"id", "v", "tag", "score"}
+    # history shows the alter commit with unchanged row count
+    hist = cat.history("t").collect()
+    assert (hist[-1]["operation"], hist[-1]["row_count"]) == ("alter", 5)
+    # append must now carry the evolved shape
+    with pytest.raises(ValueError, match="schema mismatch"):
+        cat.append("t", spark.range(5, 8).selectExpr("id", "id * 2 AS v"))
+    cat.append("t", spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS v", "'x' AS tag",
+        "cast(0.5 AS double) AS score"),
+        lineage_key="id")
+    assert cat.read("t").count() == 8
+    assert cat.read("t").filter("tag = 'x'").count() == 3
+    # the strict append did NOT tighten the evolved contract: a
+    # further append with genuinely null new-column values still lands
+    cat.append("t", spark.sql(
+        "SELECT id, id * 2 AS v, cast(null AS string) AS tag,"
+        " cast(null AS double) AS score FROM range(8, 9)"),
+        lineage_key="id")
+    assert cat.read("t").count() == 9
+    # time travel: snapshot 0 still has the ORIGINAL two columns
+    assert set(cat.read("t", snapshot_id=0).columns) == {"id", "v"}
+    # pruning still works across evolution (stats carried over)
+    kept, total = cat.pruned_files("t", {"id": (5, 7)})
+    assert len(kept) < total
+    # guards
+    with pytest.raises(ValueError, match="already exists"):
+        cat.add_columns("t", {"v": "long"})
+    with pytest.raises(ValueError, match="absent"):
+        cat.drop_columns("t", ["nope"])
+    # drop: projection-only; stats for the dropped column vanish
+    m = cat.drop_columns("t", ["v"])
+    assert set(cat.read("t").columns) == {"id", "tag", "score"}
+    assert m["stats_columns"] == ["id"]
+    assert all("v" not in e.get("stats", {}) for e in m["lineage"])
+    # compaction physically materializes the evolved schema
+    cat.compact("t", target_files=1, lineage_key="id")
+    assert set(cat.read("t").columns) == {"id", "tag", "score"}
+    assert cat.read("t").count() == 9
+    with pytest.raises(ValueError, match="every column"):
+        cat.drop_columns("t", ["id", "tag", "score"])
