@@ -202,16 +202,22 @@ def ngram_nll_scores(documents: DataFrame, order: int,
     bit-identical in the DuckDB oracle.  Only full order-n transitions
     are scored; docs with < n tokens get no row.
 
-    Scale shape (the same at every order): one corpus tokenization per
-    gram length feeding per-doc DISTINCT-transition tables (Heaps' law
-    keeps them far below the raw token stream — they are the only
-    corpus-scale shuffles); corpus-wide c_n..c_1 tables are vocab-sized
-    re-aggregations; the logp table is built with 2(n−1) equi-joins on
-    n-gram keys (AQE broadcasts the small sides) and joined back once;
-    per-transition logps are 1e-4-quantized and summed as LONGS so the
-    per-doc sum is order-independent.  Lower-order context counts come
-    from their OWN token-stream pass — deriving c_{n−1} from the
-    c_n table would miss each document's final (n−1)-gram.
+    Scale shape (the same at every order): the corpus is tokenized
+    ONCE into a lineage-cut ``(id, token-array)`` table and every gram
+    length is a re-slice of that array — round 7 removed the
+    one-scan-per-order shape (order 5 used to re-read and re-tokenize
+    the corpus five times).  The order-n table is the per-doc DISTINCT-
+    transition table (Heaps' law keeps it far below the raw token
+    stream — it is the only corpus-scale shuffle); the lower-order
+    c_k tables aggregate straight to corpus-wide counts in ONE hash
+    aggregate each (the former per-doc pre-grouping was a second
+    shuffle whose sums collapse to a plain count); the logp table is
+    built with 2(n−1) equi-joins on n-gram keys (AQE broadcasts the
+    small sides) and joined back once; per-transition logps are
+    1e-4-quantized and summed as LONGS so the per-doc sum is
+    order-independent.  Lower-order context counts come from their OWN
+    slice of the token arrays — deriving c_{n−1} from the c_n table
+    would miss each document's final (n−1)-gram.
 
     Returns ``(id_col, n_transitions, nll_q, avg_nll)`` (callers
     wanting order-suffixed names alias them — see
@@ -233,16 +239,52 @@ def ngram_nll_scores(documents: DataFrame, order: int,
         lam1 -= x
 
     names = ["w%d" % (i + 1) for i in range(n)]
-    tfn = doc_ngram_freq(documents, n, id_col, text_col)
+    # tokenize ONCE: every gram order below re-slices this bound array
+    # instead of re-scanning + re-splitting the corpus (guide §2.4 —
+    # remove shuffles/passes outright; the checkpoint materializes the
+    # token arrays one time for all n consumers)
+    toks = (documents
+            .select(F.col(id_col),
+                    tokens(F.lower(F.col(text_col))).alias("__tk"))
+            .localCheckpoint(eager=False))
+
+    def gram_rows(k: int) -> DataFrame:
+        """Exploded k-gram rows (id, w1..wk) from the token table."""
+        kn = names[:k]
+        tk = F.col("__tk")
+        if k == 1:
+            grams = F.transform(tk, lambda t: F.struct(t.alias(kn[0])))
+        else:
+            empty = F.array().cast(
+                "array<struct<%s>>"
+                % ",".join("%s:string" % w for w in kn))
+            idx = F.sequence(F.lit(1),
+                             F.greatest(F.size(tk) - (k - 1), F.lit(0)))
+            full = F.transform(
+                idx, lambda i: F.struct(
+                    *[F.element_at(tk, i + j).alias(kn[j])
+                      for j in range(k)]))
+            grams = F.when(F.size(tk) >= k, full).otherwise(empty)
+        return (toks.select(F.col(id_col), F.explode(grams).alias("p"))
+                .select(F.col(id_col),
+                        *[F.col("p." + w).alias(w) for w in kn]))
+
+    tfn = (gram_rows(n)
+           .groupBy(id_col, *names)
+           .agg(F.count(F.lit(1)).cast("long").alias("tf")))
     tfn = tfn.localCheckpoint(eager=False)      # feeds c_n + scoring
     # corpus-wide suffix/context count tables, one per lower order;
-    # each is consumed 2-3x (continuation + context joins, c_1 also
-    # the stats aggregate) — cut lineage so each shuffles once
+    # each aggregates the gram stream straight to (w1..wk, count) —
+    # identical to the former per-doc-then-corpus double aggregation
+    # (a sum of per-doc counts IS the total count) with one Exchange
+    # instead of two; each is consumed 2-3x (continuation + context
+    # joins, c_1 also the stats aggregate) — cut lineage so each
+    # shuffles once
     cks = {}
     for k in range(1, n):
-        ck = (doc_ngram_freq(documents, k, id_col, text_col)
+        ck = (gram_rows(k)
               .groupBy(*names[:k])
-              .agg(F.sum("tf").alias("c%d" % k)))
+              .agg(F.count(F.lit(1)).cast("long").alias("c%d" % k)))
         cks[k] = ck.localCheckpoint(eager=False)
     cn = tfn.groupBy(*names).agg(F.sum("tf").alias("c%d" % n))
     stats = cks[1].agg(F.sum("c1").cast("long").alias("total"),
