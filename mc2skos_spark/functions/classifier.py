@@ -56,31 +56,57 @@ def linear_text_scores(documents: DataFrame,
     the ``logit_q >= 0`` gate verdict.  Documents with no tokens get
     no row (no features → no evidence; gate them by length upstream).
 
-    Plan: one scan → (doc, bucket, cnt) explode-aggregate → broadcast
-    equi-join of the ≤ ``buckets``-row weight table → per-doc integer
-    sum.  Nothing here is model-serving infrastructure — the model IS
-    a dimension table.
+    Plan: ZERO shuffle — the model is a plan-time constant, so the
+    weight table is a ``buckets``-element literal array and the logit
+    is a per-row long fold over the hashed gram-bucket ids (the
+    occurrence-wise sum of weights is exactly the former cnt-weighted
+    sum: long adds, any order).  One scan, one projection; round 7
+    replaced the explode → (doc, bucket, cnt) aggregate → broadcast
+    join → per-doc aggregate pipeline (two Exchanges) with this
+    (guide §2.4).  Nothing here is model-serving infrastructure — the
+    model IS a literal.
     """
     if not weights:
         raise ValueError("linear_text_scores: empty weight map")
+    if hash_fn == "md5" and not 1 <= buckets <= 256:
+        raise ValueError("linear_text_scores: md5 path needs buckets "
+                         "in 1..256")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"_bucket: unknown hash_fn {hash_fn!r}")
     bad = [b for b in weights if not 0 <= int(b) < buckets]
     if bad:
         raise ValueError("linear_text_scores: bucket ids outside "
                          "[0, %d): %s" % (buckets, sorted(bad)[:5]))
-    spark = documents.sparkSession
-    wdf = spark.createDataFrame(
-        [(int(b), int(w)) for b, w in sorted(weights.items())],
-        "bucket int, w_q long")
-    db = hashed_ngram_buckets(documents, buckets, id_col, text_col,
-                              hash_fn=hash_fn)
-    scored = (db.join(F.broadcast(wdf), "bucket", "left")
-              .groupBy(id_col)
-              .agg(F.sum("cnt").alias("n_grams"),
-                   (F.lit(int(bias_q)).cast("long")
-                    + F.sum(F.col("cnt")
-                            * F.coalesce(F.col("w_q"), F.lit(0))))
-                   .cast("long").alias("logit_q")))
-    return scored.withColumn("keep", F.col("logit_q") >= 0)
+    from mc2skos_spark.functions.dsir import _bucket
+    from mc2skos_spark.functions.textstats import word_grams12
+
+    wmap = {int(b): int(w) for b, w in weights.items()}
+    w_arr = F.array(*[F.lit(wmap.get(b, 0)).cast("long")
+                      for b in range(int(buckets))])
+    bks = F.transform(word_grams12(F.col(text_col)),
+                      lambda g: _bucket(g, buckets, hash_fn))
+
+    def scores_of(p):
+        bk, wa = p["b"], p["w"]
+        return F.struct(
+            F.size(bk).cast("long").alias("n_grams"),
+            (F.lit(int(bias_q)).cast("long")
+             + F.aggregate(bk, F.lit(0).cast("long"),
+                           lambda acc, b:
+                           acc + F.element_at(wa, b + 1)))
+            .alias("logit_q"))
+
+    # bind the bucket array + weight literal once (repo HOF
+    # discipline), expand the struct via inline so both output
+    # columns come from ONE evaluation
+    st = F.aggregate(
+        F.array(F.struct(bks.alias("b"), w_arr.alias("w"))),
+        F.lit(None).cast("struct<n_grams:bigint,logit_q:bigint>"),
+        lambda acc, p: scores_of(p))
+    return (documents
+            .select(F.col(id_col), F.inline(F.array(st)))
+            .filter(F.col("n_grams") > 0)
+            .withColumn("keep", F.col("logit_q") >= 0))
 
 
 def _bucket_vectors(documents: DataFrame, buckets: int,

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from mc2skos_spark.functions.textstats import word_ngrams
+from mc2skos_spark.functions.textstats import word_grams12
 
 SCALE = 10_000
 
@@ -71,7 +71,7 @@ def hashed_ngram_buckets(documents: DataFrame, buckets: int = 256,
     if buckets < 1:
         raise ValueError("hashed_ngram_buckets: buckets must be >= 1")
     col = F.col(text_col)
-    grams = F.concat(word_ngrams(col, 1), word_ngrams(col, 2))
+    grams = word_grams12(col)   # one tokenize for both gram lengths
     return (documents
             .select(F.col(id_col), *[F.col(c) for c in (keep_cols or [])],
                     F.explode(grams).alias("gram"))
@@ -106,21 +106,37 @@ def dsir_logweights(documents: DataFrame, is_target: Column,
     :func:`mc2skos_spark.functions.sampling.hash_fraction` thresholds)
     to resample.  Positive ⇒ more target-like than the pool average.
     """
-    db = hashed_ngram_buckets(
-        documents.withColumn("is_t", is_target.cast("boolean")),
-        buckets, id_col, text_col, keep_cols=["is_t"], hash_fn=hash_fn)
-    # one scan feeds three consumers (raw dist, target dist, scoring):
-    # lineage-cut so the tokenize+hash+count runs once
-    db = db.localCheckpoint(eager=False)
+    if hash_fn == "md5" and not 1 <= buckets <= 256:
+        raise ValueError("dsir_logweights: md5 path needs buckets "
+                         "in 1..256")
+    if buckets < 1:
+        raise ValueError("dsir_logweights: buckets must be >= 1")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"_bucket: unknown hash_fn {hash_fn!r}")
+    # per-row hashed bucket-id arrays — ONE tokenize+hash pass, no
+    # per-doc grouping exchange at all (guide §2.4: the former
+    # (doc, bucket, cnt) shuffle only re-derived what each row already
+    # holds); the lineage cut materializes the 4-byte-per-gram arrays
+    # once for both consumers (distribution + scoring)
+    base = (documents
+            .select(F.col(id_col),
+                    is_target.cast("boolean").alias("is_t"),
+                    F.transform(word_grams12(F.col(text_col)),
+                                lambda g: _bucket(g, buckets, hash_fn))
+                    .alias("__bks"))
+            .localCheckpoint(eager=False))
 
     full = documents.sparkSession.range(buckets) \
         .select(F.col("id").cast("int").alias("bucket"))
-    # raw + target counts in ONE conditional aggregate — a separate
-    # filtered aggregate would scan the doc-bucket table twice
-    cnts = db.groupBy("bucket").agg(
-        F.sum("cnt").alias("rc"),
-        F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(F.lit(0)))
-        .alias("tc"))
+    # raw + target counts in ONE conditional aggregate over the
+    # exploded bucket ids (count of occurrences == the former sum of
+    # per-doc counts) — the only shuffle in the whole plan, and its
+    # partial aggregation collapses to <= `buckets` rows per task
+    cnts = (base.select("is_t", F.explode("__bks").alias("bucket"))
+            .groupBy("bucket").agg(
+                F.count(F.lit(1)).cast("long").alias("rc"),
+                F.sum(F.when(F.col("is_t"), F.lit(1).cast("long"))
+                      .otherwise(F.lit(0).cast("long"))).alias("tc")))
     dist = (full
             .join(cnts, "bucket", "left")
             .select("bucket",
@@ -137,7 +153,18 @@ def dsir_logweights(documents: DataFrame, is_target: Column,
                       - _quantized_logp(F.col("rc"), F.col("rtot"),
                                         buckets)).alias("dlp")))
 
-    return (db.join(F.broadcast(ratio), "bucket")
-            .groupBy(id_col)
-            .agg(F.sum("cnt").alias("n_grams"),
-                 F.sum(F.col("cnt") * F.col("dlp")).alias("logw_q")))
+    # the `buckets`-row ratio table folds into ONE map row and scoring
+    # becomes a per-row long fold over the bucket array — no join back,
+    # no per-doc aggregate exchange; the occurrence-wise sum of dlp is
+    # exactly the former cnt-weighted sum (long adds, any order).
+    # element_at (strict under ANSI) is safe: `full` spans every bucket.
+    rmap = ratio.agg(F.map_from_entries(F.sort_array(F.collect_list(
+        F.struct("bucket", "dlp")))).alias("__dlp"))
+    return (base.filter(F.size("__bks") > 0)
+            .crossJoin(F.broadcast(rmap))
+            .select(F.col(id_col),
+                    F.size("__bks").cast("long").alias("n_grams"),
+                    F.aggregate(F.col("__bks"), F.lit(0).cast("long"),
+                                lambda acc, b:
+                                acc + F.element_at(F.col("__dlp"), b))
+                    .alias("logw_q")))

@@ -222,6 +222,26 @@ def word_ngrams(col, n: int) -> Column:
                  F.array().cast("array<string>"))
 
 
+def word_grams12(col) -> Column:
+    """``word_ngrams(col, 1) ++ word_ngrams(col, 2)`` with ONE
+    tokenization (the separate calls each re-lower + re-split the
+    text).  1-grams are the tokens themselves; 2-grams join adjacent
+    tokens with a single space — byte-identical gram strings to the
+    two-call form (pytest-pinned), so hashed-feature consumers
+    (DSIR, the classifier gate) see the same buckets."""
+    empty = F.array().cast("array<string>")
+
+    def of(tk):
+        two = F.when(
+            F.size(tk) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(tk) - 1),
+                        lambda i: F.array_join(F.slice(tk, i, 2), " "))
+        ).otherwise(empty)
+        return F.when(tk.isNotNull(), F.concat(tk, two)).otherwise(empty)
+
+    return _once(tokens(F.lower(col)), of, empty)
+
+
 def _max_run(sorted_arr) -> Column:
     """Length of the longest run of equal adjacent elements in a SORTED
     long array — i.e. the multiplicity of the most frequent element.

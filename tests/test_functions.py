@@ -783,7 +783,28 @@ def test_dsir_xxhash_path_shape_parity(spark):
         dsir_logweights(df, tgt, hash_fn="crc32")
 
 
-def test_bigram_nll_self_trained_exact(spark):
+def test_word_grams12_matches_two_call_form(spark):
+    """Round-7 perf rewrite: word_grams12 (one tokenize) must produce
+    byte-identical gram arrays to concat(word_ngrams(c,1),
+    word_ngrams(c,2)) — hashed-feature consumers (DSIR, classifier)
+    depend on the exact strings."""
+    from mc2skos_spark.functions.textstats import (word_grams12,
+                                                   word_ngrams)
+    rows = [(0, "The cat sat on  the mat"),
+            (1, "one"),
+            (2, ""),
+            (3, None),
+            (4, "  spaced   out\ttokens \n here "),
+            (5, "UPPER lower MiXeD 123 #punct!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col = F.col("text")
+    got = df.select(
+        "doc_id",
+        word_grams12(col).alias("a"),
+        F.concat(word_ngrams(col, 1), word_ngrams(col, 2)).alias("b"),
+    ).collect()
+    for r in got:
+        assert r["a"] == r["b"], (r["doc_id"], r["a"], r["b"])
     import math
     from collections import Counter
     from mc2skos_spark.functions.lm import bigram_nll_scores
