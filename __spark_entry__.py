@@ -784,8 +784,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                       lambda x, y: x + F.lit(0.15) * y)
                             .alias("embedding")))
         aug = base.unionByName(planted)
+        # dim=64: the vectors are fixed-width, so the per-pair dot
+        # unrolls to a codegen expression (identical fold order; rows
+        # of any other width take the HOF path per row) — results are
+        # unchanged, the O(n²/K) scorer stops being interpreted
         return semantic_dedup_keepers(aug, num_centroids=16,
-                                      threshold=0.97, centroid_mod=8)
+                                      threshold=0.97, centroid_mod=8,
+                                      dim=64)
 
     # --- similarity search
     def sim_cosine_topk(spark, sf_dir):

@@ -339,7 +339,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def semantic_dedup_pairs(embeddings: DataFrame, num_centroids: int = 16,
                          threshold: float = 0.97, centroid_mod: int = 8,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         dim: int | None = None) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     arXiv:2303.09540): partition the embedding space around K
     deterministic centroids, then search for cosine-near pairs WITHIN
@@ -383,12 +384,13 @@ def semantic_dedup_pairs(embeddings: DataFrame, num_centroids: int = 16,
                                 unit_vector(F.col("_v")).alias("_vn")),
                     cents, "_vn", "_c", normalize_input=False)
                 .localCheckpoint(eager=False))
-    return within_centroid_pairs(assigned, threshold, id_col)
+    return within_centroid_pairs(assigned, threshold, id_col, dim=dim)
 
 
 def within_centroid_pairs(assigned: DataFrame,
                           threshold: float = 0.97,
-                          id_col: str = "vec_id") -> DataFrame:
+                          id_col: str = "vec_id",
+                          dim: int | None = None) -> DataFrame:
     """The quadratic half of SemDeDup over an ALREADY-assigned table
     ``(id_col, _vn unit vector, _c centroid)``: within-cluster
     self-join on the centroid key, one dot product per candidate pair.
@@ -397,19 +399,51 @@ def within_centroid_pairs(assigned: DataFrame,
     (``bench.py --skew-semantic``: one hot centroid holding half the
     corpus — the shape AQE's skew-join split exists for).  Returns
     ``(id_a, id_b, centroid, cosine)`` with cosine floor-truncated to
-    4 decimals, ``id_a < id_b``, cosine ≥ threshold."""
-    from .similarity import _dot
+    4 decimals, ``id_a < id_b``, cosine ≥ threshold.
 
-    a = assigned.select(F.col(id_col).alias("id_a"),
-                        F.col("_vn").alias("_vna"), "_c")
-    b = assigned.select(F.col(id_col).alias("id_b"),
-                        F.col("_vn").alias("_vnb"), "_c")
+    ``dim``: the expected vector width — when given, the per-pair dot
+    runs as an unrolled codegen expression (same IEEE fold order;
+    rows of any other width fall back to the HOF per row, so results
+    are identical on every input) instead of an interpreted
+    higher-order fold, and pairs that PROVABLY miss the threshold are
+    rejected after only the first quarter of the fold: per-vector
+    suffix norms bound the unseen remainder by Cauchy–Schwarz, with a
+    1e-6 margin dwarfing the ≤1e-13 float error of the bound itself,
+    so the skip can never drop a pair the full fold would keep — this
+    is the hot expression of the whole SemDeDup plan (O(n²/K) pairs
+    each paying one dot, of which ~0.1% typically pass)."""
+    from .similarity import (_dot, _dot_fixed, _dot_prefix,
+                             suffix_norm)
+
     thr = int(round(threshold * 10000))
+    if dim:
+        prefix = max(1, int(dim) // 4)
+        assigned = assigned.withColumn(
+            "_sn", suffix_norm(F.col("_vn"), prefix))
+        a = assigned.select(F.col(id_col).alias("id_a"),
+                            F.col("_vn").alias("_vna"),
+                            F.col("_sn").alias("_sna"), "_c")
+        b = assigned.select(F.col(id_col).alias("id_b"),
+                            F.col("_vn").alias("_vnb"),
+                            F.col("_sn").alias("_snb"), "_c")
+        va, vb = F.col("_vna"), F.col("_vnb")
+        bound = (_dot_prefix(va, vb, prefix)
+                 + F.col("_sna") * F.col("_snb"))
+        guarded = F.when(
+            bound >= F.lit(float(threshold) - 1e-6),
+            F.floor(_dot_fixed(va, vb, dim) * 10000))
+        c4 = F.when((F.size(va) == int(dim)) & (F.size(vb) == int(dim)),
+                    guarded).otherwise(F.floor(_dot(va, vb) * 10000))
+    else:
+        a = assigned.select(F.col(id_col).alias("id_a"),
+                            F.col("_vn").alias("_vna"), "_c")
+        b = assigned.select(F.col(id_col).alias("id_b"),
+                            F.col("_vn").alias("_vnb"), "_c")
+        c4 = F.floor(_dot(F.col("_vna"), F.col("_vnb")) * 10000)
     scored = (a.join(b, ["_c"])
               .filter(F.col("id_a") < F.col("id_b"))
               .select("id_a", "id_b", F.col("_c").alias("centroid"),
-                      F.floor(_dot(F.col("_vna"), F.col("_vnb"))
-                              * 10000).alias("_c4")))
+                      c4.alias("_c4")))
     return (scored.filter(F.col("_c4") >= thr)
             .select("id_a", "id_b", "centroid",
                     (F.col("_c4").cast("double") / 10000).alias("cosine")))
@@ -418,12 +452,13 @@ def within_centroid_pairs(assigned: DataFrame,
 def semantic_dedup_keepers(embeddings: DataFrame, num_centroids: int = 16,
                            threshold: float = 0.97, centroid_mod: int = 8,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           dim: int | None = None) -> DataFrame:
     """The full SemDeDup decision: semantic pairs → connected components
     → min-id keeper per duplicate group; every input row gets a
     ``(id, keeper_id)`` verdict (unpaired rows keep themselves)."""
     pairs = semantic_dedup_pairs(embeddings, num_centroids, threshold,
-                                 centroid_mod, id_col, vec_col)
+                                 centroid_mod, id_col, vec_col, dim=dim)
     return near_dup_keepers(embeddings, pairs, id_col=id_col)
 
 

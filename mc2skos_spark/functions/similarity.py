@@ -32,6 +32,38 @@ def _norm(a):
                               F.lit(0.0), lambda acc, v: acc + v))
 
 
+def _dot_fixed(a, b, dim: int):
+    """``_dot`` unrolled for a known vector width: the same
+    left-associated ``((0.0 + a1·b1) + a2·b2) + …`` IEEE fold, but as a
+    flat expression whole-stage codegen compiles — higher-order
+    functions are interpreted per element, which made the SemDeDup
+    candidate scorer the single hottest spot in the bench (~10x slower
+    than codegen on 64-dim pairs).  Bit-identical by construction: same
+    multiply/add order, and rows whose arrays are not exactly ``dim``
+    wide fall back to :func:`_dot` per row (lazy ``when`` branch), so
+    ragged input keeps the zip_with null-padding semantics."""
+    s = F.lit(0.0)
+    for i in range(int(dim)):
+        s = s + F.get(a, i) * F.get(b, i)
+    return F.when((F.size(a) == int(dim)) & (F.size(b) == int(dim)),
+                  s).otherwise(_dot(a, b))
+
+
+def _dot_prefix(a, b, prefix: int):
+    """First ``prefix`` terms of the :func:`_dot` fold, unrolled."""
+    s = F.lit(0.0)
+    for i in range(int(prefix)):
+        s = s + F.get(a, i) * F.get(b, i)
+    return s
+
+
+def suffix_norm(vec_col, prefix: int) -> "F.Column":
+    """L2 norm of the elements after position ``prefix`` — the
+    per-vector half of the Cauchy–Schwarz bound used to skip full dot
+    products for pairs that provably miss a similarity threshold."""
+    return _norm(F.slice(vec_col, int(prefix) + 1, 1 << 30))
+
+
 def cosine(a, b):
     # try_divide: a zero-magnitude vector yields NULL→0.0 instead of an
     # ANSI DIVIDE_BY_ZERO that would kill the whole query (parity with

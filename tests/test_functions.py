@@ -241,6 +241,41 @@ def test_semantic_dedup_keepers(spark):
     assert got == {0: 0, 2: 0, 1: 1, 3: 1, 5: 5}
 
 
+def test_within_centroid_pairs_dim_path_identical(spark):
+    """Round-7 perf path: the unrolled + Cauchy–Schwarz-guarded dot
+    (dim=...) must return exactly the HOF-fold rows — including ragged
+    vectors (width != dim, per-row HOF fallback) and pairs straddling
+    the threshold boundary."""
+    import math
+    import random
+    from mc2skos_spark.functions.dedup import within_centroid_pairs
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        rows.append((i, [x / n for x in v], i % 3))
+    # near-duplicate pairs right at the threshold region
+    for i, eps in ((100, 1e-9), (101, 0.05), (102, 0.245)):
+        base = rows[0][1]
+        v = [x + eps for x in base]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v], 0))
+    # ragged vectors (width 5 != dim 8) in the same centroid
+    rows.append((200, [1.0, 0.0, 0.0, 0.0, 0.0], 1))
+    rows.append((201, [1.0, 0.0, 0.0, 0.0, 0.0], 1))
+    assigned = spark.createDataFrame(
+        rows, "vec_id bigint, _vn array<double>, _c bigint")
+    hof = {(r["id_a"], r["id_b"]): (r["centroid"], r["cosine"])
+           for r in within_centroid_pairs(assigned, 0.97,
+                                          "vec_id").collect()}
+    fast = {(r["id_a"], r["id_b"]): (r["centroid"], r["cosine"])
+            for r in within_centroid_pairs(assigned, 0.97, "vec_id",
+                                           dim=8).collect()}
+    assert hof == fast
+    assert (200, 201) in fast          # ragged pair still scored
+
+
 def test_repetition_signals(spark):
     """Gopher-style intra-doc repetition: dup-token fraction and
     top-bigram fraction, both floor-truncated to 4 decimals and 0.0 on
