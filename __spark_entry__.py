@@ -1141,6 +1141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _t(spark, sf_dir, "documents")
         kept = profile_and_gate(docs, min_quality=0.1,
                                 max_top_bigram=0.5)
+        # kept feeds BOTH the digest aggregate and the keeper join —
+        # cut the lineage so the profile pass runs once, not twice
+        kept = kept.localCheckpoint(eager=False)
         # digest grouping: shuffle 32 bytes/doc, not the document
         # (identical keepers; oracle keeps GROUP BY text)
         exact = (kept.groupBy(F.sha2(F.col("text"), 256))
@@ -1655,6 +1658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mc2skos_spark.functions.textstats import (
             gopher_quality_flags)
         docs = _t(spark, sf_dir, "documents")
+        # struct-then-star, NOT inline: whole-stage codegen's
+        # subexpression elimination already evaluates the shared
+        # rule subtrees once across the expanded columns (measured
+        # 0.28s vs 0.60s for the Generate form at 10x sf0.1 — the
+        # Generate boundary costs more than the CSE saves here)
         return (docs.select(
             "doc_id",
             gopher_quality_flags(F.col("text")).alias("g"))

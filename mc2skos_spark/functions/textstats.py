@@ -41,11 +41,11 @@ def bpe_ish_token_count(col) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0))
 
 
-def quality_score(text_col) -> Column:
-    """Length / punctuation-ratio / mean-token-length quality features
-    folded to one score in [0,1] (the usual pre-training heuristics)."""
+def _quality_from(text_col, n_tokens) -> Column:
+    """:func:`quality_score` with the token count supplied (so a
+    single-pass profile can feed a bound token array's size instead of
+    re-tokenizing) — the expression tree is otherwise identical."""
     length = F.length(text_col)
-    n_tokens = token_count(text_col)
     punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?]", ""))
     mean_tok = length / F.greatest(n_tokens, F.lit(1))
     raw = F.greatest(F.lit(0.0), F.least(F.lit(1.0),
@@ -57,6 +57,12 @@ def quality_score(text_col) -> Column:
     # engine computing the same expression gets the same 4-decimal value
     # (Spark and DuckDB round() disagree on .5-ulp boundaries)
     return F.floor(raw * 10000).cast("double") / 10000
+
+
+def quality_score(text_col) -> Column:
+    """Length / punctuation-ratio / mean-token-length quality features
+    folded to one score in [0,1] (the usual pre-training heuristics)."""
+    return _quality_from(text_col, token_count(text_col))
 
 
 # Gopher rule-7 stopword list verbatim (Rae et al. 2021, appendix A1.1)
@@ -148,8 +154,13 @@ def langid_guess(text_col) -> Column:
     referenced exactly once — repeated subtrees would re-evaluate the
     whole chain per reference.
     """
+    return _langid_from(tokens(F.lower(text_col)))
+
+
+def _langid_from(toks) -> Column:
+    """:func:`langid_guess` over an already-built (ideally bound)
+    lowercased token array — identical expression tree."""
     langs = list(LANG_SIGNATURES)
-    toks = tokens(F.lower(text_col))
     zero = F.array(*[F.lit(0) for _ in langs])
     counts = F.aggregate(
         toks, zero,
@@ -289,9 +300,22 @@ def top_ngram_fraction(col, n: int = 2) -> Column:
     equal-adjacent run — one linear fold, no explode + groupBy (which
     at 100 TB would shuffle every n-gram of every document).  Hashing
     first keeps the sort comparator on fixed-width longs instead of
-    strings, and the sorted array is bound once via :func:`_once`."""
-    hashed = F.array_sort(
-        F.transform(word_ngrams(col, n), lambda g: F.xxhash64(g)))
+    strings; the token array and the sorted hash array are each bound
+    once via :func:`_once`."""
+    return _once(tokens(F.lower(col)),
+                 lambda tkl: _top_ngram_from(tkl, n), F.lit(0.0))
+
+
+def _top_ngram_from(tkl, n: int) -> Column:
+    """:func:`top_ngram_fraction` over a bound lowercased token
+    array — identical values, one less tokenization when the caller
+    shares the array across features."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tkl) - n, F.lit(0)))
+    full = F.transform(
+        idx, lambda i: F.array_join(F.slice(tkl, i + 1, n), " "))
+    grams = F.when(F.size(tkl) >= n, full) \
+        .otherwise(F.array().cast("array<string>"))
+    hashed = F.array_sort(F.transform(grams, lambda g: F.xxhash64(g)))
 
     def frac_of(g):
         frac = _max_run(g) * F.lit(1.0) / F.size(g)
@@ -312,16 +336,37 @@ def profile_and_gate(df: DataFrame, min_quality: float = 0.0,
     cannot silently diverge: per-doc token count, quality score,
     language guess and top-bigram repetition, filtered to
     ``quality >= min_quality`` and ``top_bigram_frac <=
-    max_top_bigram``."""
+    max_top_bigram``.
+
+    Single-pass shape (round 7): the text is tokenized ONCE per casing
+    (raw + lowercased), both arrays bound to lambda variables, and all
+    four features come out of one struct expanded via ``inline`` — the
+    per-column form re-tokenized per feature AND re-evaluated the
+    quality/top-bigram trees in the pushed-down gate predicates (the
+    §4.4 double-evaluation trap, just with built-ins); the Generate
+    boundary keeps the filter above the one evaluation.  Values are
+    identical: each feature's expression tree over the bound arrays is
+    the one the per-column functions build."""
     col = F.col(text_col)
-    return (df.select(
-        F.col(id_col), col,
-        token_count(col).alias("n_tokens"),
-        quality_score(col).alias("quality"),
-        langid_guess(col).alias("lang_guess"),
-        top_ngram_fraction(col, 2).alias("top_bigram_frac"))
-        .filter((F.col("quality") >= min_quality) &
-                (F.col("top_bigram_frac") <= max_top_bigram)))
+
+    def feats_of(p):
+        tk, tkl = p["tk"], p["tkl"]
+        return F.struct(
+            F.size(tk).alias("n_tokens"),
+            _quality_from(col, F.size(tk)).alias("quality"),
+            _langid_from(tkl).alias("lang_guess"),
+            _top_ngram_from(tkl, 2).alias("top_bigram_frac"))
+
+    init = F.lit(None).cast(
+        "struct<n_tokens:int,quality:double,"
+        "lang_guess:string,top_bigram_frac:double>")
+    feats = F.aggregate(
+        F.array(F.struct(tokens(col).alias("tk"),
+                         tokens(F.lower(col)).alias("tkl"))),
+        init, lambda acc, p: feats_of(p))
+    return (df.select(F.col(id_col), col, F.inline(F.array(feats)))
+            .filter((F.col("quality") >= min_quality) &
+                    (F.col("top_bigram_frac") <= max_top_bigram)))
 
 
 def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
