@@ -580,11 +580,18 @@ def repeated_substring_spans(df: DataFrame, window: int = 8,
 
     def wins_of(tk):
         nwin = F.size(tk) - F.lit(window - 1)
+        # variadic xxhash64 over the token TUPLE, not over a rebuilt
+        # window string: tokens come from a whitespace split so tuple
+        # identity ≡ joined-string identity (the hashed_shingles
+        # argument), the grouping is unchanged, and the per-window
+        # concat_ws allocation disappears — the key never leaves the
+        # query (the oracle groups by window TEXT)
         seq = F.transform(
             F.sequence(F.lit(1), nwin, F.lit(1)),
             lambda i: F.struct(
                 (i - 1).cast("int").alias("pos"),
-                F.xxhash64(F.concat_ws(" ", F.slice(tk, i, window)))
+                F.xxhash64(*[F.element_at(tk, i + j)
+                             for j in range(window)])
                  .alias("wkey")))
         # short docs: sequence(1, n<1) is an illegal-boundary error, so
         # gate it (when() branches evaluate lazily per row)
@@ -721,6 +728,10 @@ def paragraph_dedup(df: DataFrame, para_tokens: int = 16,
     chunks = chunk_documents(df.select(id_col, text_col),
                              para_tokens, para_tokens,
                              id_col, text_col)
+    # chunks feeds THREE consumers (winner election, the join back,
+    # per-doc totals) — cut the lineage so the tokenize+explode
+    # chunking pass runs once per action, not three times
+    chunks = chunks.localCheckpoint(eager=False)
     winners = (chunks.groupBy("chunk_text")
                .agg(F.min(F.struct(F.col(id_col).alias("i"),
                                    F.col("chunk_idx").alias("x")))
