@@ -62,8 +62,11 @@ def transitive_closure(edges: DataFrame, max_rounds: int = 20,
                       F.col("a.dst") == F.col("b.src"))
                 .select(F.col("a.src").alias("src"),
                         F.col("b.dst").alias("dst")))
+        # LAZY checkpoint + count: the count action itself materializes
+        # the round (one Spark job per round, not two) — at bench scale
+        # iterative-loop wall time is job count, not data (CLAUDE.md)
         grown = (paths.unionByName(hops).distinct()
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
         m = grown.count()
         paths = grown
         if m == n:   # fixpoint: no new reachable pair this round
