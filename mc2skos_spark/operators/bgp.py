@@ -165,7 +165,8 @@ def _is_var(term) -> bool:
 
 
 def bgp_match(triples: DataFrame, patterns, optional=(),
-              allow_product: bool = False) -> DataFrame:
+              allow_product: bool = False,
+              pattern_sources=None) -> DataFrame:
     """Match a list of ``(subj, pred, obj)`` triple patterns against
     a triple DataFrame with columns ``subj, pred, obj``.
 
@@ -197,25 +198,37 @@ def bgp_match(triples: DataFrame, patterns, optional=(),
     algebra.  A group must share at least one variable (an
     unconstrained optional product is rejected like a disconnected
     mandatory pattern).
+
+    ``pattern_sources``: optional list aligned with ``patterns``;
+    a non-None entry replaces the triple table for THAT pattern's
+    scan (semi-naive rule evaluation points one pattern at the
+    per-round delta while the rest read the accumulated graph).
     """
     if not patterns:
         raise ValueError("empty BGP")
+    if pattern_sources is not None and \
+            len(pattern_sources) != len(patterns):
+        raise ValueError("pattern_sources must align with patterns")
     bound: DataFrame | None = None
     seen_vars: set[str] = set()
-    for pat in patterns:
+    for idx, pat in enumerate(patterns):
         if len(pat) != 3:
             raise ValueError("pattern must be a (subj, pred, obj) "
                              "triple, got %r" % (pat,))
+        src = triples
+        if pattern_sources is not None and \
+                pattern_sources[idx] is not None:
+            src = pattern_sources[idx]
         if isinstance(pat[1], Path):
             # property-path pattern: compile the path to a (src, dst)
             # relation, then bind subject/object over it
-            scan = _path_edges(triples, pat[1])
+            scan = _path_edges(src, pat[1])
             positions = (("src", pat[0]), ("dst", pat[2]))
         elif not isinstance(pat[1], str):
             raise TypeError("predicate must be a string or a Path "
                             "combinator, got %r" % (pat[1],))
         else:
-            scan = triples
+            scan = src
             positions = tuple(zip(_POS, pat))
         proj: dict[str, str] = {}      # var name -> first position
         for pos, term in positions:
@@ -312,7 +325,8 @@ def select_query(triples: DataFrame, patterns, optional=(),
                  order_by: list[str] | None = None,
                  limit: int | None = None,
                  offset: int = 0,
-                 allow_product: bool = False) -> DataFrame:
+                 allow_product: bool = False,
+                 pattern_sources=None) -> DataFrame:
     """The SPARQL 1.1 SELECT query form over :func:`bgp_match` — the
     spec's algebra stages applied in its prescribed order (§18.2:
     pattern → BIND/Extend → FILTER → Group/Aggregate → HAVING →
@@ -378,11 +392,16 @@ def select_query(triples: DataFrame, patterns, optional=(),
     functions in filters that can error on real data.
     """
     if union:
+        if pattern_sources is not None:
+            raise ValueError("pattern_sources cannot align across "
+                             "union groups — pass it on a single-group "
+                             "query")
         out = union_groups(triples, (patterns, optional), *union,
                            allow_product=allow_product)
     else:
         out = bgp_match(triples, patterns, optional=optional,
-                        allow_product=allow_product)
+                        allow_product=allow_product,
+                        pattern_sources=pattern_sources)
     if values is not None:
         var_names, rows = values
         if not var_names or not rows:
@@ -552,6 +571,22 @@ def materialize_rules(triples: DataFrame, rules,
     per-round shuffle is keyed (subj, pred, obj) — hash joins and
     distincts only, no driver-side data.
 
+    Evaluation is SEMI-NAIVE from round 2 on (classic datalog): a
+    conclusion is genuinely new only if at least one of its premises
+    is from the previous round's delta, so each eligible rule with k
+    patterns is evaluated k times with ONE pattern pointed at the
+    delta (``pattern_sources``) and the rest at the accumulated graph
+    — per-round cost tracks the delta, not the whole graph.  The
+    derived set is provably identical to full re-evaluation: any
+    instantiation whose premises all predate the delta was already
+    derived (and anti-joined away) in an earlier round, so the
+    per-round new-triple sets — and therefore the fixpoint, the round
+    count, and the divergence guard — are unchanged (pytest pins
+    semi-naive == naive on a deep chain).  Rules using property paths,
+    OPTIONAL/UNION or other select kwargs fall back to full
+    evaluation for that rule (delta-restricting a closure path is not
+    sound), still anti-joined the same way.
+
     Raises after ``max_rounds`` non-converged rounds (a graph whose
     closure has not fixed by then signals a rule deriving unbounded
     fresh terms — a bug, not a bigger budget)."""
@@ -562,22 +597,38 @@ def materialize_rules(triples: DataFrame, rules,
             kwargs = {}
         else:
             template, where, kwargs = rule
-        norm.append((template, where, kwargs))
+        plain = (not kwargs
+                 and all(len(p) == 3 and isinstance(p[1], str)
+                         for p in where))
+        norm.append((template, where, kwargs, plain))
     if not norm:
         raise ValueError("materialize_rules needs at least one rule")
     graph = (triples.select("subj", "pred", "obj").distinct()
              .localCheckpoint(eager=False))
+    delta = None          # None -> full evaluation (round 1)
     for _ in range(max_rounds):
         derived = None
-        for template, where, kwargs in norm:
-            d = construct_query(graph, template, where, **kwargs)
-            derived = d if derived is None else derived.unionByName(d)
+        for template, where, kwargs, plain in norm:
+            if delta is None or not plain:
+                parts = [construct_query(graph, template, where,
+                                         **kwargs)]
+            else:
+                parts = []
+                for i in range(len(where)):
+                    sources = [None] * len(where)
+                    sources[i] = delta
+                    parts.append(construct_query(
+                        graph, template, where,
+                        pattern_sources=sources))
+            for d in parts:
+                derived = d if derived is None else derived.unionByName(d)
         new = (derived.distinct()
                .join(graph, ["subj", "pred", "obj"], "left_anti")
                .localCheckpoint())
         if new.limit(1).count() == 0:
             return graph
         graph = graph.unionByName(new).localCheckpoint(eager=False)
+        delta = new
     raise RuntimeError(
         "rule materialization did not converge in %d rounds — a rule "
         "is deriving unbounded fresh triples" % max_rounds)

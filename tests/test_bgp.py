@@ -424,3 +424,51 @@ def test_materialize_rules_fixpoint(spark):
             {"bind": {"new": "concat(b, 'x')"}})]
     with pytest.raises(RuntimeError, match="did not converge"):
         materialize_rules(t, div, max_rounds=3)
+
+
+def test_materialize_rules_semi_naive_equals_naive(spark):
+    """Round-7 perf rewrite: from round 2 on each plain rule is
+    evaluated once per pattern position with that pattern pointed at
+    the previous delta (pattern_sources).  The closed graph must be
+    IDENTICAL to full re-evaluation — pinned on a deep chain (many
+    doubling rounds, so the semi-naive path is exercised repeatedly)
+    and on a kwargs rule that takes the full-evaluation fallback."""
+    from mc2skos_spark.operators.bgp import (construct_query,
+                                             materialize_rules)
+
+    def naive(triples, rules, max_rounds=25):
+        norm = [(r[0], r[1], {} if len(r) == 2 else r[2])
+                for r in rules]
+        graph = (triples.select("subj", "pred", "obj").distinct()
+                 .localCheckpoint(eager=False))
+        for _ in range(max_rounds):
+            derived = None
+            for template, where, kwargs in norm:
+                d = construct_query(graph, template, where, **kwargs)
+                derived = d if derived is None \
+                    else derived.unionByName(d)
+            new = (derived.distinct()
+                   .join(graph, ["subj", "pred", "obj"], "left_anti")
+                   .localCheckpoint())
+            if new.limit(1).count() == 0:
+                return graph
+            graph = graph.unionByName(new).localCheckpoint(eager=False)
+        raise RuntimeError("no converge")
+
+    chain = [("x%d" % i, "p", "x%d" % (i + 1)) for i in range(33)]
+    t = spark.createDataFrame(chain, "subj string, pred string,"
+                                     " obj string")
+    rules = [
+        ([("?a", "pT", "?b")], [("?a", "p", "?b")]),
+        ([("?a", "pT", "?c")], [("?a", "pT", "?b"), ("?b", "pT", "?c")]),
+        # kwargs rule: full-evaluation fallback path each round
+        ([("?b", "inv", "?a")], [("?a", "p", "?b")],
+         {"filter": "a != b"}),
+    ]
+    got = {tuple(r) for r in materialize_rules(t, rules).collect()}
+    exp = {tuple(r) for r in naive(t, rules).collect()}
+    assert got == exp
+    # and the closure really is the full chain closure
+    assert {r for r in got if r[1] == "pT"} == {
+        ("x%d" % i, "pT", "x%d" % j)
+        for i in range(34) for j in range(i + 1, 34)}
