@@ -119,9 +119,13 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                     .localCheckpoint(eager=False))
 
     # cast("long") matters: at small N the scaled literals fit int32,
-    # and `r * 85` would then overflow under ANSI integer arithmetic
+    # and `r * 85` would then overflow under ANSI integer arithmetic.
+    # LAZY checkpoints throughout the loop: the next round's job (or
+    # the final action) materializes each round's rank table — one
+    # Spark job per round instead of two (iterative wall time at bench
+    # scale is job count; same discipline as the closure loop)
     ranks = nodes.select("node", F.lit(init_val).cast("long").alias("r")) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     for _ in range(iterations):
         # prepared/bucketed edges: let Catalyst shuffle the rank side
         # to the bucket count (an explicit width would mismatch the
@@ -153,7 +157,7 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                           + F.coalesce(F.col("s"), F.lit(0))
                           + extra)
                          .cast("long").alias("r"))
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     return ranks.select(F.col("node"),
                         F.col("r").alias("rank_scaled"),
                         (F.col("r") / float(SCALE)).alias("rank"))
