@@ -273,19 +273,41 @@ def ngram_nll_scores(documents: DataFrame, order: int,
            .groupBy(id_col, *names)
            .agg(F.count(F.lit(1)).cast("long").alias("tf")))
     tfn = tfn.localCheckpoint(eager=False)      # feeds c_n + scoring
-    # corpus-wide suffix/context count tables, one per lower order;
-    # each aggregates the gram stream straight to (w1..wk, count) —
-    # identical to the former per-doc-then-corpus double aggregation
-    # (a sum of per-doc counts IS the total count) with one Exchange
-    # instead of two; each is consumed 2-3x (continuation + context
-    # joins, c_1 also the stats aggregate) — cut lineage so each
-    # shuffles once
+    # corpus-wide suffix/context count tables, one per lower order —
+    # ALL n−1 of them from ONE null-padded position explode + ONE
+    # grouping-sets aggregate (one Exchange instead of n−1): position
+    # i's row carries tokens i..i+n−2 with nulls past the document
+    # end, so the set (w1..wk) grouped with count(wk) counts exactly
+    # the k-gram occurrences (a position has a k-gram iff its w_k is
+    # non-null; contiguity means no interior nulls), and null-tail
+    # groups come out with count 0 and are filtered.  Identical tables
+    # to the per-order aggregates (serial-parity + oracle pytests);
+    # each slice is consumed 2-3x (continuation + context joins, c_1
+    # also the stats aggregate) — the one aggregate is lineage-cut so
+    # it shuffles once
+    kn = names[:n - 1]
+    tkc = F.col("__tk")
+    empty_pad = F.array().cast(
+        "array<struct<%s>>" % ",".join("%s:string" % w for w in kn))
+    pad_full = F.transform(
+        F.sequence(F.lit(1), F.size(tkc)),
+        lambda i: F.struct(*[F.get(tkc, i + j - 1).alias(kn[j])
+                             for j in range(n - 1)]))
+    padded = F.when(F.size(tkc) >= 1, pad_full).otherwise(empty_pad)
+    rows_lo = (toks.select(F.explode(padded).alias("p"))
+               .select(*[F.col("p." + w).alias(w) for w in kn]))
+    gsets = (rows_lo.groupingSets([kn[:k] for k in range(1, n)], *kn)
+             .agg(*[F.count(kn[k - 1]).alias("k%d" % k)
+                    for k in range(1, n)],
+                  F.grouping_id().alias("gid"))
+             .localCheckpoint(eager=False))
     cks = {}
     for k in range(1, n):
-        ck = (gram_rows(k)
-              .groupBy(*names[:k])
-              .agg(F.count(F.lit(1)).cast("long").alias("c%d" % k)))
-        cks[k] = ck.localCheckpoint(eager=False)
+        mask = (1 << (n - 1 - k)) - 1       # ungrouped-column bits
+        cks[k] = (gsets.filter((F.col("gid") == mask)
+                               & (F.col("k%d" % k) > 0))
+                  .select(*kn[:k],
+                          F.col("k%d" % k).alias("c%d" % k)))
     cn = tfn.groupBy(*names).agg(F.sum("tf").alias("c%d" % n))
     stats = cks[1].agg(F.sum("c1").cast("long").alias("total"),
                        F.count(F.lit(1)).cast("long").alias("v"))
