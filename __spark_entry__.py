@@ -1000,13 +1000,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            langid_guess(F.col("text")).alias("lang_guess"))
 
     def text_repetition(spark, sf_dir):
-        from mc2skos_spark.functions.textstats import (dup_token_fraction,
-                                                       top_ngram_fraction)
+        # one tokenization for both signals (round 7): struct-then-star
+        # like text_gopher_gate — WSCG subexpression elimination
+        # evaluates the shared struct once across the expanded columns;
+        # the per-column form re-lowered + re-split the text per signal
+        from mc2skos_spark.functions.textstats import repetition_profile
         docs = _t(spark, sf_dir, "documents")
-        return docs.select(
-            "doc_id",
-            dup_token_fraction(F.col("text")).alias("dup_token_frac"),
-            top_ngram_fraction(F.col("text"), 2).alias("top_bigram_frac"))
+        return (docs.select(
+            "doc_id", repetition_profile(F.col("text")).alias("g"))
+            .select("doc_id", "g.dup_token_frac", "g.top_bigram_frac"))
 
     def contamination_ngram(spark, sf_dir):
         from mc2skos_spark.functions.contamination import \
@@ -1818,34 +1820,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .alias("p_event_id_1h"))
 
     # --- interval-overlap join: concurrent 30-minute activity
-    #     windows per event_type (bucketed equi-join, each pair
-    #     emitted once in its greatest-start bucket — never an
-    #     all-pairs nested loop; the oracle IS the naive inequality
-    #     join, fine at oracle scale).
+    #     windows per event_type.  All windows share one length, so
+    #     this is the fixed-band self-join special case: probe side
+    #     keyed by its single start bucket (no explode), anchor side
+    #     exploded into the only two buckets a later-starting partner
+    #     can begin in, each unordered pair enumerated exactly once in
+    #     (start, id) order — half the candidate pairs of the generic
+    #     both-orientations interval_join, and no width-suggestion
+    #     pre-pass (the band IS the bucket width); never an all-pairs
+    #     nested loop.  The oracle IS the naive inequality join, fine
+    #     at oracle scale.
     def rj_event_overlap(spark, sf_dir):
         from mc2skos_spark.operators.sessionize import event_micros
-        from mc2skos_spark.operators.temporal import (interval_join,
-                                                      suggest_bucket_width)
+        from mc2skos_spark.operators.temporal import fixed_band_self_pairs
         half_hour = 1_800_000_000
         events = _t(spark, sf_dir, "events")
         base = events.select(
-            "event_type", F.col("event_id").alias("a_id"),
-            event_micros("ts").alias("a_s"),
-            (event_micros("ts") + half_hour).alias("a_e"))
-        other = events.select(
-            "event_type", F.col("event_id").alias("b_id"),
-            event_micros("ts").alias("b_s"),
-            (event_micros("ts") + half_hour).alias("b_e"))
-        # width derived from the data (one percentile aggregate); on
-        # these fixed 30-min windows it lands on the interval length
-        # itself — a wrong width would change cost, never results
-        width = suggest_bucket_width(base, "a_s", "a_e")
-        pairs = interval_join(base, other, on=["event_type"],
-                              l_start="a_s", l_end="a_e",
-                              r_start="b_s", r_end="b_e",
-                              bucket_width=width)
-        return (pairs.filter(F.col("a_id") < F.col("b_id"))
-                .select("event_type", "a_id", "b_id"))
+            "event_type", F.col("event_id").alias("eid"),
+            event_micros("ts").alias("s"))
+        return fixed_band_self_pairs(base, on=["event_type"],
+                                     id_col="eid", start_col="s",
+                                     band=half_hour)
 
     # --- Watermarked stream-stream interval join (streaming/joins.py),
     #     batch-expressed like sess_window_native: each click joined to

@@ -50,35 +50,44 @@ def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 10,
     if len(set(query_terms)) != len(query_terms):
         raise ValueError("bm25_topk: duplicate query terms")
 
-    toks = documents.select(
-        F.col(id_col),
-        tokens(F.lower(F.col(text_col))).alias("tk"))
+    qarr = F.array(*[F.lit(t) for t in query_terms])
+    # ONE tokenize pass for stats AND term frequencies (round 7: the
+    # stats aggregate used to re-scan + re-tokenize the corpus — a
+    # second full pass just for avg doc length).  Per-doc rows shrink
+    # to (id, dl, query-hit tokens) before the lineage cut, so what is
+    # materialized is O(hits), not the token stream.  CollapseProject
+    # will not inline the non-cheap tokens() into both consumers, so
+    # the split projection tokenizes once.
+    base = (documents
+            .select(F.col(id_col),
+                    tokens(F.lower(F.col(text_col))).alias("tk"))
+            .select(F.col(id_col),
+                    F.size("tk").alias("dl"),
+                    F.filter(F.col("tk"),
+                             lambda t: F.array_contains(qarr, t))
+                    .alias("hits"))
+            .localCheckpoint(eager=False))
 
     if corpus_stats is None:
-        stats = toks.agg(
+        stats = base.agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.avg(F.size("tk")).alias("avgdl"))
+            F.avg("dl").alias("avgdl"))
     else:
         n_docs, avgdl = corpus_stats
         stats = documents.sparkSession.range(1).select(
             F.lit(float(n_docs)).alias("n_docs"),
             F.lit(float(avgdl)).alias("avgdl"))
 
-    qarr = F.array(*[F.lit(t) for t in query_terms])
-    # term filter BEFORE explode: non-matching tokens never leave the
-    # scan stage, so the exploded stream (and the shuffle it feeds) is
-    # proportional to query hits only
-    tf = (toks
-          .select(F.col(id_col),
-                  F.size("tk").alias("dl"),
-                  F.explode(F.filter(
-                      F.col("tk"),
-                      lambda t: F.array_contains(qarr, t))).alias("term"))
+    # term filter happened BEFORE the explode: non-matching tokens
+    # never leave the scan stage, so the exploded stream (and the
+    # shuffle it feeds) is proportional to query hits only
+    tf = (base
+          .select(F.col(id_col), "dl",
+                  F.explode("hits").alias("term"))
           .groupBy(id_col, "dl", "term")
           .agg(F.count(F.lit(1)).cast("double").alias("tf")))
     # tf feeds both the df aggregate and the scoring join: lineage-cut
-    # it once (lazily) so the scan + term-filtered explode runs once,
-    # not per consumer
+    # (lazily) so its aggregate runs once, not per consumer
     tf = tf.localCheckpoint(eager=False)
 
     dfreq = tf.groupBy("term").agg(

@@ -290,6 +290,43 @@ def dup_token_fraction(col) -> Column:
     return _once(hashed, frac_of, F.lit(0.0))
 
 
+def _dup_token_from(tkl) -> Column:
+    """:func:`dup_token_fraction` over a bound lowercased token array —
+    identical expression tree, one less tokenization when the caller
+    shares the array across features."""
+    hashed = F.transform(tkl, lambda t: F.xxhash64(t))
+
+    def frac_of(th):
+        n = F.size(th)
+        frac = 1.0 - (F.size(F.array_distinct(th)) * F.lit(1.0) / n)
+        return F.when(n > 0,
+                      F.floor(frac * 10000).cast("double") / 10000) \
+                .otherwise(F.lit(0.0))
+
+    return _once(hashed, frac_of, F.lit(0.0))
+
+
+def repetition_profile(col) -> Column:
+    """Both intra-document repetition signals —
+    ``(dup_token_frac, top_bigram_frac)`` — as ONE struct over ONE
+    tokenization (the separate :func:`dup_token_fraction` +
+    :func:`top_ngram_fraction` columns each re-lower + re-split the
+    text; whole-stage codegen CSEs the shared struct across the
+    expanded output columns, same discipline as
+    ``gopher_quality_flags``).  Values are identical by construction:
+    each field's expression tree over the bound array is the one the
+    per-column functions build (pytest-pinned)."""
+    def of(tkl):
+        return F.struct(
+            _dup_token_from(tkl).alias("dup_token_frac"),
+            _top_ngram_from(tkl, 2).alias("top_bigram_frac"))
+
+    return _once(tokens(F.lower(col)), of,
+                 F.lit(None).cast(
+                     "struct<dup_token_frac:double,"
+                     "top_bigram_frac:double>"))
+
+
 def top_ngram_fraction(col, n: int = 2) -> Column:
     """Fraction of all word n-grams taken up by the single most frequent
     n-gram (Gopher's 'top-2-gram fraction' repetition filter), floor-

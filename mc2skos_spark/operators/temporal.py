@@ -302,3 +302,58 @@ def interval_join(left: DataFrame, right: DataFrame,
                      (F.col("__bucket") == anchor)))
     drop = ["__bucket", "__rbucket"] + ["__r_" + k for k in on]
     return pairs.drop(*drop)
+
+
+def fixed_band_self_pairs(df: DataFrame, on: Sequence[str],
+                          id_col: str, start_col: str,
+                          band: int,
+                          out_a: str = "a_id",
+                          out_b: str = "b_id") -> DataFrame:
+    """Unordered pairs of same-``on``-key rows whose fixed-length
+    closed intervals ``[start, start + band]`` overlap — equivalently
+    ``|s_a − s_b| <= band`` — each emitted EXACTLY once as
+    ``(*on, out_a, out_b)`` with ``out_a < out_b`` (ids must be
+    distinct per row; start/id any orderable integer columns).
+
+    The specialized self-join case of :func:`interval_join` (which
+    stays the operator for ragged interval lengths): with one shared
+    length, the pair can be enumerated in (start, id) order — the
+    probe side keys each row by its single start bucket (NO explode),
+    the anchor side explodes into just the two buckets where a
+    later-starting partner can begin (``band`` == bucket width, so
+    ``floor((s+band)/band) == floor(s/band)+1`` exactly), and the
+    strict (start, id) tiebreak generates each unordered pair once —
+    no anchor-dedup filter, no both-orientations enumeration, no
+    width-suggestion pre-pass.  Versus the generic operator on the
+    same input: 3N exploded rows instead of 4N, and HALF the candidate
+    pairs out of the equi-join (the generic plan enumerates both
+    orientations of every pair and filters one later).  Identity with
+    the generic plan is pytest-pinned
+    (``test_fixed_band_matches_interval_join``).
+    """
+    if band <= 0:
+        raise ValueError("fixed_band_self_pairs: band must be positive")
+    on = list(on)
+    w = int(band)
+    anchor = (df.select(*on, F.col(id_col).alias("__a_id"),
+                        F.col(start_col).alias("__a_s"))
+              .withColumn("__sb", F.explode(F.sequence(
+                  F.floor(F.col("__a_s") / w).cast("long"),
+                  F.floor(F.col("__a_s") / w).cast("long") + F.lit(1)))))
+    probe = (df.select(
+        *[F.col(k).alias("__r_" + k) for k in on],
+        F.col(id_col).alias("__b_id"),
+        F.col(start_col).alias("__b_s"),
+        F.floor(F.col(start_col) / w).cast("long").alias("__rb")))
+    cond = F.col("__sb") == F.col("__rb")
+    for k in on:
+        cond = cond & (F.col(k) == F.col("__r_" + k))
+    a_s, b_s = F.col("__a_s"), F.col("__b_s")
+    a_id, b_id = F.col("__a_id"), F.col("__b_id")
+    later = (b_s > a_s) | ((b_s == a_s) & (b_id > a_id))
+    pairs = (anchor.join(probe, cond)
+             .filter(later & (b_s <= a_s + F.lit(w))))
+    return pairs.select(
+        *on,
+        F.least(a_id, b_id).alias(out_a),
+        F.greatest(a_id, b_id).alias(out_b))

@@ -1498,3 +1498,23 @@ def test_gopher_rules_boundary_vectors(spark):
                                   "doc_id string, text string")
     r = gopher_gate(empty).count()
     assert r == 0
+
+
+def test_repetition_profile_matches_per_column(spark):
+    """Round-7 perf path: the single-tokenize repetition_profile struct
+    must equal the separate dup_token_fraction / top_ngram_fraction
+    columns on every doc shape (empty, single-token, all-dup, mixed)."""
+    from mc2skos_spark.functions.textstats import (
+        dup_token_fraction, repetition_profile, top_ngram_fraction)
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, ""), (4, "word"),
+         (5, "x y x y x"), (6, "  Mixed CASE mixed case  ")],
+        ["id", "txt"])
+    sep = {r["id"]: (r["dup"], r["top2"]) for r in df.select(
+        "id", dup_token_fraction(F.col("txt")).alias("dup"),
+        top_ngram_fraction(F.col("txt"), 2).alias("top2")).collect()}
+    one = {r["id"]: (r["g"]["dup_token_frac"], r["g"]["top_bigram_frac"])
+           for r in df.select(
+               "id", repetition_profile(F.col("txt")).alias("g"))
+           .collect()}
+    assert sep == one

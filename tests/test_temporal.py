@@ -211,3 +211,46 @@ def test_interval_join_width_invariance_and_suggestion(spark):
     # degenerate/empty inputs fall back to 1, never 0
     assert suggest_bucket_width(left.filter(F.lit(False)),
                                 "ls", "le") == 1
+
+
+def test_fixed_band_matches_interval_join(spark):
+    """Round-7 perf path for the fixed-length self-overlap query:
+    fixed_band_self_pairs must return EXACTLY the rows of the generic
+    interval_join pipeline it replaced (explode both sides, anchor
+    filter, a_id < b_id post-filter) — including start ties (strict
+    (start, id) enumeration), bucket-boundary starts (exact multiples
+    of the band), and pairs exactly band apart (closed intervals)."""
+    import random
+    from mc2skos_spark.operators.temporal import fixed_band_self_pairs
+
+    rng = random.Random(7)
+    band = 100
+    rows = [(i, "t%d" % (i % 3), rng.randrange(0, 2000))
+            for i in range(300)]
+    # start ties within and across keys, and exact band-boundary pairs
+    rows += [(1000, "t0", 500), (1001, "t0", 500), (1002, "t1", 500),
+             (1003, "t0", 600), (1004, "t0", 601),
+             (1005, "t2", 700), (1006, "t2", 800)]
+    ev = spark.createDataFrame(rows, "eid long, k string, s long")
+
+    left = ev.select("k", F.col("eid").alias("a_id"),
+                     F.col("s").alias("a_s"),
+                     (F.col("s") + band).alias("a_e"))
+    right = ev.select("k", F.col("eid").alias("b_id"),
+                      F.col("s").alias("b_s"),
+                      (F.col("s") + band).alias("b_e"))
+    generic = {(r["k"], r["a_id"], r["b_id"])
+               for r in interval_join(left, right, on=["k"],
+                                      l_start="a_s", l_end="a_e",
+                                      r_start="b_s", r_end="b_e",
+                                      bucket_width=band)
+               .filter(F.col("a_id") < F.col("b_id"))
+               .select("k", "a_id", "b_id").collect()}
+    fast_rows = fixed_band_self_pairs(ev, on=["k"], id_col="eid",
+                                      start_col="s",
+                                      band=band).collect()
+    fast = {(r["k"], r["a_id"], r["b_id"]) for r in fast_rows}
+    assert len(fast_rows) == len(fast)        # exactly-once emission
+    assert fast == generic
+    assert ("t0", 1000, 1001) in fast         # tie pair, once
+    assert ("t2", 1005, 1006) in fast         # exactly band apart
