@@ -202,22 +202,29 @@ def ngram_nll_scores(documents: DataFrame, order: int,
     bit-identical in the DuckDB oracle.  Only full order-n transitions
     are scored; docs with < n tokens get no row.
 
-    Scale shape (the same at every order): the corpus is tokenized
-    ONCE into a lineage-cut ``(id, token-array)`` table and every gram
-    length is a re-slice of that array — round 7 removed the
-    one-scan-per-order shape (order 5 used to re-read and re-tokenize
-    the corpus five times).  The order-n table is the per-doc DISTINCT-
-    transition table (Heaps' law keeps it far below the raw token
-    stream — it is the only corpus-scale shuffle); the lower-order
-    c_k tables aggregate straight to corpus-wide counts in ONE hash
-    aggregate each (the former per-doc pre-grouping was a second
-    shuffle whose sums collapse to a plain count); the logp table is
-    built with 2(n−1) equi-joins on n-gram keys (AQE broadcasts the
-    small sides) and joined back once; per-transition logps are
-    1e-4-quantized and summed as LONGS so the per-doc sum is
-    order-independent.  Lower-order context counts come from their OWN
-    slice of the token arrays — deriving c_{n−1} from the c_n table
-    would miss each document's final (n−1)-gram.
+    Scale shape (the same at every order, round 7): the corpus is
+    tokenized ONCE and every k-gram (k = 1..n) is hashed ONCE —
+    per position i, ``h_k(i) = xxhash64(tok_i, …, tok_{i+k−1})`` —
+    into a lineage-cut per-document array of (h1..hn) structs; every
+    downstream table re-slices those LONGS.  The per-doc DISTINCT-
+    transition table groups (id, h_n) — 8-byte keys through the only
+    corpus-scale shuffle instead of n short strings (Heaps' law keeps
+    the table far below the raw token stream); ALL lower-order c_k
+    tables come out of ONE flattened (k, h) explode + ONE hash
+    aggregate; the corpus-wide c_n aggregate attaches each distinct
+    n-gram's suffix/context hashes (they are other positions' h_k —
+    array lookups, not re-hashes); the logp table is built with
+    2(n−1) equi-joins on LONG keys (AQE broadcasts the small sides)
+    and joined back once on h_n.  Hash-keying merges two DISTINCT
+    grams only on a 64-bit collision among the observed grams
+    (~m²/2⁶⁵ — the same argument as the substring-span window keys
+    and paragraph election keys; k is fixed per table/join so gram
+    lengths never share a key space, and the DuckDB oracle still
+    counts by TEXT, cross-checking the shortcut at every graded SF).
+    Per-transition logps are 1e-4-quantized and summed as LONGS so
+    the per-doc sum is order-independent.  Lower-order context counts
+    come from their OWN positions — deriving c_{n−1} from the c_n
+    table would miss each document's final (n−1)-gram.
 
     Returns ``(id_col, n_transitions, nll_q, avg_nll)`` (callers
     wanting order-suffixed names alias them — see
@@ -238,108 +245,124 @@ def ngram_nll_scores(documents: DataFrame, order: int,
     for x in lams:          # same left fold as `1.0 - lam3 - lam2`
         lam1 -= x
 
-    names = ["w%d" % (i + 1) for i in range(n)]
-    # tokenize ONCE: every gram order below re-slices this bound array
-    # instead of re-scanning + re-splitting the corpus (guide §2.4 —
-    # remove shuffles/passes outright; the checkpoint materializes the
-    # token arrays one time for all n consumers)
-    toks = (documents
-            .select(F.col(id_col),
-                    tokens(F.lower(F.col(text_col))).alias("__tk"))
-            .localCheckpoint(eager=False))
+    from mc2skos_spark.functions.textstats import _once
 
-    def gram_rows(k: int) -> DataFrame:
-        """Exploded k-gram rows (id, w1..wk) from the token table."""
-        kn = names[:k]
-        tk = F.col("__tk")
-        if k == 1:
-            grams = F.transform(tk, lambda t: F.struct(t.alias(kn[0])))
-        else:
-            empty = F.array().cast(
-                "array<struct<%s>>"
-                % ",".join("%s:string" % w for w in kn))
-            idx = F.sequence(F.lit(1),
-                             F.greatest(F.size(tk) - (k - 1), F.lit(0)))
-            full = F.transform(
-                idx, lambda i: F.struct(
-                    *[F.element_at(tk, i + j).alias(kn[j])
-                      for j in range(k)]))
-            grams = F.when(F.size(tk) >= k, full).otherwise(empty)
-        return (toks.select(F.col(id_col), F.explode(grams).alias("p"))
-                .select(F.col(id_col),
-                        *[F.col("p." + w).alias(w) for w in kn]))
+    # hash every k-gram ONCE: per position i (1-based), h_k =
+    # xxhash64(tok_i..tok_{i+k-1}) for k = 1..n, null past the
+    # document tail; the lineage cut materializes these long arrays
+    # one time for all three consumers (transition table, lower-order
+    # counts, suffix/context attachments).  F.get is 0-indexed and
+    # null-safe; when() keeps the empty-doc branch lazy (ANSI
+    # sequence(1, 0) would error).
+    hp_type = "array<struct<%s>>" % ",".join(
+        "h%d:bigint" % k for k in range(1, n + 1))
 
-    tfn = (gram_rows(n)
-           .groupBy(id_col, *names)
+    def hp_of(tk):
+        L = F.size(tk)
+        pos = F.transform(
+            F.sequence(F.lit(1), L),
+            lambda i: F.struct(
+                *[F.when(i + (k - 1) <= L,
+                         F.xxhash64(*[F.get(tk, i + j - 1)
+                                      for j in range(k)]))
+                  .otherwise(F.lit(None).cast("long")).alias("h%d" % k)
+                  for k in range(1, n + 1)]))
+        return F.when(L >= 1, pos).otherwise(F.array().cast(hp_type))
+
+    hs = (documents
+          .select(F.col(id_col),
+                  _once(tokens(F.lower(F.col(text_col))), hp_of,
+                        F.array().cast(hp_type)).alias("__hp"))
+          .localCheckpoint(eager=False))
+
+    # per-doc DISTINCT-transition table: (id, h_n, tf) — the only
+    # corpus-scale shuffle, keyed by one long
+    tfn = (hs.select(F.col(id_col), F.explode("__hp").alias("p"))
+           .select(F.col(id_col), F.col("p.h%d" % n).alias("h"))
+           .filter(F.col("h").isNotNull())
+           .groupBy(id_col, "h")
            .agg(F.count(F.lit(1)).cast("long").alias("tf")))
-    tfn = tfn.localCheckpoint(eager=False)      # feeds c_n + scoring
-    # corpus-wide suffix/context count tables, one per lower order —
-    # ALL n−1 of them from ONE null-padded position explode + ONE
-    # grouping-sets aggregate (one Exchange instead of n−1): position
-    # i's row carries tokens i..i+n−2 with nulls past the document
-    # end, so the set (w1..wk) grouped with count(wk) counts exactly
-    # the k-gram occurrences (a position has a k-gram iff its w_k is
-    # non-null; contiguity means no interior nulls), and null-tail
-    # groups come out with count 0 and are filtered.  Identical tables
-    # to the per-order aggregates (serial-parity + oracle pytests);
-    # each slice is consumed 2-3x (continuation + context joins, c_1
-    # also the stats aggregate) — the one aggregate is lineage-cut so
-    # it shuffles once
-    kn = names[:n - 1]
-    tkc = F.col("__tk")
-    empty_pad = F.array().cast(
-        "array<struct<%s>>" % ",".join("%s:string" % w for w in kn))
-    pad_full = F.transform(
-        F.sequence(F.lit(1), F.size(tkc)),
-        lambda i: F.struct(*[F.get(tkc, i + j - 1).alias(kn[j])
-                             for j in range(n - 1)]))
-    padded = F.when(F.size(tkc) >= 1, pad_full).otherwise(empty_pad)
-    rows_lo = (toks.select(F.explode(padded).alias("p"))
-               .select(*[F.col("p." + w).alias(w) for w in kn]))
-    gsets = (rows_lo.groupingSets([kn[:k] for k in range(1, n)], *kn)
-             .agg(*[F.count(kn[k - 1]).alias("k%d" % k)
-                    for k in range(1, n)],
-                  F.grouping_id().alias("gid"))
-             .localCheckpoint(eager=False))
-    cks = {}
-    for k in range(1, n):
-        mask = (1 << (n - 1 - k)) - 1       # ungrouped-column bits
-        cks[k] = (gsets.filter((F.col("gid") == mask)
-                               & (F.col("k%d" % k) > 0))
-                  .select(*kn[:k],
-                          F.col("k%d" % k).alias("c%d" % k)))
-    cn = tfn.groupBy(*names).agg(F.sum("tf").alias("c%d" % n))
-    stats = cks[1].agg(F.sum("c1").cast("long").alias("total"),
+    tfn = tfn.localCheckpoint(eager=False)      # feeds scoring twice
+
+    # ALL lower-order corpus counts from ONE flattened (k, h) explode
+    # + ONE aggregate (k in the group key keeps the per-order hash
+    # spaces separate); each slice is consumed 2-3x (continuation +
+    # context joins, c_1 also the stats aggregate) — lineage-cut so
+    # the aggregate shuffles once
+    karr = F.flatten(F.transform(
+        F.col("__hp"),
+        lambda p: F.array(*[F.struct(F.lit(k).alias("k"),
+                                     p["h%d" % k].alias("h"))
+                            for k in range(1, n)])))
+    ck_all = (hs.select(F.explode(karr).alias("q"))
+              .select("q.k", "q.h")
+              .filter(F.col("h").isNotNull())
+              .groupBy("k", "h")
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+              .localCheckpoint(eager=False))
+    cks = {k: ck_all.filter(F.col("k") == k).select("h", "cnt")
+           for k in range(1, n)}
+
+    # corpus-wide c_n with each distinct n-gram's suffix/context
+    # hashes attached: the length-k SUFFIX hash is position
+    # (i + n − k)'s h_k and the k words ENDING AT w_{n−1} are position
+    # (i + n − 1 − k)'s h_k — array lookups into the bound hash
+    # structs (always in bounds and non-null for i <= L − n + 1), so
+    # nothing is re-hashed.  min() collapses the per-occurrence
+    # constants.
+    hpc = F.col("__hp")
+    Lc = F.size(hpc)
+
+    def aux_of(i):
+        return F.struct(
+            F.get(hpc, i - 1)["h%d" % n].alias("h"),
+            *[F.get(hpc, i - 1 + n - k)["h%d" % k].alias("hs%d" % k)
+              for k in range(1, n)],
+            *[F.get(hpc, i - 1 + n - 1 - k)["h%d" % k].alias("hx%d" % k)
+              for k in range(1, n)])
+
+    aux_type = ("array<struct<h:bigint,%s,%s>>"
+                % (",".join("hs%d:bigint" % k for k in range(1, n)),
+                   ",".join("hx%d:bigint" % k for k in range(1, n))))
+    caux = F.when(Lc >= n,
+                  F.transform(F.sequence(F.lit(1), Lc - (n - 1)),
+                              aux_of)).otherwise(F.array().cast(aux_type))
+    cn = (hs.select(F.explode(caux).alias("p"))
+          .select("p.*")
+          .groupBy("h")
+          .agg(F.count(F.lit(1)).cast("long").alias("c%d" % n),
+               *[F.min("hs%d" % k).alias("hs%d" % k)
+                 for k in range(1, n)],
+               *[F.min("hx%d" % k).alias("hx%d" % k)
+                 for k in range(1, n)]))
+    stats = cks[1].agg(F.sum("cnt").cast("long").alias("total"),
                        F.count(F.lit(1)).cast("long").alias("v"))
 
     # join every lower-order table twice against the c_n rows: once on
-    # the length-k SUFFIX (term numerators) and once on the k words
-    # ENDING AT wn−1 (term denominators)
+    # the length-k SUFFIX hash (term numerators) and once on the k
+    # words ENDING AT wn-1 (term denominators) — long-keyed equi-joins
     logp = cn
     for k in range(1, n):
-        suffix, ctx = names[n - k:], names[n - k - 1:n - 1]
         logp = logp.join(
-            cks[k].select(*[F.col(names[i]).alias(suffix[i])
-                            for i in range(k)],
-                          F.col("c%d" % k).alias("s%d" % k)), suffix)
+            cks[k].select(F.col("h").alias("hs%d" % k),
+                          F.col("cnt").alias("s%d" % k)), "hs%d" % k)
         logp = logp.join(
-            cks[k].select(*[F.col(names[i]).alias(ctx[i])
-                            for i in range(k)],
-                          F.col("c%d" % k).alias("x%d" % k)), ctx)
+            cks[k].select(F.col("h").alias("hx%d" % k),
+                          F.col("cnt").alias("x%d" % k)), "hx%d" % k)
     terms = lams[0] * ((F.col("c%d" % n) + 1.0)
                        / (F.col("x%d" % (n - 1)) + F.col("v")))
-    for j in range(n - 1, 1, -1):               # terms n−1 .. 2
+    for j in range(n - 1, 1, -1):               # terms n-1 .. 2
         terms = terms + lams[n - j] * (
             (F.col("s%d" % j) + 1.0)
             / (F.col("x%d" % (j - 1)) + F.col("v")))
     terms = terms + lam1 * ((F.col("s1") + 1.0)
                             / (F.col("total") + F.col("v")))
     logp = (logp.crossJoin(F.broadcast(stats))
-            .select(*names,
+            .select(F.col("h"),
                     F.floor(F.log(terms) * SCALE)
                     .cast("long").alias("lp")))
 
-    return (tfn.join(logp, names)
+    return (tfn.join(logp, "h")
             .groupBy(id_col)
             .agg(F.sum("tf").alias("n_transitions"),
                  (-F.sum(F.col("tf") * F.col("lp"))).alias("nll_q"),

@@ -11,8 +11,12 @@ scans its physical plan for the node types that do not survive 100 TB:
 A tiny allowlist names the DELIBERATE exceptions — 1-row broadcast
 stats build sides where the nested-loop "join" is a constant attach —
 each with the justification inline, so an unlisted occurrence anywhere
-in the registry fails the sweep loudly.  Individual pytests already
-pin several plans; this tool is the registry-wide regression gate.
+in the registry fails the sweep loudly.  Allowlisting is COUNTED
+(round 7): each entry permits at most ``ALLOW_MAX`` occurrences of
+that node (default 1), so a second, illegitimate CartesianProduct or
+BNLJ sneaking into an already-allowlisted query's plan still fails.
+Individual pytests already pin several plans; this tool is the
+registry-wide regression gate.
 
 Usage: ``python tools/check_plans.py [query ...] [--sf-dir DIR]
 [--json OUT]`` (default: all queries at /root/testdata/sf0.001).
@@ -84,6 +88,17 @@ ALLOW: dict[str, dict[str, str]] = {
     },
 }
 
+#: (query, node) -> max tree occurrences permitted; default 1 for any
+#: allowlisted pair.  Raise ONLY with an inline justification.
+ALLOW_MAX: dict[tuple[str, str], int] = {
+    # lm_nll_scores attaches the SAME 1-row (total, v) stats frame
+    # twice by design: once building the logp table and once for the
+    # OOV add-1 fallback on unmatched tokens (functions/lm.py) — two
+    # constant attaches, not two nested-loop joins over data
+    ("text_lm_nll", "BroadcastNestedLoopJoin"): 2,
+    ("text_lm_nll_xlm", "BroadcastNestedLoopJoin"): 2,
+}
+
 
 def main() -> None:
     argv = sys.argv[1:]
@@ -124,9 +139,12 @@ def main() -> None:
             failed += 1
             print("%-30s ERROR %s" % (name, repr(exc)[:120]))
             continue
-        hits = [n for n in FORBIDDEN if n in plan]
-        allowed = {n for n in hits if n in ALLOW.get(name, {})}
-        bad = [n for n in hits if n not in allowed]
+        counts = {n: plan.count(n) for n in FORBIDDEN if n in plan}
+        allow = ALLOW.get(name, {})
+        allowed = {n for n, c in counts.items()
+                   if n in allow and c <= ALLOW_MAX.get((name, n), 1)}
+        bad = ["%s x%d" % (n, c) for n, c in counts.items()
+               if n not in allowed]
         results[name] = {"ok": not bad, "forbidden": bad,
                          "allowed": sorted(allowed)}
         if bad:
