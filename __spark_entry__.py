@@ -31,9 +31,66 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 
+#: per-path (splits, rows) parquet-footer cache for _t's widen check
+_SCAN_LAYOUT: dict = {}
+
+
+def _scan_layout(path: str) -> tuple[int, int]:
+    """(row-group count, row count) across the file(s) at ``path`` —
+    driver-side footer metadata only, cached per path.  A parquet row
+    group is the atomic unit of scan parallelism: byte-range splits
+    beyond the row-group count produce empty tasks."""
+    if path not in _SCAN_LAYOUT:
+        import glob
+
+        import pyarrow.parquet as pq
+        files = ([path] if os.path.isfile(path)
+                 else sorted(glob.glob(os.path.join(path, "*.parquet")))
+                 or sorted(glob.glob(os.path.join(path, "part-*"))))
+        rg = rows = 0
+        for f in files:
+            m = pq.ParquetFile(f).metadata
+            rg += m.num_row_groups
+            rows += m.num_rows
+        _SCAN_LAYOUT[path] = (max(rg, 1), rows)
+    return _SCAN_LAYOUT[path]
+
+
+#: tables whose downstream operators are compute-heavy PER ROW
+#: (tokenization, gram hashing) — for these, an unsplittable input
+#: file serializes the whole map side, and one narrow shuffle to
+#: spread the rows pays for itself many times over.  Numeric fact
+#: tables (lineitem, events, orders…) are deliberately NOT widened:
+#: their per-row work is cheap and the extra exchange measured
+#: net-negative (t9 at sf0.1: 0.71 s -> 0.90 s); embeddings likewise
+#: (the SemDeDup candidate stage is post-shuffle and already
+#: saturates the cores — widening only added its exchange:
+#: dedup_semantic 1.63 s -> 1.86 s at sf0.1).
+_WIDEN_TABLES = ("documents",)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ship(spark)
-    return spark.read.parquet(os.path.join(sf_dir, name + ".parquet"))
+    path = os.path.join(sf_dir, name + ".parquet")
+    df = spark.read.parquet(path)
+    if name in _WIDEN_TABLES:
+        # unsplittable-input fix (optimization guide §2.5): the driver
+        # testdata writes each table as ONE file with ONE row group, so
+        # every scan is a single task and all map-side compute
+        # serializes on one core regardless of cluster size.  When the
+        # available splits are far below the session's parallelism and
+        # the table is big enough to matter, repartition right after
+        # the read (row-preserving; every query's result is
+        # content-defined).  Scale-adaptive, not local-tuned: a
+        # production table with healthy row groups skips this
+        # (splits >= cores/2), tiny correctness SFs skip it (row
+        # floor), and the decision reads only footer metadata.
+        # Measured: text_lm5_nll at sf0.1 2.58 s -> 1.55 s.
+        splits, rows = _scan_layout(path)
+        cores = spark.sparkContext.defaultParallelism
+        if splits < max(cores // 2, 2) and rows >= 2000:
+            df = df.repartition(cores)
+    return df
 
 
 def _ship(spark: SparkSession) -> None:

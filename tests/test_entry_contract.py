@@ -85,3 +85,34 @@ def test_entry_smoke(spark):
     assert df.columns == ["subj", "pred", "obj", "obj_is_literal",
                           "obj_lang", "obj_datatype", "component_pos",
                           "record_id"]
+
+
+def test_widen_unsplittable_scan(spark, tmp_path):
+    """Round-7 _t widening: a one-row-group documents table above the
+    row floor is repartitioned to the session parallelism right after
+    the read (rows identical); a tiny table is left alone (no extra
+    exchange at correctness SFs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    big = tmp_path / "big"
+    big.mkdir()
+    n = 5000
+    pq.write_table(pa.table({
+        "doc_id": list(range(n)),
+        "text": ["alpha beta gamma %d" % i for i in range(n)]}),
+        str(big / "documents.parquet"))
+    df = entry_mod._t(spark, str(big), "documents")
+    assert df.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+    assert df.count() == n
+    assert df.agg({"doc_id": "sum"}).first()[0] == n * (n - 1) // 2
+
+    small = tmp_path / "small"
+    small.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": [1, 2], "text": ["a", "b"]}),
+        str(small / "documents.parquet"))
+    df2 = entry_mod._t(spark, str(small), "documents")
+    assert df2.rdd.getNumPartitions() == 1
+    assert df2.count() == 2
