@@ -69,11 +69,12 @@ def _scan_layout(path: str) -> tuple[int, int]:
 _WIDEN_TABLES = ("documents",)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       widen: bool = True) -> DataFrame:
     _ship(spark)
     path = os.path.join(sf_dir, name + ".parquet")
     df = spark.read.parquet(path)
-    if name in _WIDEN_TABLES:
+    if widen and name in _WIDEN_TABLES:
         # unsplittable-input fix (optimization guide §2.5): the driver
         # testdata writes each table as ONE file with ONE row group, so
         # every scan is a single task and all map-side compute
@@ -86,6 +87,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (splits >= cores/2), tiny correctness SFs skip it (row
         # floor), and the decision reads only footer metadata.
         # Measured: text_lm5_nll at sf0.1 2.58 s -> 1.55 s.
+        #
+        # widen=False opts a CONSUMER out: filters and projections do
+        # NOT push below a round-robin Exchange, so a query that keeps
+        # only ids/metadata, or immediately filters to a small doc_id
+        # subset, would shuffle the whole text column for nothing (and
+        # re-shuffle it once per re-scan of an uncached subtree —
+        # measured 25-40% regressions on graph_triangles / pagerank /
+        # the incremental-dedup rows before the opt-out).  The widen is
+        # a property of the consumer's per-row text work, not of the
+        # table.
         splits, rows = _scan_layout(path)
         cores = spark.sparkContext.defaultParallelism
         if splits < max(cores // 2, 2) and rows >= 2000:
@@ -160,7 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- P1/P2: leader-style dispatch + skip filters
     def p1_leader_dispatch(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         kind = (F.when(F.col("lang") == "en", "classification")
                 .when(F.col("lang") == "es", "authority")
                 .otherwise("invalid"))
@@ -169,7 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- P3: publish filter (flag + predicate + substring gate)
     def p3_publish_filter(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return (docs.filter((F.col("n_chars") > 100) &
                             ~F.col("text").contains("dup"))
                 .select("doc_id", "n_chars"))
@@ -254,7 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- U1: triple fan-out (unpivot)
     def u1_triple_fanout(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         subj = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
         branches = [
             docs.select(subj.alias("subj"), F.lit("lang").alias("pred"),
@@ -271,7 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- G1: set dedup
     def g1_dedup_set(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return docs.select("lang", "source").distinct()
 
     # --- G2: inverse-edge expansion
@@ -454,7 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     transitive-closure doubling loop and reports the diagonal.
     def tc_cycle_detect(spark, sf_dir):
         from mc2skos_spark.operators.closure import cycle_members
-        docs = _t(spark, sf_dir, "documents").filter(
+        docs = _t(spark, sf_dir, "documents", widen=False).filter(
             (F.col("doc_id") >= 1) & (F.col("doc_id") < 64))
         tree = docs.select(
             F.col("doc_id").cast("int").alias("src"),
@@ -492,7 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def g3_label_conflicts(spark, sf_dir):
         from mc2skos_spark.core.constants import SKOS
         from mc2skos_spark.operators.validate import shared_preflabels
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         subj = F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
         label = F.concat("lang", F.lit("-"),
                          (F.col("n_chars") % 40).cast("string"))
@@ -522,7 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def el_label_links(spark, sf_dir):
         from mc2skos_spark.core.constants import SKOS
         from mc2skos_spark.operators.linking import label_link_candidates
-        docs = (_t(spark, sf_dir, "documents")
+        docs = (_t(spark, sf_dir, "documents", widen=False)
                 .filter(F.col("doc_id") < 300)
                 .select("doc_id", "text", "source"))
         planted = docs.filter(F.col("doc_id") < 60).select(
@@ -553,7 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     doubling loop exercises real multi-round convergence.
     def tc_transitive_closure(spark, sf_dir):
         from mc2skos_spark.operators.closure import transitive_closure
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         edges = (docs.filter(F.col("doc_id") >= 1)
                  .select(F.col("doc_id").cast("int").alias("src"),
                          F.shiftright(F.col("doc_id").cast("int"), 1)
@@ -575,7 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- B: multi-level aggregation (rollup/grouping sets)
     def b1_rollup(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return (docs.rollup("lang", "source")
                 .agg(F.count(F.lit(1)).alias("cnt"),
                      F.sum("n_chars").alias("chars"))
@@ -590,7 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     here) and let partial aggregation collapse the expansion
     #     map-side.
     def b2_cube(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return (docs.cube("lang", "source")
                 .agg(F.count(F.lit(1)).alias("cnt"),
                      F.sum("n_chars").alias("chars"))
@@ -600,14 +611,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- dedup family
     def dedup_exact(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return exact_duplicates(docs, "doc_id", "text")
 
     def dedup_ngram_jaccard(spark, sf_dir):
         # max_shingle_freq ON: the stop-shingle cap is what keeps the
         # shingle self-join linear at scale — the verified path runs it
         # (the oracle mirrors it with a HAVING pre-filter).
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        docs = _t(spark, sf_dir, "documents", widen=False).filter(F.col("doc_id") < 300)
         return ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
                                    threshold=0.8, max_shingle_freq=50)
 
@@ -616,13 +627,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clusters → keeper per cluster (min id); singletons keep
         # themselves.  Oracle: recursive reachability in SQL.
         from mc2skos_spark.functions.dedup import near_dup_keepers
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        docs = _t(spark, sf_dir, "documents", widen=False).filter(F.col("doc_id") < 300)
         pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2,
                                     threshold=0.8, max_shingle_freq=50)
         return near_dup_keepers(docs, pairs)
 
     def dedup_minhash_lsh(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        docs = _t(spark, sf_dir, "documents", widen=False).filter(F.col("doc_id") < 500)
         # the signature table feeds THREE joins (banded self-join +
         # two similarity lookups): materialize it once (lazy lineage
         # cut), exactly as a staged pipeline would snapshot it
@@ -648,7 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mc2skos_spark.functions.incremental import (
             create_minhash_index, incremental_minhash_pairs)
         from mc2skos_spark.sinks.icebergish import IcebergishCatalog
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        docs = _t(spark, sf_dir, "documents", widen=False).filter(F.col("doc_id") < 500)
         corpus = docs.filter(F.col("doc_id") < 400)
         batch = docs.filter(F.col("doc_id") >= 400)
         wh = tempfile.mkdtemp(prefix="mc2skos_incr_")
@@ -679,7 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from mc2skos_spark.functions.incremental import (
             create_minhash_index, incremental_keeper_assign)
         from mc2skos_spark.sinks.icebergish import IcebergishCatalog
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+        docs = _t(spark, sf_dir, "documents", widen=False).filter(F.col("doc_id") < 500)
         corpus = docs.filter(F.col("doc_id") < 400)
         batch = docs.filter(F.col("doc_id") >= 400)
         wh = tempfile.mkdtemp(prefix="mc2skos_incrk_")
@@ -793,7 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hamming≤3 pairs, so plant deterministic one-token-appended
         # copies of the first 40 docs: their signatures differ in only
         # the bits that one extra token's votes flip.
-        docs = (_t(spark, sf_dir, "documents")
+        docs = (_t(spark, sf_dir, "documents", widen=False)
                 .filter(F.col("doc_id") < 200).select("doc_id", "text"))
         planted = docs.filter(F.col("doc_id") < 40).select(
             (F.col("doc_id") + 100000).alias("doc_id"),
@@ -960,7 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  components=1 + m % 4)
             return mid.map(one)
 
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+        docs = _t(spark, sf_dir, "documents", widen=False).filter(F.col("doc_id") < 60)
         media = docs.select(
             F.col("doc_id").alias("media_id"),
             F.when(F.col("doc_id") % 3 == 0, "audio").otherwise("image")
@@ -1100,7 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by a pure hash of the row id — reproducible across re-runs,
         # resumes and repartitions, and exactly mirrorable in SQL
         from mc2skos_spark.functions.sampling import stratified_sample
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return stratified_sample(docs, "lang",
                                  {"en": 0.5, "es": 0.25},
                                  default_rate=0.05) \
@@ -1255,7 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     operators/graph.py for the integer-determinism argument.
     def graph_pagerank(spark, sf_dir):
         from mc2skos_spark.operators.graph import pagerank
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 2)
+        docs = _t(spark, sf_dir, "documents", widen=False).filter(F.col("doc_id") >= 2)
         half = docs.select(
             F.col("doc_id").cast("long").alias("src"),
             F.shiftright(F.col("doc_id").cast("long"), 1).alias("dst"))
@@ -1271,7 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     unrolls the same redistributed iteration.
     def graph_pagerank_dangling(spark, sf_dir):
         from mc2skos_spark.operators.graph import pagerank
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 2)
+        docs = _t(spark, sf_dir, "documents", widen=False).filter(F.col("doc_id") >= 2)
         half = docs.select(
             F.col("doc_id").cast("long").alias("src"),
             F.shiftright(F.col("doc_id").cast("long"), 1).alias("dst"))
@@ -1640,7 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import shutil
         import tempfile
         from mc2skos_spark.sinks.icebergish import IcebergishCatalog
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = _t(spark, sf_dir, "documents", widen=False).select("doc_id", "text")
         wh = tempfile.mkdtemp(prefix="mc2skos_tt_")
         try:
             cat = IcebergishCatalog(wh, spark)
@@ -1684,7 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import shutil
         import tempfile
         from mc2skos_spark.sinks.icebergish import IcebergishCatalog
-        docs = _t(spark, sf_dir, "documents").select(
+        docs = _t(spark, sf_dir, "documents", widen=False).select(
             "doc_id", "lang", "n_chars")
         wh = tempfile.mkdtemp(prefix="mc2skos_zm_")
         try:
@@ -1760,7 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the skew-safe order at scale.  Semantically == the
     #     conditional-count aggregate the oracle spells out by hand.
     def pivot_lang_matrix(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         langs = ["de", "en", "es", "fr", "zh"]
         wide = (docs.groupBy("source")
                 .pivot("lang", langs)
@@ -1773,7 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- unpivot (melt): wide → long without any shuffle at all —
     #     a per-row Expand, partition-preserving, the inverse of pivot.
     def unpivot_doc_metrics(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         wide = docs.select(
             "doc_id",
             F.col("n_chars").cast("long").alias("n_chars"),
@@ -1790,7 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     orientation-independent, which is exactly what this verifies.
     def graph_triangles(spark, sf_dir):
         from mc2skos_spark.operators.graph import triangle_counts
-        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 2)
+        docs = _t(spark, sf_dir, "documents", widen=False).filter(F.col("doc_id") >= 2)
         half = docs.select(
             F.col("doc_id").cast("long").alias("src"),
             F.expr("cast(doc_id as long) div 2").alias("dst"))
