@@ -142,16 +142,18 @@ def dsir_logweights(documents: DataFrame, is_target: Column,
             .select("bucket",
                     F.coalesce("rc", F.lit(0)).cast("long").alias("rc"),
                     F.coalesce("tc", F.lit(0)).cast("long").alias("tc")))
-    # dist feeds both the totals aggregate and the ratio table: cut the
-    # 256-row lineage so the bucket aggregate over db runs once — with
-    # this, db is materialized exactly twice (distribution + scoring)
-    dist = dist.localCheckpoint(eager=False)
-    totals = dist.agg(F.sum("rc").alias("rtot"), F.sum("tc").alias("ttot"))
-    ratio = (dist.crossJoin(F.broadcast(totals))
-             .select("bucket",
-                     (_quantized_logp(F.col("tc"), F.col("ttot"), buckets)
-                      - _quantized_logp(F.col("rc"), F.col("rtot"),
-                                        buckets)).alias("dlp")))
+    # corpus totals as a whole-frame window over the `buckets`-row
+    # table: dist is bounded by construction (256 rows here), so the
+    # single-partition WindowExec is metadata-scale at any corpus size
+    # and replaces the former 1-row totals crossJoin — one broadcast
+    # nested-loop attach fewer in the plan, identical arithmetic
+    from pyspark.sql import Window
+    whole = Window.partitionBy()
+    ratio = dist.select(
+        "bucket",
+        (_quantized_logp(F.col("tc"), F.sum("tc").over(whole), buckets)
+         - _quantized_logp(F.col("rc"), F.sum("rc").over(whole),
+                           buckets)).alias("dlp"))
 
     # the `buckets`-row ratio table folds into ONE map row and scoring
     # becomes a per-row long fold over the bucket array — no join back,
