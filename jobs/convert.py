@@ -182,8 +182,12 @@ def convert(spark, infiles, outfile, outformat=None, include=(),
     # stays as the fallback for sessions without the DataSource API
     try:
         from mc2skos_spark.sources.marcxml_source import read_marcxml
-        records = read_marcxml(spark, ",".join(infiles))
-    except Exception:            # pragma: no cover - pre-4.0 fallback
+        # exact path list (JSON option): names with commas survive
+        records = read_marcxml(spark, list(infiles))
+    except (ImportError, AttributeError):   # pragma: no cover -
+        # pre-4.0 fallback only: sessions without the Python
+        # DataSource API.  Real DataSource bugs must propagate, not
+        # silently fall back to driver-side parsing.
         from mc2skos_spark.sources.synth import records_in_xml_file
         rows = []
         for path in infiles:

@@ -247,6 +247,23 @@ class IcebergishCatalog:
                         operation: str = "overwrite",
                         stats_columns: list[str] | None = None,
                         cluster_by: list[str] | None = None) -> dict:
+        # validate the stats spec BEFORE any data is written, so a bad
+        # spec fails side-effect-free instead of leaving an orphaned
+        # uncommitted snapshot directory behind (the read-back below
+        # uses df.schema verbatim, so validating df here is equivalent)
+        stat_cols = list(stats_columns or [])
+        if stat_cols:
+            by_name = {f.name: f for f in df.schema.fields}
+            for c in stat_cols:
+                if c not in by_name:
+                    raise ValueError("stats column %r not in schema" % c)
+                t = by_name[c].dataType.simpleString()
+                if t not in _STATS_TYPES:
+                    raise ValueError(
+                        "stats column %r has type %s, whose min/max do "
+                        "not JSON-round-trip with ordering intact; "
+                        "supported: %s" % (c, t, ", ".join(_STATS_TYPES)))
+
         tdir = self._table_dir(table)
         os.makedirs(tdir, exist_ok=True)
         current = self.current_manifest(table)
@@ -267,18 +284,6 @@ class IcebergishCatalog:
         # cast before min/max would order numeric keys lexically);
         # sort the collected rows so part_id assignment — and therefore
         # the manifest bytes — are replay-deterministic
-        stat_cols = list(stats_columns or [])
-        if stat_cols:
-            by_name = {f.name: f for f in written.schema.fields}
-            for c in stat_cols:
-                if c not in by_name:
-                    raise ValueError("stats column %r not in schema" % c)
-                t = by_name[c].dataType.simpleString()
-                if t not in _STATS_TYPES:
-                    raise ValueError(
-                        "stats column %r has type %s, whose min/max do "
-                        "not JSON-round-trip with ordering intact; "
-                        "supported: %s" % (c, t, ", ".join(_STATS_TYPES)))
         per_col = [a for c in stat_cols for a in
                    (F.min(c).alias("__mn_%s" % c),
                     F.max(c).alias("__mx_%s" % c),

@@ -30,6 +30,7 @@ Usage::
 from __future__ import annotations
 
 import glob
+import json
 import os
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
@@ -52,19 +53,25 @@ class _FilePartition(InputPartition):
 class MarcXmlReader(DataSourceReader):
 
     def __init__(self, options):
+        # 'paths' (a JSON array) is the exact form: file names survive
+        # verbatim, commas included.  'path' (file, glob, or comma-list)
+        # stays for hand-typed use; it cannot express a comma in a name.
+        encoded = options.get("paths")
         pattern = options.get("path")
-        if not pattern:
-            raise ValueError("marcxml source needs .option('path', "
+        if not encoded and not pattern:
+            raise ValueError("marcxml source needs .option('paths', "
+                             "<JSON array>) or .option('path', "
                              "<file, glob, or comma-list>)")
+        parts = (json.loads(encoded) if encoded
+                 else [p.strip() for p in pattern.split(",")])
         paths: list[str] = []
-        for part in pattern.split(","):
-            part = part.strip()
+        for part in parts:
             expanded = sorted(glob.glob(part)) if any(
                 c in part for c in "*?[") else [part]
             paths.extend(expanded)
         if not paths:
             raise ValueError("marcxml source matched no files for %r"
-                             % pattern)
+                             % (encoded or pattern))
         self.paths = paths
 
     def pushFilters(self, filters):
@@ -125,7 +132,14 @@ def register(spark) -> None:
     spark.dataSource.register(MarcXmlDataSource)
 
 
-def read_marcxml(spark, pattern: str):
-    """One-call convenience: register + load."""
+def read_marcxml(spark, pattern):
+    """One-call convenience: register + load.  ``pattern`` is a file /
+    glob / comma-list string, or a list of exact paths (passed as a
+    JSON option, so names containing commas survive)."""
     register(spark)
-    return spark.read.format("marcxml").option("path", pattern).load()
+    reader = spark.read.format("marcxml")
+    if isinstance(pattern, (list, tuple)):
+        reader = reader.option("paths", json.dumps(list(pattern)))
+    else:
+        reader = reader.option("path", pattern)
+    return reader.load()
