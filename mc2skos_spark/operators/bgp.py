@@ -565,9 +565,10 @@ def materialize_rules(triples: DataFrame, rules,
     scheme membership) finish in one round plus the empty-delta probe.
 
     Iteration discipline (the `_cc_loop` shape): each round's new-delta
-    is ``localCheckpoint``-materialized so the plan does not grow with
-    rounds, convergence is probed with ``limit(1)`` before anything
-    counts, and the accumulated graph re-checkpoints each round.  Every
+    is lazily ``localCheckpoint``-marked and materialized BY the
+    convergence count itself — one Spark job per round, since at bench
+    scale iterative wall time is job count — and the accumulated graph
+    re-checkpoints each round so the plan does not grow.  Every
     per-round shuffle is keyed (subj, pred, obj) — hash joins and
     distincts only, no driver-side data.
 
@@ -622,10 +623,16 @@ def materialize_rules(triples: DataFrame, rules,
                         pattern_sources=sources))
             for d in parts:
                 derived = d if derived is None else derived.unionByName(d)
+        # one job per round (the tc/pagerank loop shape): the full
+        # count materializes the LAZY checkpoint itself — every
+        # partition computes and pins under the count job, so the
+        # eager-checkpoint + limit(1)-probe pair (two scheduling
+        # round-trips per round) collapses into one action whose
+        # result IS the convergence test
         new = (derived.distinct()
                .join(graph, ["subj", "pred", "obj"], "left_anti")
-               .localCheckpoint())
-        if new.limit(1).count() == 0:
+               .localCheckpoint(eager=False))
+        if new.count() == 0:
             return graph
         graph = graph.unionByName(new).localCheckpoint(eager=False)
         delta = new
