@@ -122,8 +122,8 @@ def connected_components(edges: DataFrame, max_rounds: int = 20,
             .unionByName(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst")))
             .distinct()
-            .localCheckpoint())
-    n = both.count()   # cheap on the checkpointed list; sizes the loop
+            .localCheckpoint(eager=False))
+    n = both.count()   # materializes the lazy checkpoint — one job
     if n == 0:
         # no candidate identities at all (common for single-agency
         # corpora): skip every loop job.  limit(0) keeps the vertex
@@ -150,9 +150,9 @@ def _cc_loop(both: DataFrame, max_rounds: int,
     # match.  label(v) = min(v, min neighbor) to start — the init is
     # NOT materialized on its own: round 1 computes it inline from the
     # checkpointed edge list, and the per-round checkpoint carries a
-    # `chg` flag so convergence is a limit(1) probe of materialized
-    # data.  Steady state for tiny components (1-round convergence) is
-    # therefore two loop jobs total: one materialize, one probe.
+    # `chg` flag whose count both MATERIALIZES the round's lazy
+    # checkpoint and answers convergence.  Steady state for tiny
+    # components (1-round convergence) is therefore ONE loop job.
     labels = (both.groupBy("src")
               .agg(F.least(F.first("src"), F.min("dst")).alias("comp"))
               .withColumnRenamed("src", "vertex"))
@@ -164,11 +164,16 @@ def _cc_loop(both: DataFrame, max_rounds: int,
                 .groupBy("src").agg(F.min("comp").alias("ncomp"))
                 .withColumnRenamed("src", "vertex"))
         newc = F.least("comp", F.coalesce("ncomp", "comp"))
+        # one job per round: the chg count materializes the LAZY
+        # checkpoint itself (every partition computes and pins under
+        # the count job) — the former eager checkpoint + limit(1)
+        # probe paid a second scheduling round-trip per round, and at
+        # bench scale iterative wall time is job count
         new_labels = (labels.join(cand, "vertex", "left")
                       .select("vertex", newc.alias("comp"),
                               (newc < F.col("comp")).alias("chg"))
-                      .localCheckpoint())
-        changed = new_labels.filter("chg").limit(1).count()
+                      .localCheckpoint(eager=False))
+        changed = new_labels.filter("chg").count()
         new_labels = new_labels.select("vertex", "comp")
         if changed == 0:
             # converged: new_labels == labels, and compression would be
@@ -179,6 +184,9 @@ def _cc_loop(both: DataFrame, max_rounds: int,
             return new_labels
         # label-pointer compression: relabel through the label table —
         # keeps round count O(log diameter) for long chains
+        # lazy: the compressed labels materialize under the NEXT
+        # round's count job (or the caller's first action on the
+        # max_rounds exit) — no dedicated job for the compression
         labels = (new_labels.alias("a")
                   .join(new_labels.select(
                       F.col("vertex").alias("comp"),
@@ -186,7 +194,7 @@ def _cc_loop(both: DataFrame, max_rounds: int,
                       "comp", "left")
                   .select("vertex",
                           F.coalesce("parent", "comp").alias("comp"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
     return labels
 
 
