@@ -96,7 +96,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str,
         # measured 25-40% regressions on graph_triangles / pagerank /
         # the incremental-dedup rows before the opt-out).  The widen is
         # a property of the consumer's per-row text work, not of the
-        # table.
+        # table.  Cheap token_count-only consumers (pack_sequences,
+        # corpus_token_stats, fingerprints, chunking...) also opt out:
+        # interleaved on/off A/Bs at BOTH the 1-split and 10-split
+        # layouts show the text exchange costing more than their map
+        # side gains; the heavy-regex/gram consumers (pii 0.51 vs
+        # 3.6 s, gopher 0.58 vs 1.11, langid 0.47 vs 1.15, LM family,
+        # classifier at 10x) keep it.
         splits, rows = _scan_layout(path)
         cores = spark.sparkContext.defaultParallelism
         if splits < max(cores // 2, 2) and rows >= 2000:
@@ -1026,7 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the 100-TB path: mergeable per-partition state, no global
     #     sort.
     def sketch_token_quantiles(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         per = docs.select(
             "source", token_count(F.col("text")).alias("n_tokens"))
         return (per.groupBy("source")
@@ -1048,12 +1054,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- text analysis
     def text_tokens(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
     def text_bpe_tokens(spark, sf_dir):
         from mc2skos_spark.functions.textstats import bpe_ish_token_count
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return docs.select("doc_id",
                            bpe_ish_token_count(F.col("text")).alias("n_bpe"))
 
@@ -1126,7 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sample_stratified, so the oracle verifies the EXACT rows.
         from mc2skos_spark.functions.sampling import \
             mixture_weighted_sample
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         toks = docs.select(
             "doc_id", "lang", token_count(F.col("text")).alias("n_tokens"))
         return (mixture_weighted_sample(toks, "lang", budget_frac=0.5)
@@ -1156,7 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # The multi-round merge trainer is pytest-verified against a
         # pure-Python reference (tests/test_functions.py).
         from mc2skos_spark.functions.bpe import bpe_pair_stats as stats
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return stats(docs, top_k=20)
 
     def pack_sequences(spark, sf_dir):
@@ -1165,7 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (512-token sequences); never a single-partition window
         from mc2skos_spark.functions.packing import \
             pack_sequences as pack
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         with_tokens = docs.select(
             "doc_id", token_count(F.col("text")).alias("n_tokens"))
         return (pack(with_tokens, capacity=512)
@@ -1176,7 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (overlapping context windows for long documents) — a pure
         # projection + explode, zero shuffle; token array bound once
         from mc2skos_spark.functions.packing import chunk_documents
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return chunk_documents(docs, max_len=64, stride=48)
 
     def corpus_token_stats(spark, sf_dir):
@@ -1185,7 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # percentile aggregate family (exact F.percentile, not the
         # sketch-based approx, so DuckDB's quantile_cont matches
         # bit-for-bit after floor truncation)
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         toks = docs.select("lang",
                            token_count(F.col("text")).alias("n_tokens"))
         def fl(c):
@@ -1248,13 +1254,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repeated_substring_spans(docs, window=8, min_docs=2)
 
     def text_fingerprint(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return docs.select("doc_id",
                            fingerprint(F.col("text")).alias("fp"))
 
     def text_rolling_fingerprint(spark, sf_dir):
         from mc2skos_spark.functions.textstats import rolling_fingerprint
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return docs.select("doc_id",
                            rolling_fingerprint(F.col("text")).alias("rfp"))
 
