@@ -1007,7 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     distinct shuffle.
     def sketch_distinct_tokens(spark, sf_dir):
         from mc2skos_spark.functions.textstats import tokens
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         toks = docs.select(
             "source",
             F.explode(tokens(F.lower(F.col("text")))).alias("token"))
@@ -1143,7 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no URLs, so the query plants deterministic ones in every 5th
         # doc (20 rotating site domains + one shared CDN domain).
         from mc2skos_spark.functions.urls import domain_doc_counts
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         seeded = docs.select(
             "doc_id",
             F.when(F.col("doc_id") % 5 == 0,
