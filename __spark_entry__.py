@@ -1239,7 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TakeOrdered top-k; per-term contributions integerized before
         # the group-sum so the score is summation-order-independent
         from mc2skos_spark.functions.retrieval import bm25_topk
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return bm25_topk(docs, ["spark", "join", "window", "stream"],
                          k=10)
 
@@ -1416,7 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     so the keeper election is exercised, not vacuous.
     def text_paragraph_dedup(spark, sf_dir):
         from mc2skos_spark.functions.dedup import paragraph_dedup
-        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        docs = _t(spark, sf_dir, "documents", widen=False).select("doc_id", "text")
         planted = (docs.filter(F.col("doc_id") < 20)
                    .select((F.col("doc_id") + 100000).alias("doc_id"),
                            "text"))
