@@ -933,7 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     sha256 over the same bytes).
     def mm_media_features(spark, sf_dir):
         from mc2skos_spark.functions.multimodal import extract_media_features
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         kind = (F.when(F.col("doc_id") % 3 == 0, "image")
                 .when(F.col("doc_id") % 3 == 1, "audio")
                 .otherwise("video"))
@@ -1064,7 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            bpe_ish_token_count(F.col("text")).alias("n_bpe"))
 
     def text_quality(spark, sf_dir):
-        docs = _t(spark, sf_dir, "documents")
+        docs = _t(spark, sf_dir, "documents", widen=False)
         return docs.select("doc_id",
                            quality_score(F.col("text")).alias("quality"))
 
