@@ -36,9 +36,12 @@ def pack_sequences(docs: DataFrame, capacity: int,
     if num_partitions is None:
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions"))
+    # lazy: the totals collect below materializes the checkpoint (one
+    # job instead of materialize + collect), the final pass reads the
+    # pinned blocks
     parted = (docs.repartitionByRange(num_partitions, id_col)
               .withColumn("__pid", F.spark_partition_id())
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     totals = {r["__pid"]: r["tot"]
               for r in (parted.groupBy("__pid")
                         .agg(F.sum(tokens_col).cast("long").alias("tot"))

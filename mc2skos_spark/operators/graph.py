@@ -101,9 +101,11 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     if not edges_prepared:
         # static per-round join input: out-degree stapled onto each
         # edge once, so the loop joins ranks against ONE prepared table
+        # lazy: materializes under round 1's job, later rounds read
+        # the pinned blocks — no dedicated prep job
         e_deg = (prepare_edges(e)
                  .repartition(width, "src")
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
 
     # exact integer terms (Spark `div` == DuckDB `//` on BIGINT)
     base_val = (SCALE * (100 - damping_pct)) // (100 * n_nodes)

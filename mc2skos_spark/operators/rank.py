@@ -32,12 +32,14 @@ def global_rank(df: DataFrame, order_cols: list[str],
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # counts + final pass must see ONE partitioning: localCheckpoint
-    # materializes it once and the blocks are released with the RDD
-    # (a .cache() here would pin executor storage for the session)
+    # counts + final pass must see ONE partitioning: the lazy
+    # localCheckpoint pins the partitioning under the counts job
+    # itself (no dedicated materialize job), and the blocks are
+    # released with the RDD (a .cache() here would pin executor
+    # storage for the session)
     parted = (df.repartitionByRange(num_partitions, *order_cols)
               .withColumn("__pid", F.spark_partition_id())
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     counts = {r["__pid"]: r["cnt"]
               for r in (parted.groupBy("__pid")
                         .agg(F.count(F.lit(1)).alias("cnt")).collect())}
